@@ -1,0 +1,379 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2 B (filters), C (aggregations), E (joins), G1 (incremental) and
+  * the window-based A4 upsert-merge, expressed over the driver's synthetic
+  * tables. Each entry carries a DuckDB oracle with identical semantics.
+  *
+  * Numeric policy (applies to every query here):
+  *  - raw doubles pass through untouched (bit-identical in any engine);
+  *  - computed monetary aggregates cast each term to DECIMAL(18,s) before
+  *    summing, so the aggregation is exact decimal arithmetic and immune to
+  *    float summation-order differences between engines; final values are
+  *    re-cast to DECIMAL(18,s) so both sides agree on precision/scale;
+  *  - integer-ish aggregates are cast to BIGINT on both sides.
+  *
+  * Timestamp policy: `events.ts` is nanosecond-precision in parquet while
+  * Spark's TimestampType is microseconds, so every comparison/sort/output
+  * that involves `events.ts` goes through `date_trunc('second', ts)` on
+  * BOTH sides, and range predicates are half-open ([lo, hi)) so truncation
+  * can never flip a boundary row.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
+
+  /** B6 (reference: scripts/migrate_providers.sql:101-105): NULL-guarded
+    * optional predicates, built conditionally so Catalyst still pushes
+    * every present filter down to the parquet scan. */
+  def optionalFilters(
+      events: DataFrame,
+      eventType: Option[String],
+      tsFrom: Option[String],
+      tsTo: Option[String],
+      minValue: Option[Double]): DataFrame = {
+    var df = events
+    eventType.foreach(t => df = df.filter(col("event_type") === lit(t)))
+    tsFrom.foreach(f => df = df.filter(col("ts") >= to_timestamp(lit(f))))
+    tsTo.foreach(t => df = df.filter(col("ts") < to_timestamp(lit(t))))
+    minValue.foreach(v => df = df.filter(col("value") >= lit(v)))
+    df
+  }
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "q1_agg" -> Q(
+      "C1/C4-style pricing summary: filter + group-by multi-aggregate (TPC-H Q1 shape)",
+      (s, dir) => {
+        val li = T.lineitem(s, dir)
+        li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dec(sum(dec(col("l_quantity"), 2)), 2).as("sum_qty"),
+            dec(sum(dec(col("l_extendedprice"), 4)), 4).as("sum_base_price"),
+            dec(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4)
+              .as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    "b1_point_lookup" -> Q(
+      "B1 point lookup by key (reference: src/database.py:212-221)",
+      (s, dir) => T.orders(s, dir)
+        .filter(col("o_orderkey") === 42L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey = 42""".stripMargin),
+
+    "b3_entity_timeline" -> Q(
+      "B3 thread fetch: key filter + chronological order (reference: src/database.py:234-245)",
+      (s, dir) => T.events(s, dir)
+        .filter(col("user_id") === 7L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          date_trunc("second", col("ts")).as("ts_sec"))
+        .orderBy(col("event_id")),
+      """SELECT event_id, user_id, event_type, value,
+        |  date_trunc('second', ts) AS ts_sec
+        |FROM events WHERE user_id = 7 ORDER BY event_id""".stripMargin),
+
+    "b5_range_topk" -> Q(
+      "B5 range filter + top-k by recency (reference: src/database.py:306-319)",
+      (s, dir) => T.orders(s, dir)
+        .filter(col("o_orderdate") > to_timestamp(lit("2000-06-01 00:00:00")))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+        .limit(20),
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders WHERE o_orderdate > TIMESTAMP '2000-06-01 00:00:00'
+        |ORDER BY o_orderdate DESC, o_orderkey LIMIT 20""".stripMargin),
+
+    "b6_optional_preds" -> Q(
+      "B6 NULL-guarded optional predicates (reference: scripts/migrate_providers.sql:101-105)",
+      (s, dir) => optionalFilters(T.events(s, dir),
+        eventType = Some("click"),
+        tsFrom = Some("2024-01-05 00:00:00"),
+        tsTo = Some("2024-01-15 00:00:00"),
+        minValue = None)
+        .select("event_id", "user_id", "value")
+        .orderBy(col("event_id")),
+      """SELECT event_id, user_id, value
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin),
+
+    "b9_recent_n" -> Q(
+      "B9 recent-N scan with projection (reference: src/database.py:292-304)",
+      (s, dir) => T.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts_sec"))
+        .orderBy(date_trunc("second", col("ts")).desc, col("event_id").desc)
+        .limit(50),
+      """SELECT event_id, event_type, date_trunc('second', ts) AS ts_sec
+        |FROM events
+        |ORDER BY date_trunc('second', ts) DESC, event_id DESC LIMIT 50""".stripMargin),
+
+    "c1_count" -> Q(
+      "C1 total count (reference: src/database.py:264-271)",
+      (s, dir) => T.lineitem(s, dir).agg(count(lit(1)).as("n")),
+      "SELECT COUNT(*) AS n FROM lineitem"),
+
+    "c2_filtered_count" -> Q(
+      "C2 filtered count (reference: src/database.py:273-280)",
+      (s, dir) => T.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n")),
+      "SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R'"),
+
+    "c3_max_date" -> Q(
+      "C3 global max — incremental-sync cursor (reference: src/database.py:282-290)",
+      (s, dir) => T.orders(s, dir).agg(max(col("o_orderdate")).as("max_date")),
+      "SELECT MAX(o_orderdate) AS max_date FROM orders"),
+
+    "c4_group_stats" -> Q(
+      "C4 per-group multi-aggregate view (reference: scripts/migrate_providers.sql:50-60)",
+      (s, dir) => T.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          date_trunc("second", min(col("ts"))).as("first_ts"),
+          date_trunc("second", max(col("ts"))).as("last_ts"),
+          sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("n_high"))
+        .orderBy(col("n").desc, col("event_type")),
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  date_trunc('second', MIN(ts)) AS first_ts,
+        |  date_trunc('second', MAX(ts)) AS last_ts,
+        |  CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type""".stripMargin),
+
+    "c5_storage_stats" -> Q(
+      "C5 storage stats: count + conditional count + size sum (reference: src/markdown_storage.py:254-274)",
+      (s, dir) => T.documents(s, dir)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en")),
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        |FROM documents""".stripMargin),
+
+    "c7_patterns_day" -> Q(
+      "C7 pattern analysis by day (reference: src/api/mcp_tools.py:204-224 — implemented for real)",
+      (s, dir) => T.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"), col("event_type")),
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin),
+
+    "c7_patterns_week" -> Q(
+      "C7 pattern analysis by week (reference: src/llm_integration.py:309-326 group_by=week)",
+      (s, dir) => T.events(s, dir)
+        .groupBy(date_trunc("week", col("ts")).as("week"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("week")),
+      """SELECT date_trunc('week', ts) AS week, COUNT(*) AS n,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1 ORDER BY week""".stripMargin),
+
+    "c8_thread_stats" -> Q(
+      "C8 per-thread summary stats (reference: src/llm_integration.py:164-172)",
+      (s, dir) => T.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          date_trunc("second", min(col("ts"))).as("first_ts"),
+          date_trunc("second", max(col("ts"))).as("last_ts"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id")),
+      """SELECT user_id, COUNT(*) AS n,
+        |  date_trunc('second', MIN(ts)) AS first_ts,
+        |  date_trunc('second', MAX(ts)) AS last_ts,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "e1_join_agg" -> Q(
+      "E1 FK join + aggregate (reference: scripts/init_db.sql:40 emails⋈attachments)",
+      (s, dir) => T.orders(s, dir)
+        .join(T.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dec(sum(dec(col("o_totalprice"), 2)), 2).as("total_price"))
+        .orderBy(col("c_mktsegment")),
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    "e1_join_3way" -> Q(
+      "E1 multi-way dimension join: customer⋈nation⋈region rollup",
+      (s, dir) => T.customer(s, dir)
+        .join(broadcast(T.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          dec(sum(dec(col("c_acctbal"), 2)), 2).as("total_acctbal"))
+        .orderBy(col("r_name")),
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    "e2_enrich_topk" -> Q(
+      "E2 top-k + broadcast enrichment join (reference: src/llm_integration.py:49-57)",
+      (s, dir) => {
+        val top = T.orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+        top.join(broadcast(T.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+          .orderBy(col("o_orderkey"))
+      },
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20) t
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "e3_anti_join" -> Q(
+      "E3/B7 existence anti-join — dedup check as a set operation (reference: src/etl_pipeline.py:114-118)",
+      (s, dir) => {
+        val c = T.customer(s, dir)
+        val o = T.orders(s, dir).select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy(col("c_custkey"))
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    "e3_semi_join" -> Q(
+      "E3 existence semi-join (EXISTS)",
+      (s, dir) => {
+        val c = T.customer(s, dir)
+        val o = T.orders(s, dir)
+          .filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy(col("c_custkey"))
+      },
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin),
+
+    "a4_upsert_latest" -> Q(
+      "A4 upsert-merge: last-writer-wins dedup window (reference: src/database.py:88-94 ON CONFLICT DO UPDATE)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = T.events(s, dir)
+          .withColumn("ts_sec", date_trunc("second", col("ts")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec").desc, col("event_id").desc)
+        ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "event_type", "ts_sec")
+          .orderBy(col("user_id"))
+      },
+      """SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts_sec
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY date_trunc('second', ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin),
+
+    "g1_incremental" -> Q(
+      "G1 incremental sync: max-cursor + filtered re-read (reference: src/etl_pipeline.py:233-245)",
+      (s, dir) => {
+        val ev = T.events(s, dir)
+        val cutoff = to_timestamp(lit("2024-01-20 00:00:00"))
+        val maxSeen = ev.filter(col("ts") < cutoff)
+          .agg(max(date_trunc("second", col("ts"))).as("cursor"))
+        ev.withColumn("ts_sec", date_trunc("second", col("ts")))
+          .crossJoin(broadcast(maxSeen))
+          .filter(col("ts_sec") > col("cursor"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      """WITH cur AS (SELECT MAX(date_trunc('second', ts)) AS cursor
+        |             FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+        |SELECT event_type, COUNT(*) AS n
+        |FROM events, cur
+        |WHERE date_trunc('second', ts) > cur.cursor
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "f11_slug" -> Q(
+      "F11 filename slug normalization (reference: src/markdown_storage.py:39-50)",
+      (s, dir) => {
+        val raw = regexp_replace(
+          regexp_replace(lower(col("p_name")), "[^a-z0-9]+", "-"),
+          "^-+|-+$", "")
+        val slug = when(length(raw) === 0, lit("untitled"))
+          .otherwise(substring(raw, 1, 50))
+        T.part(s, dir).select(col("p_partkey"), slug.as("slug"))
+          .orderBy(col("p_partkey"))
+      },
+      """SELECT p_partkey,
+        |  CASE WHEN length(regexp_replace(regexp_replace(lower(p_name),
+        |         '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g')) = 0
+        |    THEN 'untitled'
+        |    ELSE substr(regexp_replace(regexp_replace(lower(p_name),
+        |         '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g'), 1, 50)
+        |  END AS slug
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    "f23_json_extract" -> Q(
+      "F23 JSON metadata access (reference: src/database.py:74-76 JSONB read)",
+      (s, dir) => T.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id")),
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    "f7_date_roundtrip" -> Q(
+      "F7/F12 RFC-2822-style date format + parse fallback chain (reference: src/providers/gmail/provider.py:244-258)",
+      (s, dir) => {
+        val tsSec = date_trunc("second", col("ts"))
+        val fmt = date_format(tsSec, "EEE, dd MMM yyyy HH:mm:ss")
+        // Parse back by dropping the "EEE, " day-name prefix: week-day
+        // fields are format-only in Spark's parser, and RFC-2822 day names
+        // are redundant anyway (reference provider falls back the same way).
+        T.events(s, dir)
+          .select(col("event_id"), fmt.as("rfc"),
+            to_timestamp(substring(fmt, 6, 20), "dd MMM yyyy HH:mm:ss").as("parsed"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT event_id,
+        |  strftime(date_trunc('second', ts), '%a, %d %b %Y %H:%M:%S') AS rfc,
+        |  strptime(substr(strftime(date_trunc('second', ts), '%a, %d %b %Y %H:%M:%S'), 6, 20),
+        |           '%d %b %Y %H:%M:%S') AS parsed
+        |FROM events ORDER BY event_id""".stripMargin),
+  )
+}
