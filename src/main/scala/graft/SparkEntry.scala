@@ -13,7 +13,9 @@ object SparkEntry {
 
   /** Ordered registry of all implemented operators. */
   def registry: Seq[(String, Q)] =
-    _root_.graft.queries.RelationalQueries.all
+    _root_.graft.queries.RelationalQueries.all ++
+      _root_.graft.queries.VectorSearchQueries.all ++
+      _root_.graft.queries.TextOpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

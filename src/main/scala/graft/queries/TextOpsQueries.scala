@@ -1,0 +1,314 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-pipeline operators over the `documents` table: tokenization,
+  * fingerprinting, exact + MinHash-LSH + n-gram-Jaccard + SimHash dedup,
+  * text quality scoring, language ID, hybrid (vector+text) ranked search
+  * (SURVEY §2 D2, F2-F4), multimodal binary plumbing, and the
+  * embedding-input assembly (F19).
+  *
+  * All computations are engine-portable by construction: md5-hex ordering
+  * for hash ranks, integer counting for set statistics, IEEE-754 double
+  * division/multiplication only on exactly-reproducible inputs.
+  */
+object TextOpsQueries {
+
+  /** Shared DuckDB fragments. */
+  private val ToksSql = "string_split(text, ' ')"
+  private def shinglesSql(toks: String, k: Int): String =
+    s"""(CASE WHEN len($toks) <= $k THEN [array_to_string($toks, ' ')]
+       | ELSE list_transform(range(1, len($toks) - ${k - 2}),
+       |        i -> ${(0 until k).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")})
+       | END)""".stripMargin.replaceAll("\n", " ")
+  private def minhashSql(sh: String, seed: Int): String =
+    s"list_min(list_transform($sh, s -> md5('$seed|' || s)))"
+
+  private val QueryTerms = Seq("spark", "join", "window")
+
+  /** Language-ID marker sets — honest stopword heuristics. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "une", "les"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  private def markersSqlList(ms: Seq[String]): String =
+    ms.map(m => s"'$m'").mkString("[", ",", "]")
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "text_token_count" -> Q(
+      "Token counting (training-data pipeline; reference analog F20 src/embeddings.py:95-107)",
+      (s, dir) => T.documents(s, dir)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id")),
+      s"""SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "text_fingerprint" -> Q(
+      "Document fingerprinting: md5 of whitespace-normalized text (reference analog F13 src/security.py:112-114)",
+      (s, dir) => T.documents(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "dedup_exact" -> Q(
+      "Exact dedup: hash-groupBy on content fingerprint, keep min doc_id (reference analog B7/A4 upsert dedup)",
+      (s, dir) => T.documents(s, dir)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy(col("keep_id")),
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |ORDER BY keep_id""".stripMargin),
+
+    "dedup_minhash_sig" -> Q(
+      "MinHash signatures over 3-token shingles (md5-order permutations, 4 hashes)",
+      (s, dir) => {
+        val sh = shingles(tokens(col("text")), 3)
+        T.documents(s, dir)
+          .select(col("doc_id") +: (0 until 4).map(seed =>
+            minhash(sh, seed).as(s"m$seed")): _*)
+          .orderBy(col("doc_id"))
+      },
+      s"""SELECT doc_id,
+         |  ${(0 until 4).map(seed =>
+             s"${minhashSql(shinglesSql(ToksSql, 3), seed)} AS m$seed").mkString(",\n  ")}
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "dedup_minhash_lsh" -> Q(
+      "MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join→exact Jaccard verify",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("sh", shingles(col("toks"), 3))
+          .withColumn("sig", minhashSignature(col("sh"), 4))
+          .withColumn("bands", lshBands(col("sig"), 4, 2))
+          .select(col("doc_id"), array_sort(array_distinct(col("toks"))).as("tset"),
+            posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+        val a = docs.select(col("doc_id").as("a_id"), col("tset").as("ta"),
+          col("band_idx"), col("band_val"))
+        val b = docs.select(col("doc_id").as("b_id"), col("tset").as("tb"),
+          col("band_idx"), col("band_val"))
+        a.join(b, Seq("band_idx", "band_val"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "ta", "tb").distinct()
+          .select(col("a_id"), col("b_id"), jaccard(col("ta"), col("tb")).as("jac"))
+          .filter(col("jac") >= 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      s"""WITH sigs AS (
+         |  SELECT doc_id, list_distinct($ToksSql) AS tset,
+         |    ${(0 until 4).map(seed =>
+              s"${minhashSql(shinglesSql(ToksSql, 3), seed)} AS m$seed").mkString(", ")}
+         |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, tset, 0 AS band_idx, m0 || m1 AS band_val FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, tset, 1 AS band_idx, m2 || m3 AS band_val FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tset AS ta, b.tset AS tb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, jac FROM (
+         |  SELECT a_id, b_id,
+         |    CASE WHEN len(ta) + len(tb) - len(list_intersect(ta, tb)) = 0 THEN 0.0
+         |      ELSE len(list_intersect(ta, tb))::DOUBLE
+         |           / (len(ta)::DOUBLE + len(tb)::DOUBLE - len(list_intersect(ta, tb))::DOUBLE)
+         |    END AS jac
+         |  FROM cand)
+         |WHERE jac >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    "dedup_ngram_jaccard" -> Q(
+      "n-gram Jaccard near-dup: source-blocked pairwise 2-gram shingle-set similarity",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            array_sort(array_distinct(shingles(tokens(col("text")), 2))).as("gr"))
+        val a = docs.select(col("doc_id").as("a_id"), col("source"), col("gr").as("ga"))
+        val b = docs.select(col("doc_id").as("b_id"), col("source"), col("gr").as("gb"))
+        a.join(b, Seq("source"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), jaccard(col("ga"), col("gb")).as("jac"))
+          .filter(col("jac") >= 0.2)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      s"""WITH g AS (SELECT doc_id, source,
+         |    list_distinct(${shinglesSql(ToksSql, 2)}) AS gr
+         |  FROM documents)
+         |SELECT a_id, b_id, jac FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CASE WHEN len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)) = 0 THEN 0.0
+         |      ELSE len(list_intersect(a.gr, b.gr))::DOUBLE
+         |           / (len(a.gr)::DOUBLE + len(b.gr)::DOUBLE - len(list_intersect(a.gr, b.gr))::DOUBLE)
+         |    END AS jac
+         |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jac >= 0.2
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    "dedup_simhash" -> Q(
+      "SimHash (16-bit) document signatures: md5-nibble majority vote over distinct tokens",
+      (s, dir) => {
+        val toks = T.documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+          .withColumn("h", md5(col("tok")))
+        val bits = toks
+          .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("bit"))
+          .withColumn("w", simhashNibbleWeight(col("h"), col("bit")))
+        bits.groupBy(col("doc_id"), col("bit"))
+          .agg(sum(col("w")).as("sw"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("sw") > 0, expr("shiftleft(1, bit)").cast("long"))
+            .otherwise(0L)).as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, g.bit,
+        |    CASE WHEN instr('13579bdf', substr(md5(tok), g.bit + 1, 1)) > 0
+        |      THEN 1 ELSE -1 END AS w
+        |  FROM t, (SELECT unnest(range(0, 16)) AS bit) g),
+        |s AS (SELECT doc_id, bit, SUM(w) AS sw FROM b GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sw > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "text_lang_id" -> Q(
+      "Language ID: stopword-marker scoring with deterministic argmax",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val hits = LangMarkers.map { case (l, ms) => l -> markerHits(toks, ms) }
+        val mx = greatest(hits.map(_._2): _*)
+        val pred = hits.foldLeft(when(mx === 0L, lit("und"))) {
+          case (acc, (l, h)) => acc.when(h === mx, lit(l))
+        }
+        T.documents(s, dir)
+          .select(col("doc_id"), pred.as("lang_pred"), mx.as("n_hits"))
+          .orderBy(col("doc_id"))
+      }, {
+        val hitSql = LangMarkers.map { case (l, ms) =>
+          l -> s"CAST(len(list_filter($ToksSql, t -> list_contains(${markersSqlList(ms)}, t))) AS BIGINT)"
+        }
+        val mxSql = s"greatest(${hitSql.map(_._2).mkString(", ")})"
+        val caseSql = hitSql.map { case (l, h) =>
+          s"WHEN $h = $mxSql THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id,
+           |  CASE WHEN $mxSql = 0 THEN 'und' $caseSql END AS lang_pred,
+           |  $mxSql AS n_hits
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    "text_quality" -> Q(
+      "Quality scoring: length, uniqueness, stopword-density components (training-data filter)",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast("long")
+        val nUniq = size(array_distinct(toks)).cast("long")
+        val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        val stopHits = markerHits(toks, LangMarkers.head._2)
+        val uniqRatio = nUniq.cast("double") / nTok.cast("double")
+        val meanLen = sumLen.cast("double") / nTok.cast("double")
+        val stopRatio = stopHits.cast("double") / nTok.cast("double")
+        val lenScore = least(lit(1.0), nTok.cast("double") / lit(100.0))
+        val quality = lit(0.4) * uniqRatio + lit(0.3) * (lit(1.0) - stopRatio) + lit(0.3) * lenScore
+        T.documents(s, dir)
+          .select(col("doc_id"), nTok.as("n_tokens"), nUniq.as("n_uniq"),
+            uniqRatio.as("uniq_ratio"), meanLen.as("mean_tok_len"),
+            stopRatio.as("stop_ratio"), quality.as("quality"))
+          .orderBy(col("doc_id"))
+      }, {
+        val nTok = s"CAST(len($ToksSql) AS BIGINT)"
+        val nUniq = s"CAST(len(list_distinct($ToksSql)) AS BIGINT)"
+        val sumLen = s"CAST(list_sum(list_transform($ToksSql, t -> length(t))) AS BIGINT)"
+        val stopHits = s"CAST(len(list_filter($ToksSql, t -> list_contains(${markersSqlList(LangMarkers.head._2)}, t))) AS BIGINT)"
+        s"""SELECT doc_id,
+           |  $nTok AS n_tokens, $nUniq AS n_uniq,
+           |  $nUniq::DOUBLE / $nTok::DOUBLE AS uniq_ratio,
+           |  $sumLen::DOUBLE / $nTok::DOUBLE AS mean_tok_len,
+           |  $stopHits::DOUBLE / $nTok::DOUBLE AS stop_ratio,
+           |  0.4 * ($nUniq::DOUBLE / $nTok::DOUBLE)
+           |    + 0.3 * (1.0 - $stopHits::DOUBLE / $nTok::DOUBLE)
+           |    + 0.3 * least(1.0, $nTok::DOUBLE / 100.0) AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    "d2_hybrid_search" -> Q(
+      "D2 hybrid ranked search: 0.7·vector-cosine + 0.3·text-rank (reference: scripts/migrate_providers.sql:63-118)",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val emb = T.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+        docs.join(emb, col("doc_id") === col("vec_id"))
+          .crossJoin(broadcast(q))
+          .select(col("doc_id"),
+            cosineSim(col("embedding"), col("qv")).as("sim"),
+            tfRank(tokens(col("text")), QueryTerms).as("rank"))
+          .withColumn("score", lit(0.7) * col("sim") + lit(0.3) * col("rank"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      }, {
+        val rankSql = QueryTerms.map { t =>
+          val tf = s"len(list_filter($ToksSql, x -> x = '$t'))::DOUBLE"
+          s"($tf / ($tf + 1.0))"
+        }.mkString("(", " + ", s") / ${QueryTerms.length}.0")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT doc_id, sim, rank, 0.7 * sim + 0.3 * rank AS score FROM (
+           |  SELECT doc_id,
+           |    ${VectorSearchQueries.cosSqlPublic("embedding", "qv")} AS sim,
+           |    $rankSql AS rank
+           |  FROM documents JOIN embeddings ON doc_id = vec_id, q)
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    "multimodal_meta" -> Q(
+      "Multimodal column plumbing: opaque binary payload + typed metadata (byte length, digest, magic prefix)",
+      (s, dir) => {
+        val blob = col("text").cast("binary")
+        T.documents(s, dir)
+          .select(col("doc_id"),
+            octet_length(blob).cast("long").as("n_bytes"),
+            sha2(blob, 256).as("digest"),
+            lower(hex(substring(blob, 1, 4))).as("magic"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS digest,
+        |  lower(hex(substring(text, 1, 4)::BLOB)) AS magic
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "f19_embed_text" -> Q(
+      "F19 embedding-input assembly: header + truncated body (reference: src/embeddings.py:109-149)",
+      (s, dir) => {
+        val et = concat_ws("\n",
+          concat(lit("Source: "), col("source")),
+          concat(lit("Lang: "), col("lang")),
+          substring(col("text"), 1, 200))
+        T.documents(s, dir)
+          .select(col("doc_id"), md5(et).as("fp"),
+            length(et).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  md5('Source: ' || source || chr(10) || 'Lang: ' || lang || chr(10)
+        |      || substr(text, 1, 200)) AS fp,
+        |  CAST(length('Source: ' || source || chr(10) || 'Lang: ' || lang || chr(10)
+        |      || substr(text, 1, 200)) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+  )
+}

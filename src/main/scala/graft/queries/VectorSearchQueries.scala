@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import graft.functions.VectorFunctions.{cosineSim, dot}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 D — vector k-NN, threshold top-k, batch k-NN — plus the
+  * 100 TB-scale retrieval paths (LSH-bucketed ANN, IVF-style partition
+  * pruning) and embedding near-duplicate detection.
+  *
+  * Exactness contract: cosine similarity is THE double-precision
+  * sequential fold specified by [[graft.functions.CosineSimilarity]]; the
+  * DuckDB oracles reproduce the identical fold via
+  * `list_sum(list_transform(...))`, so raw doubles (no rounding) hash-match.
+  * LSH hyperplanes are derived from md5 parity — deterministic and
+  * engine-independent — and inlined into the oracle SQL as literals.
+  */
+object VectorSearchQueries {
+
+  /** Cosine similarity spec as a DuckDB SQL fragment (same fold as the
+    * Catalyst expression: per-element double products, sequential sum,
+    * zero-norm → 0). */
+  private[queries] def cosSqlPublic(a: String, b: String): String = cosSql(a, b)
+
+  private def cosSql(a: String, b: String): String =
+    s"""(CASE WHEN list_sum(list_transform($a, x -> x::DOUBLE*x::DOUBLE)) = 0.0
+       |   OR list_sum(list_transform($b, x -> x::DOUBLE*x::DOUBLE)) = 0.0 THEN 0.0
+       | ELSE list_sum(list_transform(range(1, least(len($a), len($b)) + 1),
+       |        i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |   / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE*x::DOUBLE)))
+       |      * sqrt(list_sum(list_transform($b, x -> x::DOUBLE*x::DOUBLE))))
+       | END)""".stripMargin.replaceAll("\n", " ")
+
+  /** Deterministic ±1 hyperplane weights: md5 parity of "plane|dim".
+    * Engine-independent, reproducible in any SQL dialect as literals. */
+  private[graft] def planeWeight(plane: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane|$dim".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1.0 else -1.0
+  }
+  private val NPlanes = 4
+  private val Dims = 64
+  private def planes: Seq[Seq[Double]] =
+    (0 until NPlanes).map(p => (0 until Dims).map(i => planeWeight(p, i)))
+  private def planeSqlLit(p: Seq[Double]): String =
+    p.map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** LSH bucket of a vector column: sign bit per hyperplane, as a string
+    * like "0110". Shared by the Spark plan and the oracle. */
+  private def bucketCol(v: Column): Column =
+    concat(planes.map { p =>
+      when(dot(v, typedlit(p)) > 0.0, lit("1")).otherwise(lit("0"))
+    }: _*)
+  private def bucketSql(v: String): String =
+    planes.map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, len($v)+1), i -> $v[i]::DOUBLE * (${planeSqlLit(p)})[i])) > 0.0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  private def withQuery(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = T.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    (emb, q)
+  }
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "d1_knn" -> Q(
+      "D1 exact k-NN by cosine similarity (reference: src/database.py:168-184, pgvector <=> scan)",
+      (s, dir) => {
+        val (emb, q) = withQuery(s, dir)
+        emb.filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            cosineSim(col("embedding"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+         |FROM embeddings, q
+         |WHERE vec_id <> 0 AND embedding IS NOT NULL
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+
+    "d3_threshold_topk" -> Q(
+      "D3 threshold top-k (reference: src/embeddings.py:151-185 — similarity >= threshold, sorted)",
+      (s, dir) => {
+        val (emb, q) = withQuery(s, dir)
+        emb.filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            cosineSim(col("embedding"), col("qv")).as("sim"))
+          .filter(col("sim") >= 0.2)
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, sim FROM (
+         |  SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+         |  FROM embeddings, q
+         |  WHERE vec_id <> 0 AND embedding IS NOT NULL)
+         |WHERE sim >= 0.2
+         |ORDER BY sim DESC, vec_id""".stripMargin),
+
+    "d1_knn_batch" -> Q(
+      "D1 batched k-NN: top-3 neighbours for each of 5 query vectors via ranking window",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+        val qs = emb.filter(col("vec_id") < 5L)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosineSim(col("embedding"), col("qv")).as("sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "vec_id", "sim")
+          .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+      },
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT q_id, vec_id, sim FROM (
+         |  SELECT q_id, vec_id, ${cosSql("embedding", "qv")} AS sim
+         |  FROM embeddings, q WHERE vec_id <> q_id)
+         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 3
+         |ORDER BY q_id, sim DESC, vec_id""".stripMargin),
+
+    "ann_lsh_knn" -> Q(
+      "ANN: random-hyperplane LSH bucket pre-filter + exact rerank — the 100 TB scale path for D1",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+        val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))
+        val q = withBucket.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+        withBucket
+          .crossJoin(broadcast(q))
+          .filter(col("bucket") === col("qbucket") && col("vec_id") =!= 0L)
+          .select(col("vec_id"),
+            cosineSim(col("embedding"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+         |FROM b, q
+         |WHERE bucket = qbucket AND vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+
+    "ann_ivf_knn" -> Q(
+      "ANN: IVF-style partition pruning — pick best coarse partition by its representative, search only inside it",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+        // Coarse representative per partition (label): the min-vec_id member —
+        // deterministic, no float-order-dependent centroid averaging.
+        val wRep = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+        val reps = emb.withColumn("rn", row_number().over(wRep))
+          .filter(col("rn") === 1)
+          .select(col("label").as("rep_label"), col("embedding").as("rep"))
+        val best = reps.crossJoin(broadcast(q))
+          .select(col("rep_label"), cosineSim(col("rep"), col("qv")).as("rsim"))
+          .orderBy(col("rsim").desc, col("rep_label"))
+          .limit(1)
+        emb.join(broadcast(best), col("label") === col("rep_label"))
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"),
+            cosineSim(col("embedding"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |reps AS (SELECT label AS rep_label, embedding AS rep FROM embeddings
+         |         QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+         |best AS (SELECT rep_label FROM reps, q
+         |         ORDER BY ${cosSql("rep", "qv")} DESC, rep_label LIMIT 1)
+         |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+         |FROM embeddings, q, best
+         |WHERE label = best.rep_label AND vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+
+    "dedup_embedding" -> Q(
+      "Near-duplicate detection by embedding cosine: blocked self-join (label partition) + threshold",
+      (s, dir) => {
+        val a = T.embeddings(s, dir)
+          .select(col("vec_id").as("a_id"), col("label"), col("embedding").as("va"))
+        val b = T.embeddings(s, dir)
+          .select(col("vec_id").as("b_id"), col("label"), col("embedding").as("vb"))
+        a.join(b, Seq("label"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            cosineSim(col("va"), col("vb")).as("sim"))
+          .filter(col("sim") >= 0.2)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      s"""SELECT a_id, b_id, sim FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE sim >= 0.2
+         |ORDER BY a_id, b_id""".stripMargin),
+  )
+}
