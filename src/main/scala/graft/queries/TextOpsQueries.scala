@@ -74,13 +74,11 @@ object TextOpsQueries {
 
     "dedup_minhash_sig" -> Q(
       "MinHash signatures over 3-token shingles (md5-order permutations, 4 hashes)",
-      (s, dir) => {
-        val sh = shingles(tokens(col("text")), 3)
-        T.documents(s, dir)
-          .select(col("doc_id") +: (0 until 4).map(seed =>
-            minhash(sh, seed).as(s"m$seed")): _*)
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => T.documents(s, dir)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id") +: (0 until 4).map(seed =>
+          minhash(col("sh"), seed).as(s"m$seed")): _*)
+        .orderBy(col("doc_id")),
       s"""SELECT doc_id,
          |  ${(0 until 4).map(seed =>
              s"${minhashSql(shinglesSql(ToksSql, 3), seed)} AS m$seed").mkString(",\n  ")}
@@ -89,20 +87,40 @@ object TextOpsQueries {
     "dedup_minhash_lsh" -> Q(
       "MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join→exact Jaccard verify",
       (s, dir) => {
-        val docs = T.documents(s, dir)
+        // Stage the arrays once (each projection materializes its column
+        // exactly once), band-join on ids only, and re-attach token sets
+        // after the candidate dedup — at scale this shuffles 16-byte id
+        // pairs, not token arrays.
+        val staged = T.documents(s, dir)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .withColumn("sh", shingles(col("toks"), 3))
-          .withColumn("sig", minhashSignature(col("sh"), 4))
-          .withColumn("bands", lshBands(col("sig"), 4, 2))
-          .select(col("doc_id"), array_sort(array_distinct(col("toks"))).as("tset"),
-            posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-        val a = docs.select(col("doc_id").as("a_id"), col("tset").as("ta"),
-          col("band_idx"), col("band_val"))
-        val b = docs.select(col("doc_id").as("b_id"), col("tset").as("tb"),
-          col("band_idx"), col("band_val"))
-        a.join(b, Seq("band_idx", "band_val"))
+          .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
+          .select(col("doc_id"),
+            array_sort(array_distinct(col("toks"))).as("tset"),
+            minhashSignature(col("sh"), 4).as("sig"))
+          .select(col("doc_id"), col("tset"), lshBands(col("sig"), 4, 2).as("bands"))
+          // The signature table is reused by four plan branches (two band
+          // sides, two token-set sides); persist it once instead of
+          // recomputing the md5 minhash pipeline per branch. Tiny relative
+          // to the corpus: (id, distinct tokens, 2 band strings) per doc.
+          .persist()
+        // Explode over literal band indices, NOT posexplode(bands): a
+        // generator over a computed array makes Catalyst infer a
+        // `size(bands) > 0` filter and push the whole minhash expression
+        // tree below the projections, recomputing it per row per band.
+        val bandRows = staged
+          .select(col("doc_id"), col("bands"),
+            explode(array(lit(0), lit(1))).as("band_idx"))
+          .select(col("doc_id"), col("band_idx"),
+            element_at(col("bands"), col("band_idx") + 1).as("band_val"))
+        val cand = bandRows.select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"))
+          .join(bandRows.select(col("doc_id").as("b_id"), col("band_idx"), col("band_val")),
+            Seq("band_idx", "band_val"))
           .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id", "ta", "tb").distinct()
+          .select("a_id", "b_id").distinct()
+        val tsets = staged.select(col("doc_id"), col("tset"))
+        cand
+          .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
+          .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
           .select(col("a_id"), col("b_id"), jaccard(col("ta"), col("tb")).as("jac"))
           .filter(col("jac") >= 0.8)
           .orderBy(col("a_id"), col("b_id"))
@@ -134,14 +152,30 @@ object TextOpsQueries {
     "dedup_ngram_jaccard" -> Q(
       "n-gram Jaccard near-dup: source-blocked pairwise 2-gram shingle-set similarity",
       (s, dir) => {
+        // Similarity-join shape: explode distinct shingles, equi-join on
+        // (source, shingle), count shared shingles per pair with a
+        // codegen'd hash agg, then Jaccard from precomputed set sizes.
+        // No per-pair array intersection anywhere — this is the form that
+        // survives 100×: shuffle volume is (doc, shingle) pairs, and skewed
+        // shingles are just large agg groups, not cross products of arrays.
         val docs = T.documents(s, dir)
           .select(col("doc_id"), col("source"),
-            array_sort(array_distinct(shingles(tokens(col("text")), 2))).as("gr"))
-        val a = docs.select(col("doc_id").as("a_id"), col("source"), col("gr").as("ga"))
-        val b = docs.select(col("doc_id").as("b_id"), col("source"), col("gr").as("gb"))
-        a.join(b, Seq("source"))
+            array_distinct(shingles(tokens(col("text")), 2)).as("gr"))
+          .persist() // reused by the size table and the exploded join side
+        val sizes = docs.select(col("doc_id"), size(col("gr")).as("n"))
+        val ex = docs.select(col("doc_id"), col("source"), explode(col("gr")).as("g"))
+        val shared = ex.select(col("doc_id").as("a_id"), col("source"), col("g"))
+          .join(ex.select(col("doc_id").as("b_id"), col("source"), col("g")),
+            Seq("source", "g"))
           .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), jaccard(col("ga"), col("gb")).as("jac"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+        shared
+          .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+          .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (col("c").cast("double") /
+              (col("na").cast("double") + col("nb").cast("double") - col("c").cast("double")))
+              .as("jac"))
           .filter(col("jac") >= 0.2)
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -216,17 +250,23 @@ object TextOpsQueries {
     "text_quality" -> Q(
       "Quality scoring: length, uniqueness, stopword-density components (training-data filter)",
       (s, dir) => {
-        val toks = tokens(col("text"))
-        val nTok = size(toks).cast("long")
-        val nUniq = size(array_distinct(toks)).cast("long")
-        val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
-        val stopHits = markerHits(toks, LangMarkers.head._2)
+        // Split once, then derive every metric from the staged array —
+        // re-tokenizing per metric would rerun the regex split 4×.
+        val staged = T.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+            aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+              .as("sum_len"),
+            markerHits(col("toks"), LangMarkers.head._2).as("stop_hits"))
+        val nTok = col("n_tokens"); val nUniq = col("n_uniq")
         val uniqRatio = nUniq.cast("double") / nTok.cast("double")
-        val meanLen = sumLen.cast("double") / nTok.cast("double")
-        val stopRatio = stopHits.cast("double") / nTok.cast("double")
+        val meanLen = col("sum_len").cast("double") / nTok.cast("double")
+        val stopRatio = col("stop_hits").cast("double") / nTok.cast("double")
         val lenScore = least(lit(1.0), nTok.cast("double") / lit(100.0))
         val quality = lit(0.4) * uniqRatio + lit(0.3) * (lit(1.0) - stopRatio) + lit(0.3) * lenScore
-        T.documents(s, dir)
+        staged
           .select(col("doc_id"), nTok.as("n_tokens"), nUniq.as("n_uniq"),
             uniqRatio.as("uniq_ratio"), meanLen.as("mean_tok_len"),
             stopRatio.as("stop_ratio"), quality.as("quality"))
