@@ -1,0 +1,182 @@
+package graft.api
+
+import graft.enrich._
+import graft.ingest.Normalize
+import graft.model.Schemas
+import graft.operators.Upsert
+import graft.search.{EmailSearch, SearchFilters}
+import graft.sinks.MarkdownSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 I — the reference's query entry points (CLI verbs
+  * reference: main.py:44-446; REST routes reference: src/api/server.py;
+  * MCP tools reference: src/api/mcp_tools.py:13-225) as one programmatic
+  * facade over the engine. A thin CLI main ([[Cli]]) fronts it.
+  *
+  * Defaults and bounds follow the reference contract
+  * (reference: src/api/models.py:77,96,113,126-127).
+  */
+final class EmailEtlApi(
+    spark: SparkSession,
+    storeDir: String,
+    embedder: Embedder = new HashEmbedder(),
+    categorizer: Categorizer = new StubCategorizer,
+    answerer: Answerer = new StubAnswerer) {
+
+  private def emailsPath = s"$storeDir/emails"
+  def emails: DataFrame = spark.read.parquet(emailsPath)
+  private def search = new EmailSearch(emails)
+
+  /** `import full` (reference: main.py:163-207): normalize, merge (A4),
+    * write attachments/audit, render markdown archive, embed backlog (A9). */
+  def importFull(inboxDir: String): Map[String, Long] = {
+    val raw = Normalize.readRaw(spark, inboxDir)
+    val incoming = Normalize.emails(raw).dropDuplicates("message_id")
+    val fs = new org.apache.hadoop.fs.Path(emailsPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(emailsPath)))
+        Upsert.mergeByKey(emails, incoming, "message_id", "updated_at")
+      else incoming
+    val staging = s"${emailsPath}__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    fs.delete(new org.apache.hadoop.fs.Path(emailsPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(emailsPath))
+
+    Normalize.attachments(raw)
+      .write.mode("overwrite").parquet(s"$storeDir/attachments")
+    Normalize.auditRows(incoming, "imported")
+      .write.mode("append").parquet(s"$storeDir/audit")
+    MarkdownSink.writeArchive(emails, s"$storeDir/markdown")
+    val embedded = embedBacklog()
+    Map(
+      "processed" -> incoming.count(),
+      "total" -> emails.count(),
+      "embedded" -> embedded)
+  }
+
+  /** Embedding pass: B4 backlog → H1 batched embed → A9 column upsert. */
+  def embedBacklog(): Long = {
+    val backlog = search.embeddingBacklog()
+      .withColumn("embed_text", graft.functions.EmailFunctions.embeddingText(
+        col("subject"), col("sender_name"), col("sender"), col("recipients"),
+        col("date"), coalesce(col("body_markdown"), col("body_plain")), col("labels")))
+      .select("id", "embed_text")
+    val n = backlog.count()
+    if (n > 0) {
+      val vecs = Enrichment.embedBacklog(backlog, embedder)
+      val updated = Upsert.updateColumn(emails, vecs, "id", "embedding")
+      val staging = s"${emailsPath}__staging"
+      updated.write.mode("overwrite").parquet(staging)
+      val fs = new org.apache.hadoop.fs.Path(emailsPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(emailsPath), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(emailsPath))
+    }
+    n
+  }
+
+  /** `search semantic` (reference: main.py:239-269; limit 10 ∈ [1,100]). */
+  def searchSemantic(query: String, limit: Int = 10,
+      filters: SearchFilters = SearchFilters()): DataFrame = {
+    val k = math.max(1, math.min(limit, 100))
+    val qv = embedder.embedBatch(Seq(query)).head.toSeq
+    search.hybridSearch(qv, query, k, filters)
+  }
+
+  /** `search ask` / RAG (reference: main.py:272-296; context 5 ∈ [1,20]).
+    * Retrieval is one Catalyst plan; only the ≤20 context rows cross to
+    * the driver for the pluggable answer call — same boundary as the
+    * reference (SURVEY §3.3). */
+  def ask(question: String, contextLimit: Int = 5): (String, Seq[String]) = {
+    val k = math.max(1, math.min(contextLimit, 20))
+    val qv = embedder.embedBatch(Seq(question)).head.toSeq
+    val hits = search.searchSimilar(qv, k) // full rows incl. body_plain
+    val blocks = Enrichment.ragContext(hits)
+      .select("context_block").collect().map(_.getString(0)).toSeq
+    val sources = hits.select("message_id").collect().map(_.getString(0)).toSeq
+    (answerer.answer(question, blocks), sources)
+  }
+
+  /** `analyze categorize` (reference: main.py:305-345; limit 10 ∈ [1,50]). */
+  def categorize(limit: Int = 10): DataFrame = {
+    val k = math.max(1, math.min(limit, 50))
+    Enrichment.categorize(search.recent(k)
+      .join(emails.select("id", "body_plain", "body_markdown"), Seq("id")),
+      categorizer)
+  }
+
+  /** `analyze patterns` (reference: src/api/mcp_tools.py:204-224). */
+  def patterns(groupBy: String, days: Int = 30): DataFrame =
+    search.patterns(groupBy, days)
+
+  /** `status` (reference: main.py:394-432). */
+  def status(): DataFrame = search.stats
+
+  /** Per-provider stats (reference: src/database.py:333-343). */
+  def providerStats(): DataFrame = search.byProviderStats
+
+  /** `estimate-cost` (reference: main.py:435-446, src/embeddings.py:191-203). */
+  def estimateCost(): Double = {
+    val row = search.embeddingBacklog()
+      .select(graft.functions.EmailFunctions.approxTokenCount(
+        coalesce(col("body_markdown"), col("body_plain"))).as("t"))
+      .agg(count(lit(1)), avg(col("t"))).collect()(0)
+    val n = row.getLong(0)
+    val avgTokens = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    n.toDouble * avgTokens / 1e6 * 0.02
+  }
+}
+
+/** Thin CLI front-end mirroring the reference verbs (reference: main.py). */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-email-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList) finally spark.stop()
+  }
+
+  private[graft] def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "import" :: "full" :: inbox :: store :: Nil =>
+      val stats = new EmailEtlApi(spark, store).importFull(inbox)
+      println(stats.map { case (k, v) => s"$k=$v" }.mkString(" "))
+    case "import" :: "sync" :: inbox :: store :: ckpt :: Nil =>
+      graft.streaming.IncrementalSync.streamSync(spark, inbox, s"$store/emails", ckpt)
+      println("sync complete")
+    case "search" :: "semantic" :: store :: query :: rest =>
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      new EmailEtlApi(spark, store).searchSemantic(query, k).show(k, truncate = false)
+    case "search" :: "ask" :: store :: question :: Nil =>
+      val (answer, sources) = new EmailEtlApi(spark, store).ask(question)
+      println(answer); println(s"sources: ${sources.mkString(", ")}")
+    case "analyze" :: "categorize" :: store :: rest =>
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      new EmailEtlApi(spark, store).categorize(k).show(k, truncate = false)
+    case "analyze" :: "patterns" :: store :: groupBy :: Nil =>
+      new EmailEtlApi(spark, store).patterns(groupBy).show(50, truncate = false)
+    case "status" :: store :: Nil =>
+      val api = new EmailEtlApi(spark, store)
+      api.status().show(); api.providerStats().show()
+    case "estimate-cost" :: store :: Nil =>
+      println(f"estimated embedding cost: $$${new EmailEtlApi(spark, store).estimateCost()}%.6f")
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage:
+           |  import full <inboxDir> <storeDir>
+           |  import sync <inboxDir> <storeDir> <checkpointDir>
+           |  search semantic <storeDir> <query> [k]
+           |  search ask <storeDir> <question>
+           |  analyze categorize <storeDir> [limit]
+           |  analyze patterns <storeDir> <sender|domain|label|day|week>
+           |  status <storeDir>
+           |  estimate-cost <storeDir>""".stripMargin)
+  }
+}

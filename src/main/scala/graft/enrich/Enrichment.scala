@@ -70,6 +70,17 @@ final class StubCategorizer extends Categorizer {
   }
 }
 
+/** H5 answer synthesis — external LLM in production, deterministic stub in
+  * tests (reference: src/llm_integration.py:233-307). */
+trait Answerer extends Serializable {
+  def answer(question: String, contextBlocks: Seq[String]): String
+}
+
+final class StubAnswerer extends Answerer {
+  override def answer(question: String, contextBlocks: Seq[String]): String =
+    s"[stub] Q: $question — synthesized from ${contextBlocks.length} context emails."
+}
+
 object Enrichment {
 
   /** H1: batch embedding enrichment — embeds the B4 backlog in

@@ -332,6 +332,30 @@ object TextOpsQueries {
         |  lower(hex(substring(text, 1, 4)::BLOB)) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    "c6_run_stats" -> Q(
+      "C6 run-status counters as a deterministic aggregation over per-row status (reference: src/etl_pipeline.py:24-30,100-108)",
+      (s, dir) => T.documents(s, dir)
+        .withColumn("status",
+          when(col("n_chars") >= 300, "processed")
+            .when(col("n_chars") >= 100, "skipped")
+            .otherwise("failed"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("status")),
+      """SELECT CASE WHEN n_chars >= 300 THEN 'processed'
+        |            WHEN n_chars >= 100 THEN 'skipped'
+        |            ELSE 'failed' END AS status,
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY status""".stripMargin),
+
+    "multimodal_decode" -> Q(
+      "Multimodal decode: partition-level codec loop over binary payloads (stubbed codec, real plumbing) — rows-only check",
+      (s, dir) => graft.operators.MultiModal
+        .decodeMeta(T.documents(s, dir), "doc_id", "text")
+        .toDF()
+        .orderBy(col("doc_id")),
+      None),
+
     "f19_embed_text" -> Q(
       "F19 embedding-input assembly: header + truncated body (reference: src/embeddings.py:109-149)",
       (s, dir) => {

@@ -180,6 +180,18 @@ object VectorSearchQueries {
          |WHERE label = best.rep_label AND vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
 
+    "b4_null_backlog" -> Q(
+      "B4 null/exists-predicate backlog scan (reference: src/database.py:247-262)",
+      (s, dir) => T.embeddings(s, dir)
+        .filter(col("embedding").isNotNull && col("label").isNotNull
+          && col("vec_id") % 7 === 0)
+        .select("vec_id", "label")
+        .orderBy(col("vec_id").desc)
+        .limit(25),
+      """SELECT vec_id, label FROM embeddings
+        |WHERE embedding IS NOT NULL AND label IS NOT NULL AND vec_id % 7 = 0
+        |ORDER BY vec_id DESC LIMIT 25""".stripMargin),
+
     "dedup_embedding" -> Q(
       "Near-duplicate detection by embedding cosine: blocked self-join (label partition) + threshold",
       (s, dir) => {
