@@ -107,6 +107,18 @@ final class EmailEtlApi(
       categorizer)
   }
 
+  /** `analyze actions` (reference: main.py:348-391; days 7 ∈ [1,90],
+    * limit 50 ∈ [1,100]). */
+  def extractActions(days: Int = 7, limit: Int = 50,
+      extractor: ActionExtractor = new StubActionExtractor): DataFrame = {
+    val d = math.max(1, math.min(days, 90))
+    val k = math.max(1, math.min(limit, 100))
+    val cutoffExpr = date_sub(current_timestamp(), d)
+    val window = emails.filter(col("date") >= cutoffExpr)
+      .orderBy(col("date").desc).limit(k)
+    Enrichment.extractActions(window, extractor)
+  }
+
   /** `analyze patterns` (reference: src/api/mcp_tools.py:204-224). */
   def patterns(groupBy: String, days: Int = 30): DataFrame =
     search.patterns(groupBy, days)
@@ -159,6 +171,9 @@ object Cli {
     case "analyze" :: "categorize" :: store :: rest =>
       val k = rest.headOption.map(_.toInt).getOrElse(10)
       new EmailEtlApi(spark, store).categorize(k).show(k, truncate = false)
+    case "analyze" :: "actions" :: store :: rest =>
+      val days = rest.headOption.map(_.toInt).getOrElse(7)
+      new EmailEtlApi(spark, store).extractActions(days).show(50, truncate = false)
     case "analyze" :: "patterns" :: store :: groupBy :: Nil =>
       new EmailEtlApi(spark, store).patterns(groupBy).show(50, truncate = false)
     case "status" :: store :: Nil =>

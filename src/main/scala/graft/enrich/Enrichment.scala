@@ -70,6 +70,31 @@ final class StubCategorizer extends Categorizer {
   }
 }
 
+/** H4 action-item contract (reference: src/api/models.py:213-221). */
+final case class ActionItem(
+    description: String, responsible: String, due_date: String, priority: String)
+
+trait ActionExtractor extends Serializable {
+  /** Per email: subject + sender + date + body (≤3000 chars) → items
+    * (reference: src/llm_integration.py:179-231). */
+  def extract(subject: String, sender: String, date: String, body: String): Seq[ActionItem]
+}
+
+/** Deterministic rule-based extractor: imperative "please …" / "todo …" /
+  * "action required …" sentences become items owned by the sender. */
+final class StubActionExtractor extends ActionExtractor {
+  private val triggers = Seq("please ", "todo", "action required", "must ", "need to ")
+  override def extract(subject: String, sender: String, date: String, body: String): Seq[ActionItem] = {
+    val text = Option(body).getOrElse("").take(graft.model.Schemas.ActionsBodyChars)
+    text.split("[.!?\\n]+").toSeq
+      .map(_.trim)
+      .filter(s => s.nonEmpty && triggers.exists(s.toLowerCase.contains))
+      .map(s => ActionItem(s.take(120), sender,
+        due_date = "",
+        priority = if (s.toLowerCase.contains("urgent")) "High" else "Medium"))
+  }
+}
+
 /** H5 answer synthesis — external LLM in production, deterministic stub in
   * tests (reference: src/llm_integration.py:233-307). */
 trait Answerer extends Serializable {
@@ -137,6 +162,27 @@ object Enrichment {
         (id, r.primary_category, r.priority, r.action_required, r.summary)
       }
       .toDF("id", "primary_category", "priority", "action_required", "summary")
+  }
+
+  /** H4: action-item extraction over a recent-email window; each item
+    * tagged with its email id/subject/date and exploded to one row per
+    * item (reference: src/llm_integration.py:179-231 — window 7d [1,90],
+    * limit 50 [1,100]). */
+  def extractActions(emails: DataFrame, extractor: ActionExtractor): DataFrame = {
+    val spark = emails.sparkSession
+    import spark.implicits._
+    emails.select(col("id").cast("long"),
+        coalesce(col("subject"), lit("")),
+        coalesce(col("sender"), lit("")),
+        coalesce(col("date").cast("string"), lit("")),
+        coalesce(col("body_plain"), col("body_markdown"), lit("")))
+      .as[(Long, String, String, String, String)]
+      .flatMap { case (id, subj, sender, date, body) =>
+        extractor.extract(subj, sender, date, body)
+          .map(a => (id, subj, date, a.description, a.responsible, a.due_date, a.priority))
+      }
+      .toDF("email_id", "subject", "date", "description", "responsible",
+        "due_date", "priority")
   }
 
   /** H3: thread context assembly — the engine part of thread

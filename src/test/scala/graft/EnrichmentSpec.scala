@@ -51,6 +51,22 @@ class EnrichmentSpec extends SparkSpec {
     assert(got(2).getAs[String]("primary_category") == "Other")
   }
 
+  test("H4 action extraction: trigger sentences -> exploded tagged items") {
+    val emails = Seq(
+      (1L, "s1", "a@x.com", java.sql.Timestamp.valueOf("2024-01-10 10:00:00"),
+        "Please review the doc. Also URGENT: please sign off. Nothing else."),
+      (2L, "s2", "b@y.com", java.sql.Timestamp.valueOf("2024-01-11 10:00:00"),
+        "no tasks here")
+    ).toDF("id", "subject", "sender", "date", "body_plain")
+      .withColumn("body_markdown", col("body_plain"))
+    val got = Enrichment.extractActions(emails, new StubActionExtractor)
+      .orderBy("description").collect()
+    assert(got.length == 2)
+    assert(got.forall(_.getAs[Long]("email_id") == 1L))
+    assert(got.map(_.getAs[String]("priority")).toSet == Set("Medium", "High"))
+    assert(got.forall(_.getAs[String]("responsible") == "a@x.com"))
+  }
+
   test("H3 thread context: ordered blocks + stats") {
     val ts1 = java.sql.Timestamp.valueOf("2024-01-10 10:00:00")
     val ts2 = java.sql.Timestamp.valueOf("2024-01-11 10:00:00")
