@@ -1,0 +1,110 @@
+package graft
+
+import graft.enrich.HashEmbedder
+import graft.functions.EmailFunctions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.2 property tests: bulk invariant checks over seeded random
+  * corpora, evaluated in single DataFrame passes. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def randString(maxLen: Int): String = {
+    val chars = "abcXYZ 012!@#$%^&*()_+-=[]{}<>/\\|\"'\n\téß漢"
+    (0 until rnd.nextInt(maxLen)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+  }
+
+  test("slug: charset-safe, bounded, idempotent over random inputs") {
+    val inputs = (1 to 300).map(_ => randString(80))
+    val got = inputs.toDF("t")
+      .select(slug(col("t")).as("s1"))
+      .withColumn("s2", slug(col("s1")))
+      .as[(String, String)].collect()
+    got.foreach { case (s1, s2) =>
+      assert(s1.matches("[a-z0-9-]{1,50}") || s1 == "untitled", s"bad slug: $s1")
+      assert(s2 == s1, s"not idempotent: $s1 -> $s2")
+    }
+  }
+
+  test("cosine: symmetric, bounded, self≈1, zero-norm→0") {
+    val vecs = (1 to 200).map(_ => Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val pairs = vecs.zip(vecs.reverse).toDF("a", "b")
+    val got = pairs.select(
+      cosineSim(col("a"), col("b")).as("ab"),
+      cosineSim(col("b"), col("a")).as("ba"),
+      cosineSim(col("a"), col("a")).as("aa")).collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // exact symmetry
+      assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+    val zero = Seq((Seq.fill(16)(0.0f), vecs.head)).toDF("a", "b")
+      .select(cosineSim(col("a"), col("b"))).as[Double].collect()(0)
+    assert(zero == 0.0)
+  }
+
+  test("cosine expression == builtin fold, bit for bit") {
+    val vecs = (1 to 100).map(_ => (Seq.fill(24)(rnd.nextFloat()), Seq.fill(24)(rnd.nextFloat())))
+    val got = vecs.toDF("a", "b").select(
+      cosineSim(col("a"), col("b")).as("expr"),
+      cosineSimBuiltin(col("a"), col("b")).as("builtin")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("base64 round trip over random bytes") {
+    val inputs = (1 to 200).map { _ =>
+      val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b); b
+    }
+    val got = inputs.toDF("b")
+      .select(col("b"), fromBase64(toBase64(col("b"))).as("rt"))
+      .as[(Array[Byte], Array[Byte])].collect()
+    got.foreach { case (in, out) => assert(in.toSeq == out.toSeq) }
+  }
+
+  test("jaccard: bounded, reflexive on non-empty sets") {
+    val sets = (1 to 200).map(_ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ => s"w${rnd.nextInt(20)}").distinct.sorted)
+    val df = sets.zip(sets.reverse).toDF("a", "b")
+    val got = df.select(
+      jaccard(col("a"), col("b")).as("ab"),
+      jaccard(col("a"), col("a")).as("aa")).collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(1) == 1.0)
+    }
+  }
+
+  test("fingerprint: whitespace/case-invariant, content-sensitive") {
+    val got = Seq(
+      ("Hello   World", "hello world"),
+      ("a\tb\nc", "a b c"),
+      ("different", "texts")).toDF("x", "y")
+      .select(fingerprint(col("x")) === fingerprint(col("y"))).as[Boolean].collect()
+    assert(got(0) && got(1) && !got(2))
+  }
+
+  test("hash embedder: unit norm, stable across JVM instances, text-sensitive") {
+    val e = new HashEmbedder(dim = 48)
+    val texts = (1 to 50).map(i => s"doc $i ${randString(20)}")
+    val v1 = e.embedBatch(texts)
+    val v2 = new HashEmbedder(dim = 48).embedBatch(texts)
+    v1.zip(v2).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    v1.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(n - 1.0) < 1e-4)
+    }
+    assert(v1.map(_.toSeq).distinct.length == texts.length)
+  }
+
+  test("stemLite Column == stemLiteScala mirror on random-ish tokens") {
+    val toks = Seq("running", "dogs", "chased", "ladies", "classes", "bus",
+      "is", "was", "glass", "cats", "quickly", "ed", "ing", "s") ++
+      (1 to 100).map(_ => randString(12).toLowerCase.replaceAll("[^a-z]", "x"))
+    val fromCol = toks.toDF("t").select(stemLite(col("t"))).as[String].collect()
+    val fromScala = toks.map(stemLiteScala)
+    assert(fromCol.toSeq == fromScala)
+  }
+}

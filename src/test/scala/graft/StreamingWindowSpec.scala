@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming windowed aggregation over an events-shaped stream:
+  * watermark + tumbling window + append sink. The reference has no true
+  * stream surface (SURVEY §2 G), but the engine supports continuous
+  * analytics over the same schema the batch C7 patterns use. */
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked tumbling-window counts over a file stream") {
+    val dir = tmpDir("stream-events")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2024-01-01 10:00:10"), "click", 1.0),
+      (2L, ts("2024-01-01 10:00:50"), "click", 2.0),
+      (3L, ts("2024-01-01 10:01:10"), "view", 3.0),
+      (4L, ts("2024-01-01 10:02:05"), "click", 4.0),
+      (5L, ts("2024-01-01 10:30:00"), "view", 5.0) // advances watermark far past earlier windows
+    ).toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(dir + "/in")
+
+    val stream = spark.readStream.schema(schema).parquet(dir + "/in")
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", tmpDir("stream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.table("win_out")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"), col("total"))
+      .as[(String, String, Long, Double)].collect().toSet
+    // Windows sealed by the watermark (everything before 10:20):
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 10:01:00", "view", 1L, 3.0)))
+    assert(rows.contains(("2024-01-01 10:02:00", "click", 1L, 4.0)))
+    // The 10:30 window is NOT sealed yet (watermark = 10:20) — append mode
+    // must withhold it.
+    assert(!rows.exists(_._1 == "2024-01-01 10:30:00"))
+  }
+}
