@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale primitives: skew-safe joins and bucketed co-located storage.
+  *
+  * These are the knobs SURVEY §4 calls out for the 100 TB posture: a
+  * heavily-skewed join key (one sender with millions of emails, one
+  * shingle shared by every document) turns a shuffle join into a single
+  * straggler task; salting fans the hot key across `saltFactor`
+  * partitions. Bucketed tables co-locate both sides of a recurring join
+  * key at write time so steady-state joins skip the exchange entirely.
+  * AQE's skew-join handling covers the adaptive case; explicit salting
+  * covers deterministic pipelines and pre-AQE engines.
+  */
+object Scale {
+
+  /** Skew-safe inner equi-join: salt the (large, skewed) left side with a
+    * deterministic `pmod(xxhash64(...), saltFactor)` and explode the right
+    * side across all salt values. Result equals a plain inner join on
+    * `key`, but the hot key's rows spread over `saltFactor` tasks. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor.toLong)))
+    val fanned = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    salted.join(fanned, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a table bucketed + sorted by `key` into the session catalog so
+    * subsequent equi-joins between co-bucketed tables plan with zero
+    * shuffle (SortMergeJoin over pre-sorted buckets, no Exchange). */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** True if the physical plan of `df` contains a shuffle exchange. */
+  def hasShuffleExchange(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ingest.Normalize
+import graft.model.Email
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join == plain join, hot key fanned out") {
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val right = Seq(("hot", "H"), ("k7", "A"), ("k13", "B")).toDF("key", "tag")
+    val plain = left.join(right, Seq("key"))
+      .select("key", "v", "tag").collect().toSet
+    val salted = Scale.saltedJoin(left, right, "key", saltFactor = 8)
+      .select("key", "v", "tag").collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_.getString(0) == "hot") == 200)
+  }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 5000).map(i => (i.toLong, s"a$i")).toDF("id", "va")
+      val b = (1 to 5000).map(i => (i.toLong, s"b$i")).toDF("id", "vb")
+      Scale.writeBucketed(a, "bucketed_a", "id", buckets = 8)
+      Scale.writeBucketed(b, "bucketed_b", "id", buckets = 8)
+      val joined = spark.table("bucketed_a")
+        .join(spark.table("bucketed_b"), Seq("id"))
+      assert(!Scale.hasShuffleExchange(joined),
+        "bucketed join should plan without shuffle:\n" +
+          joined.queryExecution.executedPlan.toString)
+      assert(joined.count() == 5000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+
+  test("Dataset[Email] typed path over normalized rows") {
+    val dir = tmpDir("typed")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "m.json"),
+      (s"""{"id":"t1","threadId":"th","labelIds":["INBOX"],"snippet":"s","sizeEstimate":1,"historyId":"h",
+          |"payload":{"partId":"0","mimeType":"text/plain","filename":"",
+          |"headers":[{"name":"From","value":"Ann <ann@x.com>"},{"name":"Subject","value":"typed"},{"name":"Date","value":"Mon, 15 Jan 2024 10:00:00 +0000"}],
+          |"body":{"data":"${b64url("typed body")}","size":1,"attachmentId":null}}}""".stripMargin.replaceAll("\n", ""))
+        .getBytes("UTF-8"))
+    val ds = Normalize.emails(Normalize.readRaw(spark, dir))
+      .drop("metadata") // case class models the analytic columns
+      .as[Email]
+    val e = ds.filter(_.sender.contains("ann@x.com")).collect()(0)
+    assert(e.message_id == "t1")
+    assert(e.subject.contains("typed"))
+    assert(e.body_plain.contains("typed body"))
+    assert(!e.has_attachments)
+  }
+}
