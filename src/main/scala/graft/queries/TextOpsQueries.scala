@@ -158,6 +158,10 @@ object TextOpsQueries {
         // No per-pair array intersection anywhere — this is the form that
         // survives 100×: shuffle volume is (doc, shingle) pairs, and skewed
         // shingles are just large agg groups, not cross products of arrays.
+        // At higher thresholds (τ ≥ 0.5) AllPairs/PPJoin prefix filtering
+        // (explode only the |g|−⌈τ·|g|⌉+1 globally-rarest shingles per doc)
+        // prunes candidates losslessly; at τ=0.2 the prefix is ~the whole
+        // set, so it is deliberately not applied here.
         val docs = T.documents(s, dir)
           .select(col("doc_id"), col("source"),
             array_distinct(shingles(tokens(col("text")), 2)).as("gr"))
