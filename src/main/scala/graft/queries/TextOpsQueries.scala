@@ -319,6 +319,38 @@ object TextOpsQueries {
            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
       }),
 
+    "f2_f4_tsrank" -> Q(
+      "F2-F4 full-text pipeline: lowercase→split→stopword-filter→stem-lite→rational-damped TF rank (reference: scripts/init_db.sql:66-71,120-127)",
+      (s, dir) => {
+        import graft.functions.EmailFunctions
+        T.documents(s, dir)
+          .select(col("doc_id"),
+            EmailFunctions.tsRank(col("text"), "joins the running windows").as("rank"))
+          .filter(col("rank") > 0.0)
+          .orderBy(col("rank").desc, col("doc_id"))
+          .limit(50)
+      }, {
+        import graft.functions.EmailFunctions
+        val stopList = EmailFunctions.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        val stem = (t: String) =>
+          s"""(CASE WHEN regexp_matches($t, '.{3,}ies$$') THEN regexp_replace($t, 'ies$$', 'y')
+             | WHEN regexp_matches($t, '.{3,}sses$$') THEN regexp_replace($t, 'es$$', '')
+             | WHEN regexp_matches($t, '.{3,}ing$$') THEN regexp_replace($t, 'ing$$', '')
+             | WHEN regexp_matches($t, '.{3,}ed$$') THEN regexp_replace($t, 'ed$$', '')
+             | WHEN regexp_matches($t, '.{2,}s$$') AND NOT regexp_matches($t, '(ss|us|is)$$')
+             |   THEN regexp_replace($t, 's$$', '')
+             | ELSE $t END)""".stripMargin.replaceAll("\n", " ")
+        val toks = s"list_transform(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0 AND NOT list_contains($stopList, t)), t -> ${stem("t")})"
+        val terms = EmailFunctions.tsQueryTerms("joins the running windows")
+        val rank = terms.map { term =>
+          val tf = s"len(list_filter($toks, x -> x = '$term'))::DOUBLE"
+          s"($tf / ($tf + 1.0))"
+        }.mkString("(", " + ", s") / ${terms.length}.0")
+        s"""SELECT doc_id, rank FROM (SELECT doc_id, $rank AS rank FROM documents)
+           |WHERE rank > 0.0
+           |ORDER BY rank DESC, doc_id LIMIT 50""".stripMargin
+      }),
+
     "multimodal_meta" -> Q(
       "Multimodal column plumbing: opaque binary payload + typed metadata (byte length, digest, magic prefix)",
       (s, dir) => {
