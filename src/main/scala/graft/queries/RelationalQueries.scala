@@ -328,6 +328,57 @@ object RelationalQueries {
         |WHERE date_trunc('second', ts) > cur.cursor
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    "g2_sessionize" -> Q(
+      "Gap-based sessionization: lag + running sum over per-user event timelines (30-min inactivity gap)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val ev = T.events(s, dir)
+          .withColumn("ts_sec", date_trunc("second", col("ts")))
+          .withColumn("prev", lag(col("ts_sec"), 1).over(wOrd))
+          .withColumn("brk",
+            when(col("prev").isNull ||
+              unix_timestamp(col("ts_sec")) - unix_timestamp(col("prev")) > 1800L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        ev.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_sec")).as("session_start"),
+            max(col("ts_sec")).as("session_end"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      """WITH t AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_sec,
+        |    lag(date_trunc('second', ts)) OVER
+        |      (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ts_sec,
+        |    CASE WHEN prev IS NULL OR epoch(ts_sec) - epoch(prev) > 1800
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, ts_sec,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin),
+
+    "c4_group_stats_approx" -> Q(
+      "C4 scale variant: approx_count_distinct (HLL) replacing exact distinct — rows-only check (approx values are engine-specific by design)",
+      (s, dir) => T.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type")),
+      None),
+
     "f11_slug" -> Q(
       "F11 filename slug normalization (reference: src/markdown_storage.py:39-50)",
       (s, dir) => {
