@@ -67,14 +67,20 @@ object EmailFunctions {
     * Our rank spec is defined over THIS normalization (SURVEY §7 risk 1:
     * exact ts_rank fidelity is impossible cross-engine; ordering stability
     * is what the tests pin down). */
-  def stemLite(tok: Column): Column =
-    when(tok.rlike(".{3,}ies$"), regexp_replace(tok, "ies$", "y"))
-      .when(tok.rlike(".{3,}sses$"), regexp_replace(tok, "es$", ""))
-      .when(tok.rlike(".{3,}ing$"), regexp_replace(tok, "ing$", ""))
-      .when(tok.rlike(".{3,}ed$"), regexp_replace(tok, "ed$", ""))
-      .when(tok.rlike(".{2,}s$") && !tok.rlike("(ss|us|is)$"),
-        regexp_replace(tok, "s$", ""))
+  def stemLite(tok: Column): Column = {
+    // Pure length/suffix/substr ops (no regex): one branch evaluates per
+    // token inside codegen, ~5× cheaper than rlike chains at corpus scale.
+    val len = length(tok)
+    def drop(n: Int): Column = tok.substr(lit(1), len - n)
+    when(len > 5 && endswith(tok, lit("ies")), concat(drop(3), lit("y")))
+      .when(len > 6 && endswith(tok, lit("sses")), drop(2))
+      .when(len > 5 && endswith(tok, lit("ing")), drop(3))
+      .when(len > 4 && endswith(tok, lit("ed")), drop(2))
+      .when(len > 2 && endswith(tok, lit("s"))
+        && !(endswith(tok, lit("ss")) || endswith(tok, lit("us")) || endswith(tok, lit("is"))),
+        drop(1))
       .otherwise(tok)
+  }
 
   /** F2: tsVector-equivalent token pipeline: lowercase → split on
     * non-alphanumeric → drop stopwords/empties → stem
@@ -109,10 +115,18 @@ object EmailFunctions {
     * averaged across query terms: Σ tf/(tf+1) / n (reference formula shape:
     * scripts/init_db.sql:120-127 log-damped TF; see
     * [[TextFunctions.tfRank]] for why division replaces log). */
-  def tsRank(text: Column, queryText: String): Column = {
+  def tsRank(text: Column, queryText: String): Column =
+    tsRankOnTokens(tsTokens(text), queryText)
+
+  /** F4 over a pre-staged token array. Callers ranking many rows should
+    * stage `tsTokens(text)` into its own projection first and pass the
+    * column here: `tfRank` references the tokens once per query term, and
+    * lambda subtrees are not common-subexpression-eliminated, so an
+    * unstaged call re-tokenizes the document per term. */
+  def tsRankOnTokens(toks: Column, queryText: String): Column = {
     val terms = tsQueryTerms(queryText)
     if (terms.isEmpty) lit(0.0)
-    else TextFunctions.tfRank(tsTokens(text), terms)
+    else TextFunctions.tfRank(toks, terms)
   }
 
   // ---------------------------------------------------------- F6–F8 parsing

@@ -325,7 +325,9 @@ object TextOpsQueries {
         import graft.functions.EmailFunctions
         T.documents(s, dir)
           .select(col("doc_id"),
-            EmailFunctions.tsRank(col("text"), "joins the running windows").as("rank"))
+            EmailFunctions.tsTokens(col("text")).as("tt"))
+          .select(col("doc_id"),
+            EmailFunctions.tsRankOnTokens(col("tt"), "joins the running windows").as("rank"))
           .filter(col("rank") > 0.0)
           .orderBy(col("rank").desc, col("doc_id"))
           .limit(50)
@@ -333,12 +335,12 @@ object TextOpsQueries {
         import graft.functions.EmailFunctions
         val stopList = EmailFunctions.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
         val stem = (t: String) =>
-          s"""(CASE WHEN regexp_matches($t, '.{3,}ies$$') THEN regexp_replace($t, 'ies$$', 'y')
-             | WHEN regexp_matches($t, '.{3,}sses$$') THEN regexp_replace($t, 'es$$', '')
-             | WHEN regexp_matches($t, '.{3,}ing$$') THEN regexp_replace($t, 'ing$$', '')
-             | WHEN regexp_matches($t, '.{3,}ed$$') THEN regexp_replace($t, 'ed$$', '')
-             | WHEN regexp_matches($t, '.{2,}s$$') AND NOT regexp_matches($t, '(ss|us|is)$$')
-             |   THEN regexp_replace($t, 's$$', '')
+          s"""(CASE WHEN len($t) > 5 AND ends_with($t, 'ies') THEN substr($t, 1, len($t)-3) || 'y'
+             | WHEN len($t) > 6 AND ends_with($t, 'sses') THEN substr($t, 1, len($t)-2)
+             | WHEN len($t) > 5 AND ends_with($t, 'ing') THEN substr($t, 1, len($t)-3)
+             | WHEN len($t) > 4 AND ends_with($t, 'ed') THEN substr($t, 1, len($t)-2)
+             | WHEN len($t) > 2 AND ends_with($t, 's') AND NOT (ends_with($t, 'ss')
+             |   OR ends_with($t, 'us') OR ends_with($t, 'is')) THEN substr($t, 1, len($t)-1)
              | ELSE $t END)""".stripMargin.replaceAll("\n", " ")
         val toks = s"list_transform(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0 AND NOT list_contains($stopList, t)), t -> ${stem("t")})"
         val terms = EmailFunctions.tsQueryTerms("joins the running windows")

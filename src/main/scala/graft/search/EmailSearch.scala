@@ -146,8 +146,9 @@ class EmailSearch(emails: DataFrame) {
     val base = applyFilters(emails.filter(col("embedding").isNotNull), filters)
     base
       .withColumn("similarity", cosineSim(col("embedding"), typedlit(queryVec)))
-      .withColumn("rank", tsRank(
-        docText(col("subject"), col("body_plain"), col("sender_name")), queryText))
+      .withColumn("__ts_toks",
+        tsTokens(docText(col("subject"), col("body_plain"), col("sender_name"))))
+      .withColumn("rank", tsRankOnTokens(col("__ts_toks"), queryText))
       .withColumn("score",
         lit(Schemas.HybridVectorWeight) * col("similarity") +
           lit(Schemas.HybridTextWeight) * col("rank"))
