@@ -147,6 +147,42 @@ object VectorSearchQueries {
          |WHERE bucket = qbucket AND vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
 
+    "ann_lsh_multiprobe" -> Q(
+      "ANN: multi-probe LSH — query bucket plus all Hamming-1 neighbour buckets, then exact rerank (recall-tunable scale path)",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+        val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))
+        val q = withBucket.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qv"), col("bucket").as("qb"))
+        // Probe set: qb and qb with each bit flipped.
+        val flips = (0 until NPlanes).map { i =>
+          concat(
+            substring(col("qb"), 1, i),
+            when(substring(col("qb"), i + 1, 1) === "0", lit("1")).otherwise(lit("0")),
+            substring(col("qb"), i + 2, NPlanes))
+        }
+        val probes = q.select(col("qv"),
+          explode(array(col("qb") +: flips: _*)).as("probe"))
+        withBucket
+          .join(broadcast(probes), col("bucket") === col("probe"))
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"),
+            cosineSim(col("embedding"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      }, {
+        val flipsSql = (0 until NPlanes).map { i =>
+          s"substr(qb, 1, $i) || (CASE WHEN substr(qb, ${i + 1}, 1) = '0' THEN '1' ELSE '0' END) || substr(qb, ${i + 2}, $NPlanes)"
+        }
+        s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+           |probes AS (SELECT qv, unnest([qb${flipsSql.map(f => ", " + f).mkString}]) AS probe FROM q)
+           |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+           |FROM b JOIN probes ON b.bucket = probes.probe
+           |WHERE vec_id <> 0
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
     "ann_ivf_knn" -> Q(
       "ANN: IVF-style partition pruning — pick best coarse partition by its representative, search only inside it",
       (s, dir) => {
