@@ -40,6 +40,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("zstd write is smaller than uncompressed for text columns") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = tmpDir("compress")
+    Scale.writeCompressed(docs, s"$base/zstd", "zstd")
+    Scale.writeCompressed(docs, s"$base/none", "none")
+    def dirSize(p: String): Long =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    assert(dirSize(s"$base/zstd") < dirSize(s"$base/none"))
+    assert(spark.read.parquet(s"$base/zstd").count() == docs.count())
+  }
+
+  test("repartitionForSize yields size-proportional partition counts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val small = Scale.repartitionForSize(docs, targetBytes = 16 * 1024)
+    val big = Scale.repartitionForSize(docs, targetBytes = 1L << 40)
+    assert(big.rdd.getNumPartitions == 1)
+    assert(small.rdd.getNumPartitions > big.rdd.getNumPartitions)
+  }
+
   test("Dataset[Email] typed path over normalized rows") {
     val dir = tmpDir("typed")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "m.json"),
