@@ -121,7 +121,8 @@ object TextOpsQueries {
         cand
           .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
           .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"), jaccard(col("ta"), col("tb")).as("jac"))
+          .select(col("a_id"), col("b_id"),
+            graft.functions.ArrayFunctions.jaccardSorted(col("ta"), col("tb")).as("jac"))
           .filter(col("jac") >= 0.8)
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -194,6 +195,63 @@ object TextOpsQueries {
          |    END AS jac
          |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jac >= 0.2
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    "dedup_ppjoin" -> Q(
+      "Prefix-filtered similarity self-join (AllPairs/PPJoin): candidates must share a token in both prefix sets — lossless pruning for Jaccard ≥ τ",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Feature-hashed pipeline: every shingle becomes xxhash64(shingle)
+        // immediately, so the df table, prefix rows, candidate join keys,
+        // and verify arrays are all 8-byte longs — the representation that
+        // keeps shuffle volume flat as documents grow. Collisions
+        // (P ≈ |shingles|²/2⁶⁵) are negligible and only perturb a Jaccard
+        // by ±1/|set|; the oracle on raw strings agrees at this τ.
+        val docs = T.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            array_sort(array_distinct(transform(
+              shingles(tokens(col("text")), 2), sh => xxhash64(sh)))).as("ts"))
+          .persist()
+        val sizes = docs.select(col("doc_id"), size(col("ts")).as("n"))
+        val tok = docs.select(col("doc_id"), col("source"), explode(col("ts")).as("t"))
+        // Global document frequency orders each set rarest-first; the
+        // prefix is the first |s| − ⌈τ·|s|⌉ + 1 elements. Any pair with
+        // jac ≥ τ must share ≥ ⌈τ·|s|⌉ elements, which cannot all hide in
+        // the (⌈τ·|s|⌉−1)-element suffix — so prefix∩prefix ≠ ∅ is a
+        // lossless candidate filter (AllPairs, Bayardo et al.). Any
+        // consistent global total order works; (df, hash) is ours.
+        val df = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+        val prefixes = tok.join(df, Seq("t"))
+          .join(sizes, Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          // ⌈τ·n⌉ with τ=1/2 in EXACT integer arithmetic — double math can
+          // round τ·n up at representation boundaries and over-prune.
+          .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
+          .select(col("doc_id"), col("source"), col("t"))
+          .persist() // both sides of the candidate self-join reuse this
+        val cand = prefixes.select(col("doc_id").as("a_id"), col("source"), col("t"))
+          .join(prefixes.select(col("doc_id").as("b_id"), col("source"), col("t")),
+            Seq("source", "t"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        cand
+          .join(docs.select(col("doc_id").as("a_id"), col("ts").as("ta")), Seq("a_id"))
+          .join(docs.select(col("doc_id").as("b_id"), col("ts").as("tb")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            graft.functions.ArrayFunctions.jaccardSorted(col("ta"), col("tb")).as("jac"))
+          .filter(col("jac") >= 0.5)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      s"""WITH t AS (SELECT doc_id, source, list_distinct(${shinglesSql(ToksSql, 2)}) AS ts FROM documents)
+         |SELECT a_id, b_id, jac FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CASE WHEN len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) = 0 THEN 0.0
+         |      ELSE len(list_intersect(a.ts, b.ts))::DOUBLE
+         |        / (len(a.ts)::DOUBLE + len(b.ts)::DOUBLE - len(list_intersect(a.ts, b.ts))::DOUBLE)
+         |    END AS jac
+         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jac >= 0.5
          |ORDER BY a_id, b_id""".stripMargin),
 
     "dedup_simhash" -> Q(

@@ -77,6 +77,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sortedIntersectSize == size(array_intersect) on sorted distinct arrays") {
+    import graft.functions.ArrayFunctions.sortedIntersectSize
+    val strPairs = (1 to 200).map { _ =>
+      def set() = (1 to rnd.nextInt(15)).map(_ => s"t${rnd.nextInt(30)}").distinct.sorted
+      (set(), set())
+    }
+    val gotStr = strPairs.toDF("a", "b").select(
+      sortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    gotStr.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    val longPairs = (1 to 200).map { _ =>
+      def set() = (1 to rnd.nextInt(15)).map(_ => rnd.nextInt(40).toLong).distinct.sorted
+      (set(), set())
+    }
+    val gotLong = longPairs.toDF("a", "b").select(
+      sortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    gotLong.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("fingerprint: whitespace/case-invariant, content-sensitive") {
     val got = Seq(
       ("Hello   World", "hello world"),
