@@ -383,7 +383,8 @@ object TextOpsQueries {
         import graft.functions.EmailFunctions
         T.documents(s, dir)
           .select(col("doc_id"),
-            EmailFunctions.tsTokens(col("text")).as("tt"))
+            graft.functions.TsTokensFunctions
+              .tsTokensFast(coalesce(col("text"), lit(""))).as("tt"))
           .select(col("doc_id"),
             EmailFunctions.tsRankOnTokens(col("tt"), "joins the running windows").as("rank"))
           .filter(col("rank") > 0.0)

@@ -147,7 +147,8 @@ class EmailSearch(emails: DataFrame) {
     base
       .withColumn("similarity", cosineSim(col("embedding"), typedlit(queryVec)))
       .withColumn("__ts_toks",
-        tsTokens(docText(col("subject"), col("body_plain"), col("sender_name"))))
+        graft.functions.TsTokensFunctions.tsTokensFast(
+          docText(col("subject"), col("body_plain"), col("sender_name"))))
       .withColumn("rank", tsRankOnTokens(col("__ts_toks"), queryText))
       .withColumn("score",
         lit(Schemas.HybridVectorWeight) * col("similarity") +

@@ -119,6 +119,20 @@ class PropertySpec extends SparkSpec {
     assert(v1.map(_.toSeq).distinct.length == texts.length)
   }
 
+  test("TsTokens expression == declarative tsTokens HOF pipeline") {
+    import graft.functions.EmailFunctions.tsTokens
+    import graft.functions.TsTokensFunctions.tsTokensFast
+    val inputs = Seq("The running Dogs; chased CATS!", "", "   ", "漢字 mixed UP 42x",
+      "a-b_c d", "stopwords the and of in is") ++ (1 to 200).map(_ => randString(60))
+    val got = inputs.toDF("t").select(
+      tsTokens(col("t")).as("spec"),
+      tsTokensFast(coalesce(col("t"), lit(""))).as("fast"))
+      .as[(Seq[String], Seq[String])].collect()
+    got.zip(inputs).foreach { case ((spec, fast), in) =>
+      assert(spec == fast, s"mismatch on: $in")
+    }
+  }
+
   test("stemLite Column == stemLiteScala mirror on random-ish tokens") {
     val toks = Seq("running", "dogs", "chased", "ladies", "classes", "bus",
       "is", "was", "glass", "cats", "quickly", "ed", "ing", "s") ++
