@@ -283,6 +283,86 @@ object TextOpsQueries {
         |  CAST(SUM(CASE WHEN sw > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    "curation_pipeline" -> Q(
+      "Composite training-data curation: quality gate → exact dedup → MinHash-LSH near-dup removal (greedy keep-lowest-id), the end-to-end 100 TB document pipeline",
+      (s, dir) => {
+        // Stage 1: quality gate (uniq-token ratio and length floor).
+        val toks = tokens(col("text"))
+        val quality = T.documents(s, dir)
+          .select(col("doc_id"), col("text"), toks.as("toks"))
+          .select(col("doc_id"), col("text"), col("toks"),
+            size(col("toks")).cast("long").as("n_tok"),
+            size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+          .filter(col("n_tok") >= 20 &&
+            col("n_uniq").cast("double") / col("n_tok").cast("double") >= 0.15)
+        // Stage 2: exact dedup on normalized fingerprint, keep min doc_id.
+        val exact = quality
+          .withColumn("fp", fingerprint(col("text")))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("toks"))
+          .persist()
+        // Stage 3: near-dup removal — MinHash bands over survivors, exact
+        // Jaccard ≥ 0.8 verify, greedy drop of the higher id of each pair.
+        val staged = exact
+          .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
+          .select(col("doc_id"),
+            array_sort(array_distinct(col("toks"))).as("tset"),
+            minhashSignature(col("sh"), 4).as("sig"))
+          .select(col("doc_id"), col("tset"), lshBands(col("sig"), 4, 2).as("bands"))
+          .persist()
+        val bandRows = staged
+          .select(col("doc_id"), col("bands"),
+            explode(array(lit(0), lit(1))).as("bi"))
+          .select(col("doc_id"), col("bi"),
+            element_at(col("bands"), col("bi") + 1).as("bv"))
+        val cand = bandRows.select(col("doc_id").as("a_id"), col("bi"), col("bv"))
+          .join(bandRows.select(col("doc_id").as("b_id"), col("bi"), col("bv")),
+            Seq("bi", "bv"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val tsets = staged.select(col("doc_id"), col("tset"))
+        val dupBs = cand
+          .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
+          .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
+          .filter(graft.functions.ArrayFunctions
+            .jaccardSorted(col("ta"), col("tb")) >= 0.8)
+          .select(col("b_id").as("doc_id")).distinct()
+        exact.select(col("doc_id"))
+          .join(dupBs, Seq("doc_id"), "left_anti")
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH quality AS (
+         |  SELECT doc_id, text, $ToksSql AS toks FROM documents
+         |  WHERE len($ToksSql) >= 20
+         |    AND len(list_distinct($ToksSql))::DOUBLE / len($ToksSql)::DOUBLE >= 0.15),
+         |exact AS (
+         |  SELECT doc_id, toks FROM quality
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) = 1),
+         |sigs AS (
+         |  SELECT doc_id, list_distinct(toks) AS tset,
+         |    ${(0 until 4).map(seed =>
+              s"list_min(list_transform(${shinglesSql("toks", 3)}, s -> md5('$seed|' || s))) AS m$seed").mkString(", ")}
+         |  FROM exact),
+         |bands AS (
+         |  SELECT doc_id, tset, 0 AS bi, m0 || m1 AS bv FROM sigs
+         |  UNION ALL SELECT doc_id, tset, 1, m2 || m3 FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tset AS ta, b.tset AS tb
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |dup_bs AS (
+         |  SELECT DISTINCT b_id AS doc_id FROM cand
+         |  WHERE len(list_intersect(ta, tb))::DOUBLE
+         |    / (len(ta)::DOUBLE + len(tb)::DOUBLE - len(list_intersect(ta, tb))::DOUBLE) >= 0.8)
+         |SELECT doc_id FROM exact
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dup_bs)
+         |ORDER BY doc_id""".stripMargin),
+
     "text_lang_id" -> Q(
       "Language ID: stopword-marker scoring with deterministic argmax",
       (s, dir) => {
