@@ -328,6 +328,61 @@ object RelationalQueries {
         |WHERE date_trunc('second', ts) > cur.cursor
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    "e5_asof_join" -> Q(
+      "As-of join: each event matched to its customer's latest order at-or-before the event time (composed: theta-join + latest-wins window; at scale: pre-bucket both sides by key, sort-merge within partitions)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = T.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("ts_sec"))
+        val o = T.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        ev.join(o, col("user_id") === col("o_custkey")
+            && col("o_orderdate") <= col("ts_sec"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+          .orderBy(col("event_id"))
+      },
+      """SELECT event_id, user_id, o_orderkey, o_orderdate
+        |FROM events JOIN orders
+        |  ON user_id = o_custkey AND o_orderdate <= date_trunc('second', ts)
+        |QUALIFY row_number() OVER (PARTITION BY event_id
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY event_id""".stripMargin),
+
+    "e6_range_join" -> Q(
+      "Range join: events bucketed into half-open time intervals (broadcast small side; interval trees / bucket-pruning at scale)",
+      (s, dir) => {
+        val intervals = s.createDataFrame(Seq(
+          (1, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+          (2, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+          (3, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+          (4, "2024-01-22 00:00:00", "2024-02-01 00:00:00")))
+          .toDF("interval_id", "lo", "hi")
+          .select(col("interval_id"),
+            to_timestamp(col("lo")).as("lo"), to_timestamp(col("hi")).as("hi"))
+        val ev = T.events(s, dir)
+          .withColumn("ts_sec", date_trunc("second", col("ts")))
+        ev.join(broadcast(intervals),
+            col("ts_sec") >= col("lo") && col("ts_sec") < col("hi"))
+          .groupBy(col("interval_id"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("interval_id"))
+      },
+      """WITH intervals(interval_id, lo, hi) AS (VALUES
+        |  (1, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+        |  (2, TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+        |  (3, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
+        |  (4, TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-02-01 00:00:00'))
+        |SELECT interval_id, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events JOIN intervals
+        |  ON date_trunc('second', ts) >= lo AND date_trunc('second', ts) < hi
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin),
+
     "g2_sessionize" -> Q(
       "Gap-based sessionization: lag + running sum over per-user event timelines (30-min inactivity gap)",
       (s, dir) => {
