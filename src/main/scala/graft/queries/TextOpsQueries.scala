@@ -163,9 +163,14 @@ object TextOpsQueries {
         // (explode only the |g|−⌈τ·|g|⌉+1 globally-rarest shingles per doc)
         // prunes candidates losslessly; at τ=0.2 the prefix is ~the whole
         // set, so it is deliberately not applied here.
+        // Shingles travel as sorted distinct 64-bit hashes (one-pass
+        // expression): the join keys and shuffle rows are longs, not
+        // shingle strings. The oracle compares final (pair, jaccard)
+        // values, which hashing leaves untouched (collisions ~2⁻⁶⁵·m²).
         val docs = T.documents(s, dir)
           .select(col("doc_id"), col("source"),
-            array_distinct(shingles(tokens(col("text")), 2)).as("gr"))
+            graft.functions.HashedShinglesFunctions
+              .hashedShingles(tokens(col("text")), 2).as("gr"))
           .persist() // reused by the size table and the exploded join side
         val sizes = docs.select(col("doc_id"), size(col("gr")).as("n"))
         val ex = docs.select(col("doc_id"), col("source"), explode(col("gr")).as("g"))
@@ -209,8 +214,8 @@ object TextOpsQueries {
         // by ±1/|set|; the oracle on raw strings agrees at this τ.
         val docs = T.documents(s, dir)
           .select(col("doc_id"), col("source"),
-            array_sort(array_distinct(transform(
-              shingles(tokens(col("text")), 2), sh => xxhash64(sh)))).as("ts"))
+            graft.functions.HashedShinglesFunctions
+              .hashedShingles(tokens(col("text")), 2).as("ts"))
           .persist()
         val sizes = docs.select(col("doc_id"), size(col("ts")).as("n"))
         val tok = docs.select(col("doc_id"), col("source"), explode(col("ts")).as("t"))

@@ -97,6 +97,27 @@ class PropertySpec extends SparkSpec {
     gotLong.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("hashedShingles: cardinality and set behavior match the string-shingle spec") {
+    import graft.functions.HashedShinglesFunctions.hashedShingles
+    import graft.functions.TextFunctions.shingles
+    val docs = (1 to 100).map(_ =>
+      (1 to (1 + rnd.nextInt(30))).map(_ => s"w${rnd.nextInt(25)}").mkString(" "))
+    val got = docs.toDF("text")
+      .select(
+        hashedShingles(split(col("text"), " "), 3).as("h"),
+        array_sort(array_distinct(shingles(split(col("text"), " "), 3))).as("s"))
+      .as[(Seq[Long], Seq[String])].collect()
+    got.foreach { case (h, s) =>
+      assert(h.length == s.length, "hash-set cardinality must equal string-set cardinality")
+      assert(h == h.sorted && h.distinct == h, "output must be sorted distinct")
+    }
+    // permutation-invariance of the SET: same doc twice → identical arrays
+    val dup = Seq(("a b c d e", 1), ("a b c d e", 2)).toDF("text", "i")
+      .select(hashedShingles(split(col("text"), " "), 3).as("h"))
+      .as[Seq[Long]].collect()
+    assert(dup(0) == dup(1))
+  }
+
   test("fingerprint: whitespace/case-invariant, content-sensitive") {
     val got = Seq(
       ("Hello   World", "hello world"),
