@@ -69,6 +69,16 @@ class SearchSpec extends SparkSpec {
     assert(rows.map(_._1).toSet == Set("x.com", "y.com", "z.com", "w.com"))
   }
 
+  test("C7 patterns: label explode and week grouping") {
+    val byLabel = search.patterns("label", days = 3650, now = ts("2024-02-01 00:00:00"))
+      .collect()
+    assert(byLabel.exists(r => r.getAs[String]("key") == "INBOX"
+      && r.getAs[Long]("email_count") == 4L))
+    val byWeek = search.patterns("week", days = 3650, now = ts("2024-02-01 00:00:00"))
+      .collect()
+    assert(byWeek.map(_.getAs[Long]("email_count")).sum == 4L)
+  }
+
   test("C7 patterns: day grouping and unsupported key") {
     val byDay = search.patterns("day", days = 3650, now = ts("2024-02-01 00:00:00"))
       .collect()
