@@ -228,6 +228,19 @@ object VectorSearchQueries {
         |WHERE embedding IS NOT NULL AND label IS NOT NULL AND vec_id % 7 = 0
         |ORDER BY vec_id DESC LIMIT 25""".stripMargin),
 
+    "ann_ivf_trained" -> Q(
+      "ANN: trained IVF index (Lloyd-iterated centroids, nprobe=2 of k=8) — rows-only check (float-mean training is run-approximate by design; full-probe==brute-force is spec-asserted)",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+        val m = graft.operators.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+        val assigned = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", m)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toSeq
+        graft.operators.IvfIndex.search(assigned, "vec_id", "embedding", m, q,
+          topK = 10, nprobe = 2)
+      },
+      None),
+
     "dedup_embedding" -> Q(
       "Near-duplicate detection by embedding cosine: blocked self-join (label partition) + threshold",
       (s, dir) => {

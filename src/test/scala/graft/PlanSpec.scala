@@ -7,8 +7,12 @@ package graft
 class PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // Other suites may have cached these table lineages; a cached scan
+    // would hide the parquet PushedFilters this suite asserts on.
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.toString
+  }
 
   test("b5_range_topk: pushed date filter + TakeOrderedAndProject") {
     val p = plan("b5_range_topk")
