@@ -368,6 +368,18 @@ object TextOpsQueries {
          |WHERE doc_id NOT IN (SELECT doc_id FROM dup_bs)
          |ORDER BY doc_id""".stripMargin),
 
+    "text_top_tokens" -> Q(
+      "Corpus token-frequency heavy hitters: explode + count + top-k (exact; CMS sketch is the streaming substitute)",
+      (s, dir) => T.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20),
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin),
+
     "text_lang_id" -> Q(
       "Language ID: stopword-marker scoring with deterministic argmax",
       (s, dir) => {
