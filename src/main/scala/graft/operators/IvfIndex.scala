@@ -60,21 +60,20 @@ object IvfIndex {
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     var model = Model(init)
+    val dims = init.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
-      val assigned = emb.select(
-        col(vecCol).cast("array<double>").as("v"),
-        nearest(col(vecCol), model).as("cid"))
-      val sums = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      // One partial+final aggregation per iteration via the typed
+      // VectorAvg aggregator: shuffle = one dim-length buffer per
+      // (partition, cluster), not one row per (vector, dimension).
+      val means = emb.select(
+          col(vecCol).cast("array<double>").as("v"),
+          nearest(col(vecCol), model).as("cid"))
+        .groupBy(col("cid"))
+        .agg(graft.functions.VectorAvgAggregator.vectorAvg(dims, col("v")).as("mean"))
         .collect()
-      val dims = model.centroids.head.length
       val next = Array.tabulate(model.k)(c => model.centroids(c).clone())
-      sums.groupBy(_.getAs[Int]("cid")).foreach { case (cid, rows) =>
-        val v = new Array[Double](dims)
-        rows.foreach(r => v(r.getAs[Int]("dim")) = r.getAs[Double]("sx") / r.getAs[Long]("n"))
-        next(cid) = v
+      means.foreach { r =>
+        next(r.getAs[Int]("cid")) = r.getSeq[Double](1).toArray
       }
       model = Model(next)
     }
