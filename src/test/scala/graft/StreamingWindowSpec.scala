@@ -11,6 +11,36 @@ import org.apache.spark.sql.types._
 class StreamingWindowSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming dedup within watermark drops duplicate ids, keeps first") {
+    val dir = tmpDir("stream-dedup")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      ("m1", ts("2024-01-01 10:00:00"), "first"),
+      ("m1", ts("2024-01-01 10:03:00"), "dup-of-first"),
+      ("m2", ts("2024-01-01 10:05:00"), "second")
+    ).toDF("message_id", "ts", "payload")
+      .coalesce(1).write.parquet(dir + "/in")
+
+    val schema = StructType(Seq(
+      StructField("message_id", StringType),
+      StructField("ts", TimestampType),
+      StructField("payload", StringType)))
+    val q = spark.readStream.schema(schema).parquet(dir + "/in")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("message_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", tmpDir("dedup-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.table("dedup_out")
+      .select("message_id", "payload").as[(String, String)].collect().toSet
+    assert(rows == Set(("m1", "first"), ("m2", "second")))
+  }
+
   test("watermarked tumbling-window counts over a file stream") {
     val dir = tmpDir("stream-events")
     val schema = StructType(Seq(
