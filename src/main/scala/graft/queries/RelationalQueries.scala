@@ -13,8 +13,15 @@ import org.apache.spark.sql.types.DecimalType
   *  - raw doubles pass through untouched (bit-identical in any engine);
   *  - computed monetary aggregates cast each term to DECIMAL(18,s) before
   *    summing, so the aggregation is exact decimal arithmetic and immune to
-  *    float summation-order differences between engines; final values are
-  *    re-cast to DECIMAL(18,s) so both sides agree on precision/scale;
+  *    float summation-order differences between engines; the FINAL value is
+  *    cast to DOUBLE on both sides. A final DECIMAL output is a trap: a
+  *    value with trailing zeros at its scale (e.g. sum of integer-valued
+  *    quantities → "38244.00") stringifies differently as Decimal vs
+  *    float64 depending on the reader path, and the driver's hash compare
+  *    sees that as a mismatch. Casting the identical exact decimal to
+  *    DOUBLE on both sides yields the same nearest double and the same
+  *    canonical repr everywhere (verified: this was the only cause of the
+  *    round-1 q1_agg/c9_rollup/e1_join_3way hash mismatches);
   *  - integer-ish aggregates are cast to BIGINT on both sides.
   *
   * Timestamp policy: `events.ts` is nanosecond-precision in parquet while
@@ -26,6 +33,10 @@ import org.apache.spark.sql.types.DecimalType
 object RelationalQueries {
 
   private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
+
+  /** Exact decimal sum surfaced as DOUBLE (see numeric policy above). */
+  private def decSum(c: Column, scale: Int): Column =
+    sum(dec(c, scale)).cast("double")
 
   /** B6 (reference: scripts/migrate_providers.sql:101-105): NULL-guarded
     * optional predicates, built conditionally so Catalyst still pushes
@@ -53,17 +64,17 @@ object RelationalQueries {
         li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dec(sum(dec(col("l_quantity"), 2)), 2).as("sum_qty"),
-            dec(sum(dec(col("l_extendedprice"), 4)), 4).as("sum_base_price"),
-            dec(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4)
+            decSum(col("l_quantity"), 2).as("sum_qty"),
+            decSum(col("l_extendedprice"), 4).as("sum_base_price"),
+            decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
               .as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -220,12 +231,12 @@ object RelationalQueries {
       (s, dir) => T.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("l_quantity"), 2)), 2).as("sum_qty"),
+          decSum(col("l_quantity"), 2).as("sum_qty"),
           grouping_id().as("gid"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first),
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -253,10 +264,10 @@ object RelationalQueries {
         .join(T.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          dec(sum(dec(col("o_totalprice"), 2)), 2).as("total_price"))
+          decSum(col("o_totalprice"), 2).as("total_price"))
         .orderBy(col("c_mktsegment")),
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
@@ -267,10 +278,10 @@ object RelationalQueries {
         .join(broadcast(T.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_customers"),
-          dec(sum(dec(col("c_acctbal"), 2)), 2).as("total_acctbal"))
+          decSum(col("c_acctbal"), 2).as("total_acctbal"))
         .orderBy(col("r_name")),
       """SELECT r_name, COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
