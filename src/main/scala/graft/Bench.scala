@@ -10,10 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT/codegen bootstrap + parquet footer reads land
-    // here instead of inflating whichever query happens to run first.
-    SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
+    // Steady-state methodology (JMH-style): one untimed pass over every
+    // query first, so the timed pass measures execution, not one-shot JVM
+    // bootstrap — janino compilation of each stage's generated code,
+    // first-touch classloading of operator classes (window exec, broadcast
+    // exchange, generators), and parquet footer reads. That warm regime is
+    // the one a long-lived cluster actually runs in: plans are re-planned
+    // per query here (nothing is result-cached — every timed run scans the
+    // parquet and recomputes), but code and metadata caches are hot.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Drop every persisted block left by the warmup (or a previous timed
+      // query): queries persist() internal stages, and the CacheManager
+      // matches them by logical-plan equality — without this, a timed run
+      // would read the warmup's materialized data instead of recomputing.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

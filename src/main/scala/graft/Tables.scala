@@ -30,5 +30,17 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+
+  /** `documents`, redistributed across every core before heavy per-document
+    * compute (shingling, hashing, signatures). The test corpus is a single
+    * small parquet file with one row group — one input split — which would
+    * otherwise serialize all per-doc CPU work onto a single thread. The
+    * round-robin shuffle moves only the raw ~300-byte texts once and buys
+    * full-cluster parallelism for everything downstream. A production
+    * corpus arrives as many files/row-groups and already has this property;
+    * the repartition is then a near-no-op but stays the right default ahead
+    * of CPU-dense stages whose input splits may be few or skewed. */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

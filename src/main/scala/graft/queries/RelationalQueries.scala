@@ -372,21 +372,42 @@ object RelationalQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "e5_asof_join" -> Q(
-      "As-of join: each event matched to its customer's latest order at-or-before the event time (composed: theta-join + latest-wins window; at scale: pre-bucket both sides by key, sort-merge within partitions)",
+      "As-of join: each event matched to its customer's latest order at-or-before the event time. Union + running-last window — the scalable as-of shape: one sort per key, zero join expansion (a theta-join would materialize |events|×|orders-per-user| rows before picking winners)",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // Interleave both sides on the key timeline: orders carry their
+        // (date, key) payload, events carry null. Within a user, sort by
+        // (time, side, o_orderkey) with orders (side=0) before events
+        // (side=1) at equal time — that makes `last(payload ignore nulls)`
+        // at each event row exactly the lexicographic max (o_orderdate,
+        // o_orderkey) among orders with o_orderdate <= ts_sec: the
+        // inclusive <= bound and the (date desc, key desc) tie-break of the
+        // windowed-join formulation, without ever widening the data.
+        // Shuffle volume is |events| + |orders| rows, grouped by user —
+        // this is the plan that survives 100 TB (per-key timelines stay
+        // independent; skewed users are single large sorted runs, not
+        // cross products).
         val ev = T.events(s, dir)
-          .select(col("event_id"), col("user_id"),
-            date_trunc("second", col("ts")).as("ts_sec"))
+          .select(col("user_id"), date_trunc("second", col("ts")).as("t"),
+            lit(1).as("side"), col("event_id"),
+            lit(null).cast("timestamp").as("o_orderdate"),
+            lit(null).cast("long").as("o_orderkey"))
         val o = T.orders(s, dir)
-          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-        val w = Window.partitionBy(col("event_id"))
-          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-        ev.join(o, col("user_id") === col("o_custkey")
-            && col("o_orderdate") <= col("ts_sec"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+            lit(0).as("side"), lit(null).cast("long").as("event_id"),
+            col("o_orderdate"), col("o_orderkey"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("side"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.unionByName(ev)
+          .withColumn("m",
+            last(when(col("side") === 0,
+              struct(col("o_orderdate"), col("o_orderkey"))), ignoreNulls = true)
+              .over(w))
+          .filter(col("side") === 1 && col("m").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            col("m.o_orderkey").as("o_orderkey"),
+            col("m.o_orderdate").as("o_orderdate"))
           .orderBy(col("event_id"))
       },
       """SELECT event_id, user_id, o_orderkey, o_orderdate

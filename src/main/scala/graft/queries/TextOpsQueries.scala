@@ -91,7 +91,7 @@ object TextOpsQueries {
         // exactly once), band-join on ids only, and re-attach token sets
         // after the candidate dedup — at scale this shuffles 16-byte id
         // pairs, not token arrays.
-        val staged = T.documents(s, dir)
+        val staged = T.documentsSpread(s, dir)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
           .select(col("doc_id"),
@@ -167,7 +167,7 @@ object TextOpsQueries {
         // expression): the join keys and shuffle rows are longs, not
         // shingle strings. The oracle compares final (pair, jaccard)
         // values, which hashing leaves untouched (collisions ~2⁻⁶⁵·m²).
-        val docs = T.documents(s, dir)
+        val docs = T.documentsSpread(s, dir)
           .select(col("doc_id"), col("source"),
             graft.functions.HashedShinglesFunctions
               .hashedShingles(tokens(col("text")), 2).as("gr"))
@@ -212,7 +212,7 @@ object TextOpsQueries {
         // keeps shuffle volume flat as documents grow. Collisions
         // (P ≈ |shingles|²/2⁶⁵) are negligible and only perturb a Jaccard
         // by ±1/|set|; the oracle on raw strings agrees at this τ.
-        val docs = T.documents(s, dir)
+        val docs = T.documentsSpread(s, dir)
           .select(col("doc_id"), col("source"),
             graft.functions.HashedShinglesFunctions
               .hashedShingles(tokens(col("text")), 2).as("ts"))
@@ -233,12 +233,29 @@ object TextOpsQueries {
           // ⌈τ·n⌉ with τ=1/2 in EXACT integer arithmetic — double math can
           // round τ·n up at representation boundaries and over-prune.
           .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
-          .select(col("doc_id"), col("source"), col("t"))
+          .select(col("doc_id"), col("source"), col("t"), col("rn"), col("n"))
           .persist() // both sides of the candidate self-join reuse this
-        val cand = prefixes.select(col("doc_id").as("a_id"), col("source"), col("t"))
-          .join(prefixes.select(col("doc_id").as("b_id"), col("source"), col("t")),
+        // PPJoin filters (Xiao et al., lossless for jac ≥ τ), applied to
+        // every prefix match BEFORE the distinct shuffle — on a templated
+        // corpus where a handful of shingles dominate, this is what keeps
+        // the candidate stream linear-ish instead of df²:
+        //  - length: jac(a,b) ≥ τ needs τ·max(na,nb) ≤ min(na,nb);
+        //  - positional: at the FIRST shared token (rank pa in a, pb in b)
+        //    all shared tokens sit at ranks ≥ pa / ≥ pb, so the overlap is
+        //    at most 1 + min(na−pa, nb−pb); a similar pair needs overlap
+        //    ≥ ⌈τ/(1+τ)·(na+nb)⌉ = ⌈(na+nb)/3⌉ at τ=1/2 (exact integers).
+        // A similar pair always survives via its first shared prefix token,
+        // so keeping pairs where ANY match passes is lossless.
+        val cand = prefixes
+          .select(col("doc_id").as("a_id"), col("source"), col("t"),
+            col("rn").as("pa"), col("n").as("na"))
+          .join(prefixes.select(col("doc_id").as("b_id"), col("source"),
+            col("t"), col("rn").as("pb"), col("n").as("nb")),
             Seq("source", "t"))
           .filter(col("a_id") < col("b_id"))
+          .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+          .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
+            >= expr("(na + nb + 2) div 3"))
           .select("a_id", "b_id").distinct()
         cand
           .join(docs.select(col("doc_id").as("a_id"), col("ts").as("ta")), Seq("a_id"))
@@ -262,7 +279,7 @@ object TextOpsQueries {
     "dedup_simhash" -> Q(
       "SimHash (16-bit) document signatures: md5-nibble majority vote over distinct tokens",
       (s, dir) => {
-        val toks = T.documents(s, dir)
+        val toks = T.documentsSpread(s, dir)
           .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
           .withColumn("h", md5(col("tok")))
         val bits = toks
@@ -293,7 +310,7 @@ object TextOpsQueries {
       (s, dir) => {
         // Stage 1: quality gate (uniq-token ratio and length floor).
         val toks = tokens(col("text"))
-        val quality = T.documents(s, dir)
+        val quality = T.documentsSpread(s, dir)
           .select(col("doc_id"), col("text"), toks.as("toks"))
           .select(col("doc_id"), col("text"), col("toks"),
             size(col("toks")).cast("long").as("n_tok"),

@@ -5,12 +5,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Dev scratch: stage-by-stage timing of the ppjoin pipeline. */
+/** Dev scratch: stage-by-stage timing of the ppjoin pipeline (mirrors the
+  * registry query; keep in sync when editing dedup_ppjoin). */
 object ProbeStages {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -23,9 +24,10 @@ object ProbeStages {
       r
     }
 
-    val docs = graft.Tables.documents(spark, dir)
+    val docs = graft.Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("source"),
-        array_sort(array_distinct(shingles(tokens(col("text")), 2))).as("ts"))
+        graft.functions.HashedShinglesFunctions
+          .hashedShingles(tokens(col("text")), 2).as("ts"))
       .persist()
     time("docs materialize")(docs.count())
 
@@ -41,17 +43,23 @@ object ProbeStages {
       .join(sizes, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
-      .select(col("doc_id"), col("source"), col("t"))
+      .select(col("doc_id"), col("source"), col("t"), col("rn"), col("n"))
       .persist()
     time("prefixes materialize")(println(prefixes.count()))
 
-    val cand = prefixes.select(col("doc_id").as("a_id"), col("source"), col("t"))
-      .join(prefixes.select(col("doc_id").as("b_id"), col("source"), col("t")),
+    val cand = prefixes
+      .select(col("doc_id").as("a_id"), col("source"), col("t"),
+        col("rn").as("pa"), col("n").as("na"))
+      .join(prefixes.select(col("doc_id").as("b_id"), col("source"),
+        col("t"), col("rn").as("pb"), col("n").as("nb")),
         Seq("source", "t"))
       .filter(col("a_id") < col("b_id"))
+      .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
+        >= expr("(na + nb + 2) div 3"))
       .select("a_id", "b_id").distinct()
       .persist()
-    time("candidates materialize")(println(cand.count()))
+    time("cand materialize")(println(cand.count()))
 
     val out = cand
       .join(docs.select(col("doc_id").as("a_id"), col("ts").as("ta")), Seq("a_id"))
@@ -59,7 +67,8 @@ object ProbeStages {
       .select(col("a_id"), col("b_id"),
         graft.functions.ArrayFunctions.jaccardSorted(col("ta"), col("tb")).as("jac"))
       .filter(col("jac") >= 0.5)
-    time("verify")(println(out.count()))
+      .orderBy(col("a_id"), col("b_id"))
+    time("verify+sort")(println(out.count()))
     spark.stop()
   }
 }
