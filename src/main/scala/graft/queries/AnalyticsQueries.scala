@@ -1,0 +1,321 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deeper OLAP surface beyond the reference's own queries: multi-level
+  * aggregation lattices (cube / grouping sets), classic multi-way join
+  * analytics (TPC-H Q3/Q5 shapes over the synthetic tables), a ranking /
+  * framed-window suite, exact-arithmetic dispersion statistics, skew-safe
+  * salted aggregation/join (the 100 TB posture of operators.Scale), and
+  * set operations.
+  *
+  * Numeric policy is RelationalQueries': exact decimal arithmetic inside
+  * the aggregate, final value cast to DOUBLE on both sides; any derived
+  * statistic (mean, variance) is then computed with the IDENTICAL double
+  * expression on both sides, so results stay bit-equal.
+  */
+object AnalyticsQueries {
+
+  private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
+  private def decSum(c: Column, scale: Int): Column =
+    sum(dec(c, scale)).cast("double")
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "c11_cube" -> Q(
+      "Cube lattice over (o_orderstatus, o_orderpriority): all 4 grouping levels with grouping id",
+      (s, dir) => T.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("o_totalprice"), 2).as("total"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+
+    "c12_grouping_sets" -> Q(
+      "Explicit grouping sets: {(status, priority), (status), ()} — the general aggregation lattice",
+      (s, dir) => T.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("o_totalprice"), 2).as("total"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+
+    "q3_shipping" -> Q(
+      "TPC-H Q3 shape: segment-filtered customer⋈orders⋈lineitem, top-10 open orders by revenue",
+      (s, dir) => {
+        val c = T.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val o = T.orders(s, dir)
+          .filter(col("o_orderdate") < to_timestamp(lit("1998-07-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val l = T.lineitem(s, dir)
+          .filter(col("l_shipdate") > to_timestamp(lit("1998-07-01 00:00:00")))
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        // Dimension side (filtered customers) broadcasts; the orders⋈lineitem
+        // join shuffles on orderkey — at scale both sides partition cleanly
+        // on the FK and the revenue aggregation combines map-side.
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
+    "q5_nation_revenue" -> Q(
+      "TPC-H Q5 shape: 6-way join (customer⋈orders⋈lineitem⋈supplier⋈nation⋈region), local-supplier revenue per nation",
+      (s, dir) => {
+        val o = T.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+            && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = T.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val c = T.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        val sup = T.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val n = T.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val r = T.region(s, dir).filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+        // Fact-fact join shuffles on orderkey; every dimension broadcasts.
+        // The c_nationkey = s_nationkey "local supplier" predicate lands as
+        // a post-join filter on two broadcast-joined columns — no extra
+        // shuffle.
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
+    "w1_window_suite" -> Q(
+      "Ranking + framed-window suite per customer timeline: rank, ntile, percent_rank, cume_dist, lag/lead, rolling 3-row exact sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wf = w.rowsBetween(-2, Window.currentRow)
+        T.orders(s, dir)
+          .filter(col("o_custkey") < 50L)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"),
+            rank().over(w).as("rnk"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cdist"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            sum(dec(col("o_totalprice"), 2)).over(wf).cast("double").as("rolling3"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  rank()         OVER w AS rnk,
+        |  ntile(4)       OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist()    OVER w AS cdist,
+        |  lag(o_totalprice, 1)  OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling3
+        |FROM orders
+        |WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    "c13_dispersion" -> Q(
+      "Exact-arithmetic dispersion stats per order status: mean / sample variance / stddev from decimal Σx and Σx² (order-independent, engine-exact)",
+      (s, dir) => {
+        // Σx and Σx² are exact decimals (x is a 2-decimal monetary double,
+        // so D(18,2) per-term casts are exact; the decimal product x·x is
+        // exact at scale 4). Only then do we drop to double and apply the
+        // textbook formulas — the same IEEE-754 expression both engines
+        // evaluate, so var/stddev are bit-identical without trusting
+        // either engine's internal (merge-order-dependent) moment kernels.
+        val x = dec(col("o_totalprice"), 2)
+        T.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(x * x).cast("double").as("sxx"))
+          .select(col("o_orderstatus"), col("n"),
+            (col("sx") / col("n").cast("double")).as("mean"),
+            ((col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+              / (col("n").cast("double") - lit(1.0))).as("var_samp"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+              / (col("n").cast("double") - lit(1.0))).as("stddev_samp"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """WITH m AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+        |           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  sx / CAST(n AS DOUBLE) AS mean,
+        |  (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_samp,
+        |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_samp
+        |FROM m ORDER BY o_orderstatus""".stripMargin),
+
+    "skew_salted_agg" -> Q(
+      "Skew-safe two-stage aggregation: salt the hot grouping key, partial-count per (key, salt), merge per key — result equals the plain groupBy",
+      (s, dir) => {
+        // events has only a handful of event_type values — the textbook
+        // hot-key aggregation. Stage 1 spreads each key over 16 salted
+        // sub-groups (deterministic salt from the row's own id); stage 2
+        // merges the partials. Same two-shuffle shape AQE uses for skewed
+        // aggs, expressed explicitly so it works on any engine build.
+        T.events(s, dir)
+          .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16L)))
+          .groupBy(col("event_type"), col("salt"))
+          .agg(count(lit(1)).as("pn"),
+            sum(dec(col("value"), 4)).as("pv"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("pn")).as("n"),
+            sum(col("pv")).cast("double").as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      // The oracle is the UNSALTED aggregate: the salted two-stage plan
+      // must be result-identical to the plain groupBy. The partial sums
+      // stay DECIMAL through the merge (a multiple of 1e-4 is not
+      // binary-exact, so re-adding partial doubles would drift); only the
+      // final merged sum drops to double.
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "e8_salted_join" -> Q(
+      "Skew-safe salted equi-join (operators.Scale.saltedJoin): hot user fanned across salt partitions, result equals the plain join",
+      (s, dir) => {
+        val ev = T.events(s, dir).select(col("event_id"), col("user_id"))
+        val dim = T.customer(s, dir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.operators.Scale.saltedJoin(ev, dim, "user_id", saltFactor = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("c_mktsegment"))
+      },
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    "s1_setops" -> Q(
+      "Set operations: customers ordering in 1996 INTERSECT 1997, EXCEPT, and UNION cardinalities",
+      (s, dir) => {
+        def buyers(lo: String, hi: String): DataFrame =
+          T.orders(s, dir)
+            .filter(col("o_orderdate") >= to_timestamp(lit(lo))
+              && col("o_orderdate") < to_timestamp(lit(hi)))
+            .select(col("o_custkey")).distinct()
+        val y96 = buyers("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+        val y97 = buyers("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+        val both = y96.intersect(y97).count()
+        val only96 = y96.except(y97).count()
+        val either = y96.union(y97).distinct().count()
+        val s0 = s
+        import s0.implicits._
+        Seq(("both", both), ("only_1996", only96), ("either", either))
+          .toDF("bucket", "n_customers")
+          .orderBy(col("bucket"))
+      },
+      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+        |y97 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT bucket, n_customers FROM (
+        |  SELECT 'both' AS bucket,
+        |    (SELECT COUNT(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)) AS n_customers
+        |  UNION ALL
+        |  SELECT 'only_1996',
+        |    (SELECT COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97))
+        |  UNION ALL
+        |  SELECT 'either',
+        |    (SELECT COUNT(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)))
+        |ORDER BY bucket""".stripMargin),
+
+    "sub1_above_avg" -> Q(
+      "Scalar-subquery shape: orders priced above their customer's mean order value, counted per segment (decorrelated to an aggregate+join)",
+      (s, dir) => {
+        // The correlated form ("WHERE o_totalprice > (SELECT AVG ... WHERE
+        // same customer)") decorrelates to exactly this: per-customer
+        // exact mean, joined back, filtered. The mean is decimal-exact
+        // then double — identical on both sides.
+        val o = T.orders(s, dir)
+        val avgs = o.groupBy(col("o_custkey").as("k"))
+          .agg((sum(dec(col("o_totalprice"), 2)).cast("double")
+            / count(lit(1)).cast("double")).as("cust_avg"))
+        o.join(avgs, col("o_custkey") === col("k"))
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .join(broadcast(T.customer(s, dir)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_above"))
+          .orderBy(col("c_mktsegment"))
+      },
+      """WITH avgs AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS cust_avg
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, COUNT(*) AS n_above
+        |FROM orders
+        |JOIN avgs ON o_custkey = k
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > cust_avg
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the AnalyticsQueries additions that have
+  * non-obvious invariants beyond the DuckDB oracle:
+  *  - salted aggregation / salted join must equal their unsalted twins;
+  *  - the PPJoin positional+length filters must be lossless (same pairs
+  *    as the unfiltered prefix join);
+  *  - cube/grouping-sets lattice levels must be consistent with the
+  *    base aggregate.
+  */
+class AnalyticsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted two-stage aggregation equals plain groupBy") {
+    val salted = SparkEntry.queries("skew_salted_agg")(spark, sf)
+    val plain = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("salted join aggregate equals plain join aggregate") {
+    val salted = SparkEntry.queries("e8_salted_join")(spark, sf)
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = ev.join(dim, Seq("user_id"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("c_mktsegment"))
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("ppjoin positional/length filters are lossless vs brute-force pairs") {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashedShinglesFunctions
+          .hashedShingles(tokens(col("text")), 2).as("ts"))
+    val a = docs.select(col("doc_id").as("a_id"), col("source"), col("ts").as("ta"))
+    val b = docs.select(col("doc_id").as("b_id"), col("source"), col("ts").as("tb"))
+    val brute = a.join(b, Seq("source"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.ArrayFunctions.jaccardSorted(col("ta"), col("tb")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+      .collect().toSeq
+    val pruned = SparkEntry.queries("dedup_ppjoin")(spark, sf).collect().toSeq
+    assert(pruned == brute)
+  }
+
+  test("cube lattice is consistent: grand total row equals table count") {
+    val cube = SparkEntry.queries("c11_cube")(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    val grand = cube.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == total)
+    // level sums: every lattice level re-partitions the same row set
+    Seq(0L, 1L, 2L).foreach { g =>
+      assert(cube.filter(_.getAs[Long]("gid") == g)
+        .map(_.getAs[Long]("n")).sum == total)
+    }
+  }
+
+  test("grouping sets: per-status level matches direct groupBy") {
+    val gs = SparkEntry.queries("c12_grouping_sets")(spark, sf).collect()
+      .filter(_.getAs[Long]("gid") == 1L)
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n")).toMap
+    val direct = Tables.orders(spark, sf).groupBy(col("o_orderstatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gs == direct)
+  }
+
+  test("window suite: rolling3 equals sum of current + two preceding prices") {
+    val rows = SparkEntry.queries("w1_window_suite")(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "rolling3")
+      .collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, g) =>
+      // window frame order is (o_orderdate, o_orderkey), not output order
+      val rs = g.sortBy(r =>
+        (r.getAs[java.time.LocalDateTime]("o_orderdate")
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+          r.getAs[Long]("o_orderkey")))
+      val prices = rs.map(_.getAs[Double]("o_totalprice"))
+      rs.zipWithIndex.foreach { case (r, i) =>
+        val from = math.max(0, i - 2)
+        val expect = prices.slice(from, i + 1)
+          .map(p => BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        assert(math.abs(r.getAs[Double]("rolling3") - expect) < 1e-6)
+      }
+    }
+  }
+}
