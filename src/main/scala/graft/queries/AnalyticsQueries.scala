@@ -286,6 +286,53 @@ object AnalyticsQueries {
         |    (SELECT COUNT(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)))
         |ORDER BY bucket""".stripMargin),
 
+    "cms_heavy_hitters" -> Q(
+      "Count-Min-Sketch heavy hitters: CMS estimates for the exact top-20 tokens must equal their exact counts (width 16384 × depth 5 leaves every test-corpus token collision-free in at least one row)",
+      (s, dir) => {
+        import graft.functions.CountMinSketchAggregator
+        import graft.functions.TextFunctions._
+        val W = 16384; val D = 5
+        val toks = T.documentsSpread(s, dir)
+          .select(explode(tokens(col("text"))).as("tok"))
+        // The sketch is an index-like artifact: fixed 640 KB regardless of
+        // corpus size (the whole point at 100 TB). Collecting it to the
+        // driver is the same boundary IvfIndex.train crosses for its
+        // centroids.
+        val sketch = toks.agg(CountMinSketchAggregator
+            .countMinSketch(W, D, col("tok")).as("sk"))
+          .head().getSeq[Long](0).toArray
+        val est = udf((t: String) =>
+          CountMinSketchAggregator.estimate(sketch, t, W, D))
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok"))
+          .limit(20)
+          .withColumn("cms_est", est(col("tok")))
+          .select("tok", "n_exact", "cms_est")
+      },
+      // The oracle asserts the sketch is exact on the heavy hitters: both
+      // columns are the true count. A CMS over-estimate on any top-20
+      // token would hash-mismatch. (Deterministic: fixed seeds, fixed
+      // corpus.)
+      """SELECT tok, COUNT(*) AS n_exact, COUNT(*) AS cms_est
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |GROUP BY tok
+        |ORDER BY COUNT(*) DESC, tok LIMIT 20""".stripMargin),
+
+    "c14_quartiles" -> Q(
+      "Exact interpolated quartiles per order status (both engines: linear interpolation at rank (n-1)p over sorted doubles)",
+      (s, dir) => T.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("q1"),
+          expr("percentile(o_totalprice, 0.5)").as("median"),
+          expr("percentile(o_totalprice, 0.75)").as("q3"))
+        .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS q1,
+        |  quantile_cont(o_totalprice, 0.5)  AS median,
+        |  quantile_cont(o_totalprice, 0.75) AS q3
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
     "sub1_above_avg" -> Q(
       "Scalar-subquery shape: orders priced above their customer's mean order value, counted per segment (decorrelated to an aggregate+join)",
       (s, dir) => {
