@@ -333,6 +333,46 @@ object AnalyticsQueries {
         |  quantile_cont(o_totalprice, 0.75) AS q3
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
+    "b10_bloom_prefilter" -> Q(
+      "Bloom-filter join pruning: build a bloom filter over the dimension keys, pre-filter the fact scan with might_contain, then exact semi-join — result identical to the plain semi-join, scan volume cut before the shuffle",
+      (s, dir) => {
+        // The bloom filter is the runtime-filter artifact Spark itself
+        // injects at scale (spark.sql.optimizer.runtime.bloomFilter); built
+        // explicitly here as an operator. False positives are filtered by
+        // the exact join that follows, so the bloom stage only reduces the
+        // shuffled volume — the result is exactly the semi-join's.
+        val buyers = T.orders(s, dir)
+          .filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey"))
+        val bloom = buyers.stat.bloomFilter("o_custkey", 10000L, 0.01)
+        val bloomBc = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+        T.customer(s, dir)
+          .filter(mightContain(col("c_custkey"))) // cheap pre-shuffle prune
+          .join(buyers, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin),
+
+    "hll_distinct" -> Q(
+      "HyperLogLog sketches (Apache DataSketches): mergeable per-group distinct-user sketches, rows-only (estimates are sketch-algorithm-specific; HllSpec pins the error envelope vs exact)",
+      (s, dir) => {
+        // The mergeable-sketch shape: per-group HLL sketches union over
+        // partitions (partial+final agg), so the shuffle carries one
+        // sketch per group per partition — the distinct-count path when
+        // exact countDistinct's per-key shuffle is unaffordable.
+        T.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(
+            hll_sketch_agg(col("user_id"), lit(12))).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
     "sub1_above_avg" -> Q(
       "Scalar-subquery shape: orders priced above their customer's mean order value, counted per segment (decorrelated to an aggregate+join)",
       (s, dir) => {
