@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * src/providers/gmail/provider.py:227-342 `_parse_message` +
   * `_parse_payload`).
   *
-  * The MIME tree (`payload.parts[]`, recursively nested) is flattened a
-  * fixed 3 levels deep (FIXTURES.md bounds fixture nesting at 3), each
-  * level projected onto a common (partId, mimeType, filename, body)
-  * struct so the arrays concatenate. First-match-wins body selection and
-  * the filename⇒attachment rule follow the reference exactly.
+  * The MIME tree (`payload.parts[]`, recursively nested) is flattened to
+  * the schema-declared bound (`Schemas.mimeDepth`, 8 levels — Spark
+  * schemas cannot be recursive, so the bound is declared once and the
+  * walk derives from it), each level projected onto a common (partId,
+  * mimeType, filename, body) struct so the arrays concatenate.
+  * First-match-wins body selection and the filename⇒attachment rule
+  * follow the reference exactly.
   *
   * Everything is declarative Column work — one narrow projection stage
   * over the raw scan, no UDFs, no driver loops; at 100 TB this is a
@@ -31,27 +33,20 @@ object Normalize {
     p.getField("filename").as("filename"),
     p.getField("body").as("body"))
 
-  /** All MIME parts (payload itself + 3 nested levels) as one array. */
+  /** All MIME parts (payload itself + every nested level the schema
+    * declares, [[graft.model.Schemas.mimeDepth]] deep) as one array.
+    * Level k+1 is derived from level k's raw structs, stopping before the
+    * schema's leaf level (which has no `parts` field); depth beyond real
+    * nesting costs nothing — the arrays are empty from the first absent
+    * level down. */
   def allParts(payload: Column): Column = {
-    val level0 = array(partStruct(payload))
-    val level1 = transform(coalesce(payload.getField("parts"), array()), partStruct(_))
-    val level2 = transform(
+    val level1 = coalesce(payload.getField("parts"), array())
+    val rawLevels = Iterator.iterate(level1)(lvl =>
       flatten(filter(
-        transform(coalesce(payload.getField("parts"), array()),
-          p => coalesce(p.getField("parts"), array())),
-        a => a.isNotNull)),
-      partStruct(_))
-    val level3 = transform(
-      flatten(filter(
-        transform(
-          flatten(filter(
-            transform(coalesce(payload.getField("parts"), array()),
-              p => coalesce(p.getField("parts"), array())),
-            a => a.isNotNull)),
-          p => coalesce(p.getField("parts"), array())),
-        a => a.isNotNull)),
-      partStruct(_))
-    concat(level0, level1, level2, level3)
+        transform(lvl, p => coalesce(p.getField("parts"), array())),
+        a => a.isNotNull)))
+      .take(graft.model.Schemas.mimeDepth - 1).toSeq
+    concat(array(partStruct(payload)) +: rawLevels.map(transform(_, partStruct(_))): _*)
   }
 
   /** First part matching a mime type that is body-like (no filename) and

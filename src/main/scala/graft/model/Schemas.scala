@@ -106,8 +106,19 @@ object Schemas {
     StructField("provider", StringType),
     StructField("created_at", TimestampType)))
 
+  /** MIME nesting bound declared in the schema AND walked by
+    * `Normalize.allParts` — keep the two in lockstep via this constant.
+    * Spark schemas cannot be recursive, so "arbitrary depth" means "a
+    * declared bound comfortably beyond anything real mail produces":
+    * multipart/mixed > related > alternative > signed is 4; 8 covers
+    * pathological re-wrapping. Parts nested beyond the bound read as null
+    * and are ignored (not fatal), matching the reference's tolerance
+    * (src/providers/gmail/provider.py:300-329 recurses without bound but
+    * real payloads are schema-shaped JSON of finite depth). */
+  val mimeDepth: Int = 8
+
   /** Raw provider message (FIXTURES.md §1): Gmail `messages.get`
-    * shape with the MIME `parts` tree declared to 3 explicit levels
+    * shape with the MIME `parts` tree declared to [[mimeDepth]] levels
     * (reference: src/providers/gmail/provider.py:227-342). */
   val rawMessageSchema: StructType = {
     def leafPart: StructType = StructType(Seq(
@@ -120,6 +131,8 @@ object Schemas {
       StructField("body", bodyStruct)))
     def partWithChildren(child: StructType): StructType = StructType(
       leafPart.fields :+ StructField("parts", ArrayType(child)))
+    val payload = (1 until mimeDepth)
+      .foldLeft(leafPart)((child, _) => partWithChildren(child))
     StructType(Seq(
       StructField("id", StringType),
       StructField("threadId", StringType),
@@ -127,8 +140,7 @@ object Schemas {
       StructField("snippet", StringType),
       StructField("sizeEstimate", LongType),
       StructField("historyId", StringType),
-      StructField("payload",
-        partWithChildren(partWithChildren(partWithChildren(leafPart))))))
+      StructField("payload", payload)))
   }
 
   private def bodyStruct: StructType = StructType(Seq(

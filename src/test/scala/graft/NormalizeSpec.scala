@@ -108,11 +108,9 @@ class NormalizeSpec extends SparkSpec {
     assert(png.getAs[String]("content_hash").length == 64)
   }
 
-  test("depth-4 nesting: levels beyond the declared bound are ignored, not fatal") {
+  test("deep nesting: first-match-wins across levels; level-4 subtree parsed, not fatal") {
     val dir = tmpDir("deep")
     val body = (lvl: String) => s"""{"data":"${b64url(lvl)}","size":1,"attachmentId":null}"""
-    // multipart -> multipart -> multipart -> text/plain(level3 ok) with a
-    // level-4 subtree below it that the bounded schema simply drops.
     val msg =
       s"""{"id":"deep1","threadId":"t","labelIds":[],"snippet":null,"sizeEstimate":null,"historyId":null,
          |"payload":{"partId":"0","mimeType":"multipart/mixed","filename":"","headers":[${hdr("From", "x@y.z")}],
@@ -120,11 +118,31 @@ class NormalizeSpec extends SparkSpec {
          |"parts":[{"partId":"1","mimeType":"multipart/alternative","filename":"","headers":[],"body":{"data":null,"size":0,"attachmentId":null},
          |"parts":[{"partId":"1.1","mimeType":"multipart/related","filename":"","headers":[],"body":{"data":null,"size":0,"attachmentId":null},
          |"parts":[{"partId":"1.1.1","mimeType":"text/plain","filename":"","headers":[],"body":${body("level3 body")},
-         |"parts":[{"partId":"1.1.1.1","mimeType":"text/plain","filename":"","headers":[],"body":${body("level4 ignored")}}]}]}]}]}}""".stripMargin.replaceAll("\n", "")
+         |"parts":[{"partId":"1.1.1.1","mimeType":"text/plain","filename":"","headers":[],"body":${body("level4 body")}}]}]}]}]}}""".stripMargin.replaceAll("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "m.json"),
       msg.getBytes("UTF-8"))
     val r = Normalize.emails(Normalize.readRaw(spark, dir)).collect()(0)
     assert(r.getAs[String]("body_plain") == "level3 body")
+  }
+
+  test("body found at depth 6 — the walk covers the full declared mimeDepth") {
+    val dir = tmpDir("deep6")
+    val body = (lvl: String) => s"""{"data":"${b64url(lvl)}","size":1,"attachmentId":null}"""
+    val noBody = """{"data":null,"size":0,"attachmentId":null}"""
+    def wrap(inner: String, id: String): String =
+      s"""{"partId":"$id","mimeType":"multipart/mixed","filename":"","headers":[],"body":$noBody,"parts":[$inner]}"""
+    // leaf at nesting level 6 (payload = level 0)
+    val leaf = s"""{"partId":"L","mimeType":"text/plain","filename":"","headers":[],"body":${body("deep body")}}"""
+    val nested = (1 to 5).foldLeft(leaf)((acc, i) => wrap(acc, s"p$i"))
+    val msg =
+      s"""{"id":"deep6","threadId":"t","labelIds":[],"snippet":null,"sizeEstimate":null,"historyId":null,
+         |"payload":{"partId":"0","mimeType":"multipart/mixed","filename":"","headers":[${hdr("From", "x@y.z")}],
+         |"body":$noBody,
+         |"parts":[$nested]}}""".stripMargin.replaceAll("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "m.json"),
+      msg.getBytes("UTF-8"))
+    val r = Normalize.emails(Normalize.readRaw(spark, dir)).collect()(0)
+    assert(r.getAs[String]("body_plain") == "deep body")
   }
 
   test("audit rows reference email ids") {
