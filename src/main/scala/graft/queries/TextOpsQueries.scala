@@ -205,7 +205,6 @@ object TextOpsQueries {
     "dedup_ppjoin" -> Q(
       "Prefix-filtered similarity self-join (AllPairs/PPJoin): candidates must share a token in both prefix sets — lossless pruning for Jaccard ≥ τ",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         // Feature-hashed pipeline: every shingle becomes xxhash64(shingle)
         // immediately, so the df table, prefix rows, candidate join keys,
         // and verify arrays are all 8-byte longs — the representation that
@@ -217,7 +216,6 @@ object TextOpsQueries {
             graft.functions.HashedShinglesFunctions
               .hashedShingles(tokens(col("text")), 2).as("ts"))
           .persist()
-        val sizes = docs.select(col("doc_id"), size(col("ts")).as("n"))
         val tok = docs.select(col("doc_id"), col("source"), explode(col("ts")).as("t"))
         // Global document frequency orders each set rarest-first; the
         // prefix is the first |s| − ⌈τ·|s|⌉ + 1 elements. Any pair with
@@ -225,16 +223,30 @@ object TextOpsQueries {
         // the (⌈τ·|s|⌉−1)-element suffix — so prefix∩prefix ≠ ∅ is a
         // lossless candidate filter (AllPairs, Bayardo et al.). Any
         // consistent global total order works; (df, hash) is ours.
+        //
+        // Rank assignment is ONE groupBy with an in-expression sort —
+        // df is a few-hundred-row table so it BROADCASTS onto the token
+        // stream (no shuffle of tok), and the per-doc (df, t) ranking
+        // happens inside the collected array instead of a
+        // partitionBy-every-doc window (which would shuffle + sort the
+        // whole token stream again). ⌈τ·n⌉ stays EXACT integer
+        // arithmetic — double math can round τ·n up at representation
+        // boundaries and over-prune.
         val df = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
-        val prefixes = tok.join(df, Seq("t"))
-          .join(sizes, Seq("doc_id"))
-          .withColumn("rn", row_number().over(w))
-          // ⌈τ·n⌉ with τ=1/2 in EXACT integer arithmetic — double math can
-          // round τ·n up at representation boundaries and over-prune.
-          .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1)
-          .select(col("doc_id"), col("source"), col("t"), col("rn"), col("n"))
-          .persist() // both sides of the candidate self-join reuse this
+        val ranked = tok.join(broadcast(df), Seq("t"))
+          .groupBy(col("doc_id"))
+          .agg(first(col("source")).as("source"),
+            sort_array(collect_list(struct(col("df"), col("t")))).as("ranked"))
+          .select(col("doc_id"), col("source"),
+            size(col("ranked")).as("n"),
+            expr("slice(ranked, 1, size(ranked) - (size(ranked) + 1) div 2 + 1)")
+              .as("prefix"))
+          .persist() // generator below must see the materialized array
+        val prefixes = ranked
+          .select(col("doc_id"), col("source"), col("n"),
+            posexplode(col("prefix")).as(Seq("pos", "pt")))
+          .select(col("doc_id"), col("source"), col("n"),
+            (col("pos") + 1).as("rn"), col("pt").getField("t").as("t"))
         // PPJoin filters (Xiao et al., lossless for jac ≥ τ), applied to
         // every prefix match BEFORE the distinct shuffle — on a templated
         // corpus where a handful of shingles dominate, this is what keeps
