@@ -373,6 +373,66 @@ object AnalyticsQueries {
       },
       None),
 
+    "e9_full_outer" -> Q(
+      "Full outer join of two aggregates: per-customer order counts vs per-user event counts, nulls where either side is absent",
+      (s, dir) => {
+        val o = T.orders(s, dir).groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("n_orders"))
+        val e = T.events(s, dir).groupBy(col("user_id").as("k"))
+          .agg(count(lit(1)).as("n_events"))
+        o.join(e, Seq("k"), "full_outer")
+          .select(col("k"), col("n_orders"), col("n_events"))
+          .orderBy(col("k"))
+      },
+      """WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+        |e AS (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1)
+        |SELECT COALESCE(o.k, e.k) AS k, n_orders, n_events
+        |FROM o FULL OUTER JOIN e ON o.k = e.k
+        |ORDER BY k""".stripMargin),
+
+    "g3_time_bucket" -> Q(
+      "Time bucketing: events into 15-minute buckets by exact integer epoch arithmetic (the batch twin of the streaming tumbling window)",
+      (s, dir) => T.events(s, dir)
+        .select(date_trunc("second", col("ts")).as("ts_sec"),
+          col("event_type"), col("value"))
+        .groupBy(expr("unix_timestamp(ts_sec) div 900 * 900").as("bucket_sec"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("value"), 4).as("total_value"))
+        .orderBy(col("bucket_sec")),
+      // integer epoch arithmetic on second-truncated ts is engine-portable
+      // (native bucket helpers differ on tz/origin semantics)
+      """SELECT (epoch(date_trunc('second', ts))::BIGINT // 900) * 900 AS bucket_sec,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY bucket_sec""".stripMargin),
+
+    "c15_unpivot" -> Q(
+      "Unpivot/melt: per-day event-type count columns back into (day, event_type, n) long form",
+      (s, dir) => {
+        val wide = T.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .pivot("event_type", Seq("click", "view", "purchase"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+        wide.unpivot(
+          Array(col("day")),
+          Array(col("click"), col("view"), col("purchase")),
+          "event_type", "n")
+          .orderBy(col("day"), col("event_type"))
+      },
+      // oracle as UNION ALL — the portable spelling of unpivot
+      """WITH wide AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    COUNT(*) FILTER (event_type = 'click') AS click,
+        |    COUNT(*) FILTER (event_type = 'view') AS view,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS purchase
+        |  FROM events GROUP BY 1)
+        |SELECT day, event_type, n FROM (
+        |  SELECT day, 'click' AS event_type, click AS n FROM wide
+        |  UNION ALL SELECT day, 'view', view FROM wide
+        |  UNION ALL SELECT day, 'purchase', purchase FROM wide)
+        |ORDER BY day, event_type""".stripMargin),
+
     "sub1_above_avg" -> Q(
       "Scalar-subquery shape: orders priced above their customer's mean order value, counted per segment (decorrelated to an aggregate+join)",
       (s, dir) => {

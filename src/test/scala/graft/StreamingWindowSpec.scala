@@ -84,4 +84,41 @@ class StreamingWindowSpec extends SparkSpec {
     // must withhold it.
     assert(!rows.exists(_._1 == "2024-01-01 10:30:00"))
   }
+
+  test("native session_window merges gap-bounded events per user") {
+    val dir = tmpDir("stream-sess")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq( // user 1: two sessions (gap > 5 min splits); user 2: one session
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:03:00")), // same session (3 min gap)
+      (1L, ts("2024-01-01 10:20:00")), // new session (17 min gap)
+      (2L, ts("2024-01-01 10:01:00")),
+      (9L, ts("2024-01-01 12:00:00")) // watermark driver
+    ).toDF("user_id", "ts").coalesce(1).write.parquet(dir + "/in")
+
+    val q = spark.readStream.schema(schema).parquet(dir + "/in")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("session_window.start").cast("string").as("start"),
+        col("session_window.end").cast("string").as("end"), col("n"))
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", tmpDir("sess-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.table("sess_out")
+      .as[(Long, String, String, Long)].collect().toSet
+    // session end = last event + gap
+    assert(rows.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:08:00", 2L)))
+    assert(rows.contains((1L, "2024-01-01 10:20:00", "2024-01-01 10:25:00", 1L)))
+    assert(rows.contains((2L, "2024-01-01 10:01:00", "2024-01-01 10:06:00", 1L)))
+  }
 }
