@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    // Opt-in ANN rewrite: inert unless spark.graft.ann.rewrite=true
+    // (see graft.plans.AnnBucketRewrite).
+    ext.injectOptimizerRule(_ => graft.plans.AnnBucketRewrite())
   }
 }

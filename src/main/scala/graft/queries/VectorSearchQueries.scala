@@ -48,11 +48,21 @@ object VectorSearchQueries {
     p.map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
   /** LSH bucket of a vector column: sign bit per hyperplane, as a string
-    * like "0110". Shared by the Spark plan and the oracle. */
-  private def bucketCol(v: Column): Column =
+    * like "0110". Shared by the Spark plan and the oracle. The codegen'd
+    * [[graft.functions.HyperplaneBucket]] expression computes the same
+    * sequential fold as the declarative
+    * `concat(planes.map(p => when(dot(v, lit(p)) > 0, "1").otherwise("0")))`
+    * in one pass (VectorSearchSpec pins the equality). */
+  private[graft] def bucketCol(v: Column): Column =
+    graft.functions.HyperplaneBucket.hyperplaneBucket(v, planes)
+
+  /** The declarative spec bucketCol replaced (kept for the property test). */
+  private[graft] def bucketColSpec(v: Column): Column =
     concat(planes.map { p =>
       when(dot(v, typedlit(p)) > 0.0, lit("1")).otherwise(lit("0"))
     }: _*)
+
+  private[graft] def planesPublic: Seq[Seq[Double]] = planes
   private def bucketSql(v: String): String =
     planes.map { p =>
       s"(CASE WHEN list_sum(list_transform(range(1, len($v)+1), i -> $v[i]::DOUBLE * (${planeSqlLit(p)})[i])) > 0.0 THEN '1' ELSE '0' END)"
@@ -182,6 +192,42 @@ object VectorSearchQueries {
            |WHERE vec_id <> 0
            |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
       }),
+
+    "ann_rule_knn" -> Q(
+      "ANN via the Catalyst optimizer rule: the user writes the EXACT cosine top-k; with spark.graft.ann.rewrite=true the AnnBucketRewrite rule injects the hyperplane-bucket pre-filter at optimization time — result equals the hand-written LSH-bucket query",
+      (s, dir) => {
+        import graft.plans.AnnBucketRewrite
+        AnnBucketRewrite.install(s)
+        val emb = T.embeddings(s, dir)
+        val q: Seq[Double] = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toSeq.map(_.toDouble)
+        val prev = s.conf.getOption(AnnBucketRewrite.Flag)
+        s.conf.set(AnnBucketRewrite.Flag, "true")
+        try {
+          // The flag is scoped to THIS materialization (collect now, restore
+          // after), so no other registry query ever sees the rewrite.
+          val df = emb
+            .filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
+            .select(col("vec_id"),
+              cosineSim(col("embedding"), typedlit(q)).as("sim"))
+            .orderBy(col("sim").desc, col("vec_id"))
+            .limit(10)
+          val rows = df.collect().toIndexedSeq
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows, 1), df.schema)
+        } finally prev match {
+          case Some(v) => s.conf.set(AnnBucketRewrite.Flag, v)
+          case None    => s.conf.unset(AnnBucketRewrite.Flag)
+        }
+      },
+      // identical oracle to ann_lsh_knn: the rewrite must reproduce the
+      // explicit LSH-bucket search exactly
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+         |FROM b, q
+         |WHERE bucket = qbucket AND vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
 
     "ann_ivf_knn" -> Q(
       "ANN: IVF-style partition pruning — pick best coarse partition by its representative, search only inside it",

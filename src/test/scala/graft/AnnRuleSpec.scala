@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.VectorFunctions.cosineSim
+import graft.plans.AnnBucketRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The opt-in ANN optimizer rule: plan shape and result equivalence. */
+class AnnRuleSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def exactKnn(): DataFrame = {
+    val emb = Tables.embeddings(spark, sf)
+    val q: Seq[Double] = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq.map(_.toDouble)
+    emb.filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
+      .select(col("vec_id"), cosineSim(col("embedding"), typedlit(q)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private def withFlag[A](on: Boolean)(f: => A): A = {
+    AnnBucketRewrite.install(spark)
+    val prev = spark.conf.getOption(AnnBucketRewrite.Flag)
+    spark.conf.set(AnnBucketRewrite.Flag, on.toString)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(AnnBucketRewrite.Flag, v)
+      case None    => spark.conf.unset(AnnBucketRewrite.Flag)
+    }
+  }
+
+  test("flag off: plan untouched, results are the exact scan") {
+    withFlag(on = false) {
+      val df = exactKnn()
+      assert(!df.queryExecution.optimizedPlan.toString.contains("hyperplane_bucket"))
+      assert(df.count() == 10)
+    }
+  }
+
+  test("flag on: bucket filter injected at optimization time") {
+    withFlag(on = true) {
+      val df = exactKnn()
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("hyperplane_bucket"),
+        s"expected injected bucket filter in:\n$plan")
+    }
+  }
+
+  test("rewritten results equal the hand-written LSH bucket query") {
+    val expected = SparkEntry.queries("ann_lsh_knn")(spark, sf).collect().toSeq
+    val got = withFlag(on = true)(exactKnn().collect().toSeq)
+    assert(got == expected)
+  }
+
+  test("rule is fixed-point safe: exactly one bucket filter") {
+    withFlag(on = true) {
+      val plan = exactKnn().queryExecution.optimizedPlan
+      var n = 0
+      plan.foreach(p => p.expressions.foreach(_.foreach {
+        case _: graft.functions.HyperplaneBucket => n += 1
+        case _ => ()
+      }))
+      assert(n == 1, s"expected exactly one bucket expression, got $n")
+    }
+  }
+
+  test("registry ann_rule_knn leaves the flag unset afterwards") {
+    val before = spark.conf.getOption(AnnBucketRewrite.Flag)
+    SparkEntry.queries("ann_rule_knn")(spark, sf).collect()
+    assert(spark.conf.getOption(AnnBucketRewrite.Flag) == before)
+  }
+
+  test("codegen'd bucket expression equals its declarative spec") {
+    import graft.queries.VectorSearchQueries
+    val emb = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+    val both = emb.select(
+      VectorSearchQueries.bucketCol(col("embedding")).as("fast"),
+      VectorSearchQueries.bucketColSpec(col("embedding")).as("spec"))
+    assert(both.filter(col("fast") =!= col("spec")).count() == 0)
+  }
+}
