@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.SparkBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature of a shingle array: for seed s ∈ [0, m),
+  * `min(md5("s|" || shingle))` as a lowercase hex string — byte-for-byte
+  * the declarative spec
+  *
+  * {{{ array((0 until m).map(seed =>
+  *       array_min(transform(sh, x => md5(concat(lit(s"seed|"), x))))): _*) }}}
+  *
+  * (TextFunctions.minhashSignature's original form, reproduced by the
+  * DuckDB oracles as `list_min(list_transform(...))`), but computed in ONE
+  * pass over the shingles with a reused MessageDigest — the m interpreted
+  * higher-order transforms each materialized an n-element hex-string array
+  * per row and re-walked the input per seed.
+  *
+  * Null/empty shingle arrays yield an array of nulls (array_min of empty
+  * is null), matching the spec.
+  */
+case class MinHashSignature(child: Expression, m: Int) extends UnaryExpression {
+  require(m >= 1, "signature length must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> shingles, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSignature.compute($c, $m)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  def compute(shingles: ArrayData, m: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[String](m)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = new Array[Array[Byte]](m)
+    var s = 0
+    while (s < m) { prefixes(s) = (s.toString + "|").getBytes("UTF-8"); s += 1 }
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val bytes = shingles.getUTF8String(i).getBytes
+        var seed = 0
+        while (seed < m) {
+          md.reset()
+          md.update(prefixes(seed))
+          md.update(bytes)
+          val hex = toHex(md.digest())
+          if (mins(seed) == null || hex.compareTo(mins(seed)) < 0) mins(seed) = hex
+          seed += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(h =>
+      if (h == null) null else UTF8String.fromString(h)))
+  }
+
+  private def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(i * 2) = HexDigits(b >>> 4)
+      out(i * 2 + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def minhashSignature(shingles: Column, m: Int): Column =
+    SparkBridge.column(MinHashSignature(SparkBridge.expression(shingles), m))
+}

@@ -51,8 +51,14 @@ object TextFunctions {
   def minhash(shinglesCol: Column, seed: Int): Column =
     array_min(transform(shinglesCol, s => md5(concat(lit(s"$seed|"), s))))
 
-  /** Full MinHash signature as an array of m hex strings. */
+  /** Full MinHash signature as an array of m hex strings (codegen'd
+    * one-pass expression; [[minhashSignatureSpec]] is the declarative twin
+    * it must equal byte-for-byte — pinned in PropertySpec). */
   def minhashSignature(shinglesCol: Column, m: Int): Column =
+    MinHashSignature.minhashSignature(shinglesCol, m)
+
+  /** Declarative spec of [[minhashSignature]] (m interpreted passes). */
+  def minhashSignatureSpec(shinglesCol: Column, m: Int): Column =
     array((0 until m).map(seed => minhash(shinglesCol, seed)): _*)
 
   /** LSH bands: signature of m hashes split into `bands` concatenated

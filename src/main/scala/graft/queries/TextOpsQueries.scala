@@ -76,8 +76,11 @@ object TextOpsQueries {
       "MinHash signatures over 3-token shingles (md5-order permutations, 4 hashes)",
       (s, dir) => T.documents(s, dir)
         .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        // one-pass codegen'd signature, split into the m0..m3 columns the
+        // oracle names (values identical to the per-seed minhash spec)
+        .select(col("doc_id"), minhashSignature(col("sh"), 4).as("sig"))
         .select(col("doc_id") +: (0 until 4).map(seed =>
-          minhash(col("sh"), seed).as(s"m$seed")): _*)
+          element_at(col("sig"), seed + 1).as(s"m$seed")): _*)
         .orderBy(col("doc_id")),
       s"""SELECT doc_id,
          |  ${(0 until 4).map(seed =>

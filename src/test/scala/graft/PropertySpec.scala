@@ -154,6 +154,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MinHashSignature expression == declarative per-seed minhash spec") {
+    import graft.functions.TextFunctions.{minhashSignature, minhashSignatureSpec, shingles, tokens}
+    val inputs = Seq("a b c d e f g", "one", "", "x y x y x y",
+      "the quick brown fox jumps over the lazy dog") ++
+      (1 to 200).map(_ => randString(80))
+    val got = inputs.toDF("t")
+      .select(shingles(tokens(col("t")), 3).as("sh"))
+      .select(minhashSignature(col("sh"), 4).as("fast"),
+        minhashSignatureSpec(col("sh"), 4).as("spec"))
+      .as[(Seq[String], Seq[String])].collect()
+    got.zip(inputs).foreach { case ((fast, spec), in) =>
+      assert(fast == spec, s"mismatch on: $in")
+    }
+  }
+
   test("stemLite Column == stemLiteScala mirror on random-ish tokens") {
     val toks = Seq("running", "dogs", "chased", "ladies", "classes", "bus",
       "is", "was", "glass", "cats", "quickly", "ed", "ing", "s") ++
