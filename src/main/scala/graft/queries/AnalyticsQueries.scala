@@ -260,12 +260,21 @@ object AnalyticsQueries {
             .select(col("o_custkey")).distinct()
         val y96 = buyers("1996-01-01 00:00:00", "1997-01-01 00:00:00")
         val y97 = buyers("1997-01-01 00:00:00", "1998-01-01 00:00:00")
-        val both = y96.intersect(y97).count()
-        val only96 = y96.except(y97).count()
-        val either = y96.union(y97).distinct().count()
+        // One pass over the full-outer join computes all three set
+        // cardinalities (INTERSECT / EXCEPT / UNION are flag predicates on
+        // the same co-partitioned join) instead of three separate jobs.
+        val flags = y96.select(col("o_custkey"), lit(1).as("in96"))
+          .join(y97.select(col("o_custkey"), lit(1).as("in97")),
+            Seq("o_custkey"), "full_outer")
+          .agg(
+            count(when(col("in96").isNotNull && col("in97").isNotNull, 1)).as("both"),
+            count(when(col("in96").isNotNull && col("in97").isNull, 1)).as("only_1996"),
+            count(lit(1)).as("either"))
+          .head()
         val s0 = s
         import s0.implicits._
-        Seq(("both", both), ("only_1996", only96), ("either", either))
+        Seq(("both", flags.getLong(0)), ("either", flags.getLong(2)),
+          ("only_1996", flags.getLong(1)))
           .toDF("bucket", "n_customers")
           .orderBy(col("bucket"))
       },
@@ -294,6 +303,7 @@ object AnalyticsQueries {
         val W = 16384; val D = 5
         val toks = T.documentsSpread(s, dir)
           .select(explode(tokens(col("text"))).as("tok"))
+          .persist() // the sketch pass and the exact top-20 pass share it
         // The sketch is an index-like artifact: fixed 640 KB regardless of
         // corpus size (the whole point at 100 TB). Collecting it to the
         // driver is the same boundary IvfIndex.train crosses for its

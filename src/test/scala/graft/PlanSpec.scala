@@ -49,4 +49,49 @@ class PlanSpec extends SparkSpec {
     val p = plan("b1_point_lookup")
     assert(p.contains("EqualTo(o_orderkey,42)"))
   }
+
+  test("q3_shipping: both date filters pushed; customer dim broadcast") {
+    val p = plan("q3_shipping")
+    assert(p.contains("LessThan(o_orderdate"))
+    assert(p.contains("GreaterThan(l_shipdate"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q5_nation_revenue: every dimension broadcast, one fact-fact shuffle join") {
+    val p = plan("q5_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      "supplier/customer/nation/region should all broadcast")
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
+      "only lineitem⋈orders may shuffle")
+  }
+
+  test("e5_asof_join: no join operator at all — union + single window per key") {
+    val p = plan("e5_asof_join")
+    assert(!p.contains("Join"), "as-of must not plan a join")
+    assert(p.contains("Window"))
+    assert(p.contains("Union"))
+  }
+
+  test("skew_salted_agg: two aggregation layers (salted partials then merge)") {
+    val p = plan("skew_salted_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "expected partial+final pairs for both the salted and merge stages")
+  }
+
+  test("c11_cube: Expand feeds partial+final aggregation") {
+    val p = plan("c11_cube")
+    assert(p.contains("Expand"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("w1_window_suite: single window exchange serves all window functions") {
+    val p = plan("w1_window_suite")
+    // rank/ntile/percent_rank/cume_dist/lag/lead share one (partition,
+    // order) spec; the framed sum adds its own Window node but NO extra
+    // exchange beyond the per-key repartition
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"window functions over the same spec must share one exchange:\n$p")
+  }
 }
