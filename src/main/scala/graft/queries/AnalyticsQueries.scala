@@ -295,6 +295,45 @@ object AnalyticsQueries {
         |    (SELECT COUNT(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)))
         |ORDER BY bucket""".stripMargin),
 
+    "b11_topk_per_group" -> Q(
+      "Top-k per group: 3 highest-value orders per market segment (ranking window + filter — the lateral-join shape)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T.orders(s, dir)
+          .join(broadcast(T.customer(s, dir)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+          .orderBy(col("c_mktsegment"), col("rnk"))
+      },
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin),
+
+    "c16_string_agg" -> Q(
+      "Ordered string aggregation: comma-joined sorted nation names per region",
+      (s, dir) => T.nation(s, dir)
+        .join(broadcast(T.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name")),
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
     "cms_heavy_hitters" -> Q(
       "Count-Min-Sketch heavy hitters: CMS estimates for the exact top-20 tokens must equal their exact counts (width 16384 × depth 5 leaves every test-corpus token collision-free in at least one row)",
       (s, dir) => {
