@@ -68,4 +68,38 @@ class IngestFuzzSpec extends SparkSpec {
     val merged = Upsert.mergeByKey(emails, emails, "message_id", "updated_at")
     assert(merged.count() == n)
   }
+
+  test("random-depth MIME trees (0-7 levels): body found at whatever depth it hides") {
+    val noBody = """{"data":null,"size":0,"attachmentId":null}"""
+    def leafBody(tag: String) =
+      s"""{"data":"${b64url(tag)}","size":1,"attachmentId":null}"""
+    // one text/plain leaf at exactly `depth`; multipart wrappers above it,
+    // plus decoy empty-body parts at every level
+    def nest(depth: Int, tag: String): String = {
+      val leaf = s"""{"partId":"L","mimeType":"text/plain","filename":"","headers":[],"body":${leafBody(tag)}}"""
+      (1 to depth).foldLeft(leaf) { (inner, lvl) =>
+        s"""{"partId":"w$lvl","mimeType":"multipart/mixed","filename":"","headers":[],"body":$noBody,
+           |"parts":[{"partId":"d$lvl","mimeType":"text/html","filename":"","headers":[],"body":$noBody},$inner]}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+    }
+    val dir = tmpDir("fuzz-depth")
+    val msgs = (0 to 7).map { d =>
+      s"""{"id":"dep$d","threadId":"t","labelIds":[],"snippet":null,"sizeEstimate":null,"historyId":null,
+         |"payload":{"partId":"0","mimeType":"multipart/mixed","filename":"",
+         |"headers":[{"name":"From","value":"x@y.z"}],"body":$noBody,
+         |"parts":[${nest(d, s"body at $d")}]}}""".stripMargin.replaceAll("\n", "")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "deep.json"),
+      msgs.mkString("\n").getBytes("UTF-8"))
+    val rows = Normalize.emails(Normalize.readRaw(spark, dir))
+      .select("message_id", "body_plain").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (0 to 6).foreach { d =>
+      assert(rows(s"dep$d") == s"body at $d", s"depth $d body lost")
+    }
+    // depth 7 leaf sits at nesting level 8 (payload + wrapper + 7) — one
+    // past the declared bound: dropped cleanly, not fatal
+    assert(rows.contains("dep7"))
+  }
 }
