@@ -333,6 +333,11 @@ object TextOpsQueries {
           .filter(col("n_tok") >= 20 &&
             col("n_uniq").cast("double") / col("n_tok").cast("double") >= 0.15)
         // Stage 2: exact dedup on normalized fingerprint, keep min doc_id.
+        // row_number + rn=1 plans with WindowGroupLimit (per-partition
+        // top-1 before the shuffle sort), which beats the
+        // min(struct(doc_id, toks)) arg-min formulation here: an array
+        // inside the aggregation buffer forces sort-based aggregation
+        // (measured 2× slower at sf0.1).
         val exact = quality
           .withColumn("fp", fingerprint(col("text")))
           .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
