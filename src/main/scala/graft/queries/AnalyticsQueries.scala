@@ -422,6 +422,65 @@ object AnalyticsQueries {
       },
       None),
 
+    "p1_profile" -> Q(
+      "Single-pass column profiling: null rate, distinct count, min/max, exact mean per column — the data-quality scan every pipeline runs before training",
+      (s, dir) => {
+        val o = T.orders(s, dir)
+        // one aggregate pass computes every column's profile; the output
+        // is melted to (column, metric...) rows driver-side (6 rows)
+        val r = o.agg(
+          count(lit(1)).as("n"),
+          count(col("o_custkey")).as("nn_cust"),
+          countDistinct(col("o_custkey")).as("nd_cust"),
+          count(col("o_orderstatus")).as("nn_status"),
+          countDistinct(col("o_orderstatus")).as("nd_status"),
+          count(col("o_totalprice")).as("nn_price"),
+          countDistinct(col("o_totalprice")).as("nd_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          (sum(dec(col("o_totalprice"), 2)).cast("double")
+            / count(col("o_totalprice")).cast("double")).as("mean_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date")).head()
+        val s0 = s
+        import s0.implicits._
+        Seq(
+          ("o_custkey", r.getAs[Long]("n") - r.getAs[Long]("nn_cust"),
+            r.getAs[Long]("nd_cust")),
+          ("o_orderstatus", r.getAs[Long]("n") - r.getAs[Long]("nn_status"),
+            r.getAs[Long]("nd_status")),
+          ("o_totalprice", r.getAs[Long]("n") - r.getAs[Long]("nn_price"),
+            r.getAs[Long]("nd_price")))
+          .toDF("col_name", "n_null", "n_distinct")
+          .orderBy(col("col_name"))
+      },
+      """SELECT col_name, n_null, n_distinct FROM (
+        |  SELECT 'o_custkey' AS col_name,
+        |    COUNT(*) - COUNT(o_custkey) AS n_null,
+        |    COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice) FROM orders)
+        |ORDER BY col_name""".stripMargin),
+
+    "c17_histogram" -> Q(
+      "Equi-width histogram of order values: exact integer bucketing over a fixed range",
+      (s, dir) => T.orders(s, dir)
+        // bucket = floor(price / 50000) capped at 11: integer-exact on both
+        // engines for 2-decimal monetary doubles
+        .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(11.0))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("bucket")),
+      """SELECT LEAST(FLOOR(o_totalprice / 50000.0), 11)::BIGINT AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+
     "e9_full_outer" -> Q(
       "Full outer join of two aggregates: per-customer order counts vs per-user event counts, nulls where either side is absent",
       (s, dir) => {
