@@ -85,6 +85,52 @@ class StreamingWindowSpec extends SparkSpec {
     assert(!rows.exists(_._1 == "2024-01-01 10:30:00"))
   }
 
+  test("update-mode streaming aggregate maintains the C4 stats view incrementally") {
+    val dir = tmpDir("stream-ivm")
+    val schema = StructType(Seq(
+      StructField("provider", StringType),
+      StructField("ts", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def land(name: String, rows: Seq[(String, java.sql.Timestamp)]): Unit = {
+      val tmp = tmpDir("ivm-batch")
+      rows.toDF("provider", "ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "in"))
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, "in", s"$name.parquet"))
+    }
+
+    val updates = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(dir + "/in")
+        .groupBy(col("provider"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("latest"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          updates.synchronized {
+            updates ++= b.select("provider", "n").as[(String, Long)].collect()
+          }; ()
+        }
+        .option("checkpointLocation", dir + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    land("b1", Seq(("gmail", ts("2024-01-01 10:00:00")),
+      ("gmail", ts("2024-01-01 10:01:00")), ("imap", ts("2024-01-01 10:02:00"))))
+    run()
+    assert(updates.toSet == Set(("gmail", 2L), ("imap", 1L)))
+
+    // next batch touches only gmail: update mode re-emits just that group,
+    // with the total maintained incrementally from state
+    land("b2", Seq(("gmail", ts("2024-01-01 11:00:00"))))
+    run()
+    val latest = updates.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(latest == Map("gmail" -> 3L, "imap" -> 1L))
+    assert(updates.count(_._1 == "imap") == 1, "untouched group must not re-emit")
+  }
+
   test("native session_window merges gap-bounded events per user") {
     val dir = tmpDir("stream-sess")
     val schema = StructType(Seq(
