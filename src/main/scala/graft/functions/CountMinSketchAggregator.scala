@@ -32,10 +32,14 @@ final class CountMinSketchAggregator(width: Int, depth: Int)
   override def zero: Buf = Buf(new Array[Long](width * depth))
 
   override def reduce(b: Buf, key: String): Buf = {
-    var d = 0
-    while (d < depth) {
-      b.cells(d * width + cell(key, d, width)) += 1L
-      d += 1
+    // null keys are skipped, matching COUNT(col) semantics — a sketch over
+    // a nullable column must degrade, not NPE the job
+    if (key != null) {
+      var d = 0
+      while (d < depth) {
+        b.cells(d * width + cell(key, d, width)) += 1L
+        d += 1
+      }
     }
     b
   }

@@ -24,6 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * The planes matrix is engine-deterministic (md5 parity of "plane|dim",
   * [[graft.queries.VectorSearchQueries.planeWeight]]) so any engine — and
   * the DuckDB oracle — reproduces buckets bit-for-bit from the spec.
+  *
+  * Null handling: a NULL vector yields NULL (standard null-intolerant
+  * expression semantics), whereas the declarative when/otherwise spec
+  * yields the all-zeros bucket. Callers that need spec parity on null
+  * vectors wrap with `coalesce(…, lit("0"*planes))` — see
+  * `VectorSearchQueries.bucketCol`.
+  *
+  * Short vectors fold over the common prefix (the same min-length
+  * convention as [[CosineSimilarity]]); the zip_with spec instead
+  * null-poisons a vector shorter than the planes. Embeddings are
+  * fixed-dimension by schema, so the distinction never arises in data.
   */
 case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {

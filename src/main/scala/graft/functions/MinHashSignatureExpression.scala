@@ -22,8 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * higher-order transforms each materialized an n-element hex-string array
   * per row and re-walked the input per seed.
   *
-  * Null/empty shingle arrays yield an array of nulls (array_min of empty
-  * is null), matching the spec.
+  * An EMPTY shingle array yields an array of m nulls (array_min of empty
+  * is null), matching the spec. A NULL input yields NULL (standard
+  * null-intolerant semantics) — `TextFunctions.minhashSignature` wraps
+  * with coalesce to restore the spec's array-of-nulls there.
   */
 case class MinHashSignature(child: Expression, m: Int) extends UnaryExpression {
   require(m >= 1, "signature length must be >= 1")

@@ -53,9 +53,13 @@ object TextFunctions {
 
   /** Full MinHash signature as an array of m hex strings (codegen'd
     * one-pass expression; [[minhashSignatureSpec]] is the declarative twin
-    * it must equal byte-for-byte — pinned in PropertySpec). */
+    * it must equal byte-for-byte — pinned in PropertySpec). The coalesce
+    * restores spec parity on a NULL shingle array: the expression is
+    * null-intolerant (→ NULL) while the declarative array(...) form yields
+    * an array of m nulls. */
   def minhashSignature(shinglesCol: Column, m: Int): Column =
-    MinHashSignature.minhashSignature(shinglesCol, m)
+    coalesce(MinHashSignature.minhashSignature(shinglesCol, m),
+      array((0 until m).map(_ => lit(null).cast("string")): _*))
 
   /** Declarative spec of [[minhashSignature]] (m interpreted passes). */
   def minhashSignatureSpec(shinglesCol: Column, m: Int): Column =

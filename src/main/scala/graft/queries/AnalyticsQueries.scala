@@ -20,10 +20,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AnalyticsQueries {
 
-  private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
-  private def decSum(c: Column, scale: Int): Column =
-    sum(dec(c, scale)).cast("double")
-
   val all: Seq[(String, Q)] = Seq(
 
     "c11_cube" -> Q(
@@ -423,11 +419,13 @@ object AnalyticsQueries {
       None),
 
     "p1_profile" -> Q(
-      "Single-pass column profiling: null rate, distinct count, min/max, exact mean per column — the data-quality scan every pipeline runs before training",
+      "Single-pass column profiling: null count and distinct count per column, plus min/max/exact-mean for the numeric column — the data-quality scan every pipeline runs before training",
       (s, dir) => {
         val o = T.orders(s, dir)
-        // one aggregate pass computes every column's profile; the output
-        // is melted to (column, metric...) rows driver-side (6 rows)
+        // one aggregate pass computes every column's profile; the head()
+        // collects a single summary row, melted to one row per column.
+        // Numeric stats: raw-double min/max are bit-safe, the mean is the
+        // exact decimal sum divided in double (both engine-portable).
         val r = o.agg(
           count(lit(1)).as("n"),
           count(col("o_custkey")).as("nn_cust"),
@@ -439,31 +437,38 @@ object AnalyticsQueries {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"),
           (sum(dec(col("o_totalprice"), 2)).cast("double")
-            / count(col("o_totalprice")).cast("double")).as("mean_price"),
-          min(col("o_orderdate")).as("min_date"),
-          max(col("o_orderdate")).as("max_date")).head()
+            / count(col("o_totalprice")).cast("double")).as("mean_price")).head()
         val s0 = s
         import s0.implicits._
         Seq(
           ("o_custkey", r.getAs[Long]("n") - r.getAs[Long]("nn_cust"),
-            r.getAs[Long]("nd_cust")),
+            r.getAs[Long]("nd_cust"),
+            Option.empty[Double], Option.empty[Double], Option.empty[Double]),
           ("o_orderstatus", r.getAs[Long]("n") - r.getAs[Long]("nn_status"),
-            r.getAs[Long]("nd_status")),
+            r.getAs[Long]("nd_status"),
+            Option.empty[Double], Option.empty[Double], Option.empty[Double]),
           ("o_totalprice", r.getAs[Long]("n") - r.getAs[Long]("nn_price"),
-            r.getAs[Long]("nd_price")))
-          .toDF("col_name", "n_null", "n_distinct")
+            r.getAs[Long]("nd_price"),
+            Some(r.getAs[Double]("min_price")), Some(r.getAs[Double]("max_price")),
+            Some(r.getAs[Double]("mean_price"))))
+          .toDF("col_name", "n_null", "n_distinct", "min_v", "max_v", "mean_v")
           .orderBy(col("col_name"))
       },
-      """SELECT col_name, n_null, n_distinct FROM (
+      """SELECT col_name, n_null, n_distinct, min_v, max_v, mean_v FROM (
         |  SELECT 'o_custkey' AS col_name,
         |    COUNT(*) - COUNT(o_custkey) AS n_null,
-        |    COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+        |    COUNT(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v,
+        |    CAST(NULL AS DOUBLE) AS mean_v FROM orders
         |  UNION ALL
         |  SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
-        |    COUNT(DISTINCT o_orderstatus) FROM orders
+        |    COUNT(DISTINCT o_orderstatus), NULL, NULL, NULL FROM orders
         |  UNION ALL
         |  SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
-        |    COUNT(DISTINCT o_totalprice) FROM orders)
+        |    COUNT(DISTINCT o_totalprice),
+        |    MIN(o_totalprice), MAX(o_totalprice),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(COUNT(o_totalprice) AS DOUBLE) FROM orders)
         |ORDER BY col_name""".stripMargin),
 
     "c17_histogram" -> Q(

@@ -32,11 +32,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object RelationalQueries {
 
-  private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
-
-  /** Exact decimal sum surfaced as DOUBLE (see numeric policy above). */
-  private def decSum(c: Column, scale: Int): Column =
-    sum(dec(c, scale)).cast("double")
 
   /** B6 (reference: scripts/migrate_providers.sql:101-105): NULL-guarded
     * optional predicates, built conditionally so Catalyst still pushes
@@ -393,6 +388,11 @@ object RelationalQueries {
             lit(null).cast("timestamp").as("o_orderdate"),
             lit(null).cast("long").as("o_orderkey"))
         val o = T.orders(s, dir)
+          // a NULL o_orderdate can never satisfy the as-of predicate
+          // (<= is NULL → dropped in the join formulation and the oracle);
+          // without this filter it would sort NULLS FIRST and pose as the
+          // earliest "order" in the running-last window
+          .filter(col("o_orderdate").isNotNull)
           .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
             lit(0).as("side"), lit(null).cast("long").as("event_id"),
             col("o_orderdate"), col("o_orderkey"))

@@ -54,7 +54,12 @@ object VectorSearchQueries {
     * `concat(planes.map(p => when(dot(v, lit(p)) > 0, "1").otherwise("0")))`
     * in one pass (VectorSearchSpec pins the equality). */
   private[graft] def bucketCol(v: Column): Column =
-    graft.functions.HyperplaneBucket.hyperplaneBucket(v, planes)
+    // null-vector parity with the declarative spec and the oracle: the
+    // when/otherwise chain yields "000…" for a null vector (null dot > 0
+    // is null → otherwise branch), while the null-intolerant expression
+    // yields NULL — coalesce restores the all-zeros bucket.
+    coalesce(graft.functions.HyperplaneBucket.hyperplaneBucket(v, planes),
+      lit("0" * NPlanes))
 
   /** The declarative spec bucketCol replaced (kept for the property test). */
   private[graft] def bucketColSpec(v: Column): Column =

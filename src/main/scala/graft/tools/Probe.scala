@@ -10,7 +10,9 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 1
+    val reps = args.drop(2).collectFirst {
+      case a if a.forall(_.isDigit) && a.nonEmpty => a.toInt
+    }.getOrElse(1)
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")

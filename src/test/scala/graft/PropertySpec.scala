@@ -169,6 +169,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("null-input parity: bucketCol and minhashSignature equal their declarative specs") {
+    import graft.functions.TextFunctions.{minhashSignature, minhashSignatureSpec}
+    import graft.queries.VectorSearchQueries
+    // the non-null vector is full-dimension: a SHORT vector is the one
+    // place expression and HOF spec differ (min-length fold vs zip_with
+    // null-poisoning) and embeddings are fixed-dim by schema
+    val df = spark.sql(
+      """SELECT CAST(NULL AS ARRAY<DOUBLE>) AS vec, CAST(NULL AS ARRAY<STRING>) AS sh
+        |UNION ALL SELECT transform(sequence(1, 64), i -> CAST(i % 7 - 3 AS DOUBLE)),
+        |  array('a b', 'b c')
+        |UNION ALL SELECT array(), array()""".stripMargin)
+    val got = df.select(
+      VectorSearchQueries.bucketCol(col("vec")).as("b"),
+      VectorSearchQueries.bucketColSpec(col("vec")).as("bs"),
+      minhashSignature(col("sh"), 4).as("m"),
+      minhashSignatureSpec(col("sh"), 4).as("ms")).collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("b") == r.getAs[String]("bs"))
+      assert(r.getAs[scala.collection.Seq[String]]("m") ==
+        r.getAs[scala.collection.Seq[String]]("ms"))
+    }
+  }
+
   test("stemLite Column == stemLiteScala mirror on random-ish tokens") {
     val toks = Seq("running", "dogs", "chased", "ladies", "classes", "bus",
       "is", "was", "glass", "cats", "quickly", "ed", "ing", "s") ++
