@@ -418,6 +418,74 @@ object AnalyticsQueries {
       },
       None),
 
+    "samp1_stratified" -> Q(
+      "Deterministic stratified sampling: ~25% of documents per source by md5 hash bucket — reproducible on any engine, no RNG state",
+      (s, dir) => {
+        // hash-mod sampling: md5 of the key's decimal string is engine
+        // -portable (same bytes → same hex); the first two hex chars give
+        // 256 buckets, keep 64 → exactly the same rows everywhere. This is
+        // how a 100 TB pipeline samples reproducibly — no seed handoff, no
+        // sampler state, membership recomputable row-local at any time.
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long")
+        T.documents(s, dir)
+          .filter(bucket < 64L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy(col("source"))
+      },
+      """SELECT source, COUNT(*) AS n_sampled, MIN(doc_id) AS first_id
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < 64
+        |GROUP BY source ORDER BY source""".stripMargin),
+
+    "samp2_split" -> Q(
+      "Deterministic train/val/test split (80/10/10 by hash bucket): split sizes per source, reproducible row-local on any engine",
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long")
+        T.documents(s, dir)
+          .withColumn("split",
+            when(bucket < 204L, "train")
+              .when(bucket < 230L, "val")
+              .otherwise("test"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("source"), col("split"))
+      },
+      """SELECT source,
+        |  CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM (SELECT source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS b
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY source, split""".stripMargin),
+
+    "g4_gap_fill" -> Q(
+      "Time-series gap filling: dense daily spine (sequence + explode) left-joined to per-day counts, zero-filled",
+      (s, dir) => {
+        val ev = T.events(s, dir)
+          .select(date_trunc("day", col("ts")).as("day"))
+        val bounds = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        // dense spine: one row per calendar day in the observed range —
+        // generated, not scanned, so gaps cost nothing at any scale
+        val spine = bounds.select(
+          explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+        val perDay = ev.groupBy(col("day")).agg(count(lit(1)).as("n_raw"))
+        spine.join(perDay, Seq("day"), "left_outer")
+          .select(col("day"), coalesce(col("n_raw"), lit(0L)).as("n"))
+          .orderBy(col("day"))
+      },
+      """WITH ev AS (SELECT date_trunc('day', ts) AS day FROM events),
+        |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+        |per_day AS (SELECT day, COUNT(*) AS n_raw FROM ev GROUP BY day)
+        |SELECT spine.day AS day, COALESCE(n_raw, 0) AS n
+        |FROM spine LEFT JOIN per_day ON spine.day = per_day.day
+        |ORDER BY day""".stripMargin),
+
     "p1_profile" -> Q(
       "Single-pass column profiling: null count and distinct count per column, plus min/max/exact-mean for the numeric column — the data-quality scan every pipeline runs before training",
       (s, dir) => {
