@@ -418,6 +418,57 @@ object AnalyticsQueries {
       },
       None),
 
+    "g5_funnel" -> Q(
+      "Two-step funnel: users whose first 'click' precedes a later 'purchase' — conditional-min aggregation, one pass over events",
+      (s, dir) => {
+        val ev = T.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            date_trunc("second", col("ts")).as("ts_sec"))
+        ev.groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "click", col("ts_sec"))).as("first_click"),
+            max(when(col("event_type") === "purchase", col("ts_sec"))).as("last_purchase"))
+          .filter(col("first_click").isNotNull && col("last_purchase").isNotNull
+            && col("last_purchase") > col("first_click"))
+          .agg(count(lit(1)).as("n_converted"))
+      },
+      """SELECT COUNT(*) AS n_converted FROM (
+        |  SELECT user_id,
+        |    MIN(date_trunc('second', ts)) FILTER (event_type = 'click') AS first_click,
+        |    MAX(date_trunc('second', ts)) FILTER (event_type = 'purchase') AS last_purchase
+        |  FROM events GROUP BY user_id)
+        |WHERE first_click IS NOT NULL AND last_purchase IS NOT NULL
+        |  AND last_purchase > first_click""".stripMargin),
+
+    "g6_retention" -> Q(
+      "Weekly cohort retention: users grouped by first-active week; how many return the following week",
+      (s, dir) => {
+        val weeks = T.events(s, dir)
+          .select(col("user_id"),
+            date_trunc("week", date_trunc("second", col("ts"))).as("week"))
+          .distinct()
+        val cohort = weeks.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        cohort
+          .join(weeks, Seq("user_id"))
+          .groupBy(col("cohort_week"))
+          .agg(countDistinct(col("user_id")).as("cohort_size"),
+            countDistinct(when(col("week") === col("cohort_week")
+              + expr("INTERVAL 7 DAYS"), col("user_id"))).as("retained_next_week"))
+          .orderBy(col("cohort_week"))
+      },
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    date_trunc('week', date_trunc('second', ts)) AS week
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+        |SELECT cohort_week,
+        |  COUNT(DISTINCT weeks.user_id) AS cohort_size,
+        |  COUNT(DISTINCT CASE WHEN week = cohort_week + INTERVAL 7 DAY
+        |    THEN weeks.user_id END) AS retained_next_week
+        |FROM cohort JOIN weeks ON cohort.user_id = weeks.user_id
+        |GROUP BY cohort_week ORDER BY cohort_week""".stripMargin),
+
     "samp1_stratified" -> Q(
       "Deterministic stratified sampling: ~25% of documents per source by md5 hash bucket — reproducible on any engine, no RNG state",
       (s, dir) => {
