@@ -30,6 +30,38 @@ object TextOpsQueries {
 
   private val QueryTerms = Seq("spark", "join", "window")
 
+  /** (doc_id, simhash): 16-bit md5-nibble majority-vote signature per
+    * document — shared by `dedup_simhash` and `dedup_simhash_near`. */
+  private def simhashOf(s: SparkSession, dir: String): DataFrame = {
+    val toks = T.documentsSpread(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bits = toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("bit"))
+      .withColumn("w", simhashNibbleWeight(col("h"), col("bit")))
+    bits.groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("w")).as("sw"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sw") > 0, expr("shiftleft(1, bit)").cast("long"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Shared oracle CTEs computing (doc_id, simhash) in DuckDB. */
+  private val SimhashSqlCtes =
+    """t AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, g.bit,
+      |    CASE WHEN instr('13579bdf', substr(md5(tok), g.bit + 1, 1)) > 0
+      |      THEN 1 ELSE -1 END AS w
+      |  FROM t, (SELECT unnest(range(0, 16)) AS bit) g),
+      |s AS (SELECT doc_id, bit, SUM(w) AS sw FROM b GROUP BY doc_id, bit),
+      |sims AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN sw > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM s GROUP BY doc_id)""".stripMargin
+
   /** Language-ID marker sets — honest stopword heuristics. */
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
@@ -293,32 +325,54 @@ object TextOpsQueries {
 
     "dedup_simhash" -> Q(
       "SimHash (16-bit) document signatures: md5-nibble majority vote over distinct tokens",
+      (s, dir) => simhashOf(s, dir).orderBy(col("doc_id")),
+      s"""WITH $SimhashSqlCtes
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin),
+
+    "dedup_simhash_near" -> Q(
+      "SimHash near-dup pairs: 4×4-bit band blocking (lossless for Hamming ≤ 3 by pigeonhole) + exact bit_count verify",
       (s, dir) => {
-        val toks = T.documentsSpread(s, dir)
-          .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-          .withColumn("h", md5(col("tok")))
-        val bits = toks
-          .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("bit"))
-          .withColumn("w", simhashNibbleWeight(col("h"), col("bit")))
-        bits.groupBy(col("doc_id"), col("bit"))
-          .agg(sum(col("w")).as("sw"))
-          .groupBy(col("doc_id"))
-          .agg(sum(when(col("sw") > 0, expr("shiftleft(1, bit)").cast("long"))
-            .otherwise(0L)).as("simhash"))
-          .orderBy(col("doc_id"))
+        val sims = simhashOf(s, dir).persist()
+        // band b value = bits [4b, 4b+4) of the signature; any pair with
+        // Hamming distance ≤ 3 differs in at most 3 bands, so it must
+        // agree exactly on at least one — candidate generation is lossless.
+        val bands = sims.select(col("doc_id"), col("simhash"),
+            explode(array((0 until 4).map(lit): _*)).as("b"))
+          .withColumn("bv", expr("shiftright(simhash, b * 4) % 16"))
+        val cand = bands.select(col("doc_id").as("a_id"), col("b"), col("bv"))
+          .join(bands.select(col("doc_id").as("b_id"), col("b"), col("bv")),
+            Seq("b", "bv"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        // The templated corpus makes 16-bit signatures collide heavily, so
+        // the full pair list is quadratic-ish; report the distance
+        // histogram — the operator pipeline (band block + exact verify) is
+        // identical, the output stays O(max distance).
+        cand
+          .join(sims.select(col("doc_id").as("a_id"), col("simhash").as("sa")), Seq("a_id"))
+          .join(sims.select(col("doc_id").as("b_id"), col("simhash").as("sb")), Seq("b_id"))
+          .select(bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("hamming"))
       },
-      """WITH t AS (
-        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, g.bit,
-        |    CASE WHEN instr('13579bdf', substr(md5(tok), g.bit + 1, 1)) > 0
-        |      THEN 1 ELSE -1 END AS w
-        |  FROM t, (SELECT unnest(range(0, 16)) AS bit) g),
-        |s AS (SELECT doc_id, bit, SUM(w) AS sw FROM b GROUP BY doc_id, bit)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN sw > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      s"""WITH $SimhashSqlCtes,
+         |bands AS (
+         |  SELECT doc_id, simhash, g.b, (simhash >> (g.b * 4)) % 16 AS bv
+         |  FROM sims, (SELECT unnest(range(0, 4)) AS b) g),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv
+         |   AND x.doc_id < y.doc_id)
+         |SELECT hamming, COUNT(*) AS n_pairs FROM (
+         |  SELECT CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         |  FROM cand
+         |  JOIN sims sa ON cand.a_id = sa.doc_id
+         |  JOIN sims sb ON cand.b_id = sb.doc_id)
+         |WHERE hamming <= 3
+         |GROUP BY hamming
+         |ORDER BY hamming""".stripMargin),
 
     "curation_pipeline" -> Q(
       "Composite training-data curation: quality gate → exact dedup → MinHash-LSH near-dup removal (greedy keep-lowest-id), the end-to-end 100 TB document pipeline",
