@@ -374,6 +374,43 @@ object TextOpsQueries {
          |GROUP BY hamming
          |ORDER BY hamming""".stripMargin),
 
+    "text_tfidf" -> Q(
+      "TF-IDF-style top-3 terms per document: tf × N/df rarity weighting (rational IDF — java Math.log and libm ln disagree in the last ulp, so the classic ln(N/df) cannot hash-match cross-engine; the rational form is bit-exact double mul/div), ranking window with deterministic tie-break",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = T.documentsSpread(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val n = T.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))
+        tf.join(broadcast(dfreq), Seq("tok"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tok"),
+            (col("tf").cast("double") * col("n_docs").cast("double")
+              / col("df").cast("double")).as("score"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "rnk", "tok", "score")
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, rnk, tok, score FROM (
+        |  SELECT doc_id, tok,
+        |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+        |        tok) AS rnk
+        |  FROM tf JOIN dfreq USING (tok), n)
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin),
+
     "curation_pipeline" -> Q(
       "Composite training-data curation: quality gate → exact dedup → MinHash-LSH near-dup removal (greedy keep-lowest-id), the end-to-end 100 TB document pipeline",
       (s, dir) => {
