@@ -418,6 +418,29 @@ object AnalyticsQueries {
       },
       None),
 
+    "feat1_quantile_bins" -> Q(
+      "Feature engineering: decile binning of order values (ntile over a deterministic total order) with per-bin count, bounds, exact mean",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        T.orders(s, dir)
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            (sum(dec(col("o_totalprice"), 2)).cast("double")
+              / count(lit(1)).cast("double")).as("mean_v"))
+          .orderBy(col("decile"))
+      },
+      """SELECT decile, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_v
+        |FROM (SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |GROUP BY decile ORDER BY decile""".stripMargin),
+
     "g5_funnel" -> Q(
       "Two-step funnel: users whose first 'click' precedes a later 'purchase' — conditional-min aggregation, one pass over events",
       (s, dir) => {

@@ -411,6 +411,47 @@ object TextOpsQueries {
         |WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin),
 
+    "text_cooccur" -> Q(
+      "Token co-occurrence with rational lift: top-20 within-document token pairs scored by P(a,b)/(P(a)P(b)) — the association-mining shape (PMI without the ln, which is not bit-portable)",
+      (s, dir) => {
+        val docToks = T.documentsSpread(s, dir)
+          .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+          .persist()
+        val tokDocs = docToks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+        val n = T.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        // within-doc pair generation: self-join blocked by doc_id — the
+        // shuffle key is the document, pairs never leave their block
+        val pairs = docToks.select(col("doc_id"), col("tok").as("a"))
+          .join(docToks.select(col("doc_id"), col("tok").as("b")), Seq("doc_id"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(tokDocs.select(col("tok").as("a"), col("n_tok").as("n_a"))), Seq("a"))
+          .join(broadcast(tokDocs.select(col("tok").as("b"), col("n_tok").as("n_b"))), Seq("b"))
+          .crossJoin(broadcast(n))
+          .select(col("a"), col("b"), col("n_ab"),
+            (col("n_ab").cast("double") * col("n_docs").cast("double")
+              / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+          .orderBy(col("n_ab").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |td AS (SELECT tok, COUNT(*) AS n_tok FROM dt GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT x.tok AS a, y.tok AS b, COUNT(*) AS n_ab
+        |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.tok < y.tok
+        |  GROUP BY x.tok, y.tok)
+        |SELECT a, b, n_ab,
+        |  CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |    / (CAST(ta.n_tok AS DOUBLE) * CAST(tb.n_tok AS DOUBLE)) AS lift
+        |FROM pairs
+        |JOIN td ta ON pairs.a = ta.tok
+        |JOIN td tb ON pairs.b = tb.tok, n
+        |ORDER BY n_ab DESC, a, b LIMIT 20""".stripMargin),
+
     "curation_pipeline" -> Q(
       "Composite training-data curation: quality gate → exact dedup → MinHash-LSH near-dup removal (greedy keep-lowest-id), the end-to-end 100 TB document pipeline",
       (s, dir) => {
