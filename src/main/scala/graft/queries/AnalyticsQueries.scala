@@ -418,6 +418,68 @@ object AnalyticsQueries {
       },
       None),
 
+    "ts1_rolling_stats" -> Q(
+      "Rolling time-series features: per-user 7-event trailing exact mean and count over the event timeline (framed window, decimal-exact arithmetic)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        T.events(s, dir)
+          .filter(col("user_id") < 20L)
+          .select(col("user_id"), col("event_id"),
+            date_trunc("second", col("ts")).as("ts_sec"), col("value"))
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            count(lit(1)).over(w).as("n_window"),
+            (sum(dec(col("value"), 4)).over(w).cast("double")
+              / count(lit(1)).over(w).cast("double")).as("rolling_mean"))
+          .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+      },
+      """SELECT user_id, event_id, ts_sec,
+        |  COUNT(*) OVER w AS n_window,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / CAST(COUNT(*) OVER w AS DOUBLE) AS rolling_mean
+        |FROM (SELECT user_id, event_id, date_trunc('second', ts) AS ts_sec, value
+        |  FROM events WHERE user_id < 20)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_sec, event_id""".stripMargin),
+
+    "q6_anomaly" -> Q(
+      "3-sigma anomaly counts per event type: exact-moment mean/stddev (decimal Σx, Σx², sqrt is IEEE-exact) joined back as a row-local predicate",
+      (s, dir) => {
+        val x = dec(col("value"), 4)
+        val stats = T.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(x * x).cast("double").as("sxx"))
+          .select(col("event_type"),
+            (col("sx") / col("n").cast("double")).as("mean_v"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+              / (col("n").cast("double") - lit(1.0))).as("sd"))
+        T.events(s, dir)
+          .join(broadcast(stats), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("value") > col("mean_v") + lit(3.0) * col("sd"), 1))
+              .as("n_anomalies"))
+          .orderBy(col("event_type"))
+      },
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mean_v,
+        |    sqrt((CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |        - CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |          * CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT events.event_type AS event_type, COUNT(*) AS n_events,
+        |  COUNT(CASE WHEN value > mean_v + 3.0 * sd THEN 1 END) AS n_anomalies
+        |FROM events JOIN stats ON events.event_type = stats.event_type
+        |GROUP BY events.event_type ORDER BY event_type""".stripMargin),
+
     "feat1_quantile_bins" -> Q(
       "Feature engineering: decile binning of order values (ntile over a deterministic total order) with per-bin count, bounds, exact mean",
       (s, dir) => {
