@@ -418,6 +418,29 @@ object AnalyticsQueries {
       },
       None),
 
+    "c18_mode" -> Q(
+      "Deterministic mode: most frequent order priority per status, ties broken by smallest value (engines' native mode() leaves ties undefined — spelled out as count-then-argmax instead)",
+      (s, dir) => {
+        val counts = T.orders(s, dir)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy(col("o_orderstatus"))
+          .agg(max(struct(col("c"), col("o_orderpriority"))).as("m"))
+          .select(col("o_orderstatus"),
+            col("m.o_orderpriority").as("mode_priority"),
+            col("m.c").as("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      // struct max = (highest count, then lexicographically LARGEST value);
+      // the oracle spells the identical argmax as a ranking window
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, c AS n FROM (
+        |  SELECT o_orderstatus, o_orderpriority, c,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY c DESC, o_orderpriority DESC) AS rn
+        |  FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        |    FROM orders GROUP BY 1, 2))
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin),
+
     "ts1_rolling_stats" -> Q(
       "Rolling time-series features: per-user 7-event trailing exact mean and count over the event timeline (framed window, decimal-exact arithmetic)",
       (s, dir) => {
