@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
 object TextOpsQueries {
 
   /** Shared DuckDB fragments. */
-  private val ToksSql = "string_split(text, ' ')"
-  private def shinglesSql(toks: String, k: Int): String =
+  private[queries] val ToksSql = "string_split(text, ' ')"
+  private[queries] def shinglesSql(toks: String, k: Int): String =
     s"""(CASE WHEN len($toks) <= $k THEN [array_to_string($toks, ' ')]
        | ELSE list_transform(range(1, len($toks) - ${k - 2}),
        |        i -> ${(0 until k).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")})
@@ -73,6 +73,79 @@ object TextOpsQueries {
   private def markersSqlList(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ",", "]")
 
+  /** Verified near-duplicate pairs `(a_id < b_id, jac ≥ 0.8)` from the
+    * MinHash-LSH pipeline — the engine's canonical near-dup edge set,
+    * shared by `dedup_minhash_lsh` and the connected-components
+    * clustering in [[PipelineQueries]] (`dedup_cluster_cc`).
+    *
+    * Shape notes (the 100×-survival properties): arrays are staged once
+    * per projection, the band join carries only (id, band) pairs — never
+    * token arrays — and token sets are re-attached after the candidate
+    * `distinct`, so shuffle volume is 16-byte id pairs.
+    */
+  private[queries] def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val staged = T.documentsSpread(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(col("toks"))).as("tset"),
+        minhashSignature(col("sh"), 4).as("sig"))
+      .select(col("doc_id"), col("tset"), lshBands(col("sig"), 4, 2).as("bands"))
+      // The signature table is reused by four plan branches (two band
+      // sides, two token-set sides); persist it once instead of
+      // recomputing the md5 minhash pipeline per branch. Tiny relative
+      // to the corpus: (id, distinct tokens, 2 band strings) per doc.
+      .persist()
+    // Explode over literal band indices, NOT posexplode(bands): a
+    // generator over a computed array makes Catalyst infer a
+    // `size(bands) > 0` filter and push the whole minhash expression
+    // tree below the projections, recomputing it per row per band.
+    val bandRows = staged
+      .select(col("doc_id"), col("bands"),
+        explode(array(lit(0), lit(1))).as("band_idx"))
+      .select(col("doc_id"), col("band_idx"),
+        element_at(col("bands"), col("band_idx") + 1).as("band_val"))
+    val cand = bandRows.select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"))
+      .join(bandRows.select(col("doc_id").as("b_id"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val tsets = staged.select(col("doc_id"), col("tset"))
+    cand
+      .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
+      .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.ArrayFunctions.jaccardSorted(col("ta"), col("tb")).as("jac"))
+      .filter(col("jac") >= 0.8)
+  }
+
+  /** DuckDB CTE chain ending in `pairs(a_id, b_id, jac)` — the oracle twin
+    * of [[lshNearDupPairs]]. */
+  private[queries] val LshPairsSqlCtes: String =
+    s"""sigs AS (
+       |  SELECT doc_id, list_distinct($ToksSql) AS tset,
+       |    ${(0 until 4).map(seed =>
+          s"${minhashSql(shinglesSql(ToksSql, 3), seed)} AS m$seed").mkString(", ")}
+       |  FROM documents),
+       |bands AS (
+       |  SELECT doc_id, tset, 0 AS band_idx, m0 || m1 AS band_val FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, tset, 1 AS band_idx, m2 || m3 AS band_val FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tset AS ta, b.tset AS tb
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id, jac FROM (
+       |    SELECT a_id, b_id,
+       |      CASE WHEN len(ta) + len(tb) - len(list_intersect(ta, tb)) = 0 THEN 0.0
+       |        ELSE len(list_intersect(ta, tb))::DOUBLE
+       |             / (len(ta)::DOUBLE + len(tb)::DOUBLE - len(list_intersect(ta, tb))::DOUBLE)
+       |      END AS jac
+       |    FROM cand)
+       |  WHERE jac >= 0.8)""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     "text_token_count" -> Q(
@@ -121,69 +194,9 @@ object TextOpsQueries {
 
     "dedup_minhash_lsh" -> Q(
       "MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join→exact Jaccard verify",
-      (s, dir) => {
-        // Stage the arrays once (each projection materializes its column
-        // exactly once), band-join on ids only, and re-attach token sets
-        // after the candidate dedup — at scale this shuffles 16-byte id
-        // pairs, not token arrays.
-        val staged = T.documentsSpread(s, dir)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
-          .select(col("doc_id"),
-            array_sort(array_distinct(col("toks"))).as("tset"),
-            minhashSignature(col("sh"), 4).as("sig"))
-          .select(col("doc_id"), col("tset"), lshBands(col("sig"), 4, 2).as("bands"))
-          // The signature table is reused by four plan branches (two band
-          // sides, two token-set sides); persist it once instead of
-          // recomputing the md5 minhash pipeline per branch. Tiny relative
-          // to the corpus: (id, distinct tokens, 2 band strings) per doc.
-          .persist()
-        // Explode over literal band indices, NOT posexplode(bands): a
-        // generator over a computed array makes Catalyst infer a
-        // `size(bands) > 0` filter and push the whole minhash expression
-        // tree below the projections, recomputing it per row per band.
-        val bandRows = staged
-          .select(col("doc_id"), col("bands"),
-            explode(array(lit(0), lit(1))).as("band_idx"))
-          .select(col("doc_id"), col("band_idx"),
-            element_at(col("bands"), col("band_idx") + 1).as("band_val"))
-        val cand = bandRows.select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"))
-          .join(bandRows.select(col("doc_id").as("b_id"), col("band_idx"), col("band_val")),
-            Seq("band_idx", "band_val"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val tsets = staged.select(col("doc_id"), col("tset"))
-        cand
-          .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
-          .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"),
-            graft.functions.ArrayFunctions.jaccardSorted(col("ta"), col("tb")).as("jac"))
-          .filter(col("jac") >= 0.8)
-          .orderBy(col("a_id"), col("b_id"))
-      },
-      s"""WITH sigs AS (
-         |  SELECT doc_id, list_distinct($ToksSql) AS tset,
-         |    ${(0 until 4).map(seed =>
-              s"${minhashSql(shinglesSql(ToksSql, 3), seed)} AS m$seed").mkString(", ")}
-         |  FROM documents),
-         |bands AS (
-         |  SELECT doc_id, tset, 0 AS band_idx, m0 || m1 AS band_val FROM sigs
-         |  UNION ALL
-         |  SELECT doc_id, tset, 1 AS band_idx, m2 || m3 AS band_val FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tset AS ta, b.tset AS tb
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |   AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, jac FROM (
-         |  SELECT a_id, b_id,
-         |    CASE WHEN len(ta) + len(tb) - len(list_intersect(ta, tb)) = 0 THEN 0.0
-         |      ELSE len(list_intersect(ta, tb))::DOUBLE
-         |           / (len(ta)::DOUBLE + len(tb)::DOUBLE - len(list_intersect(ta, tb))::DOUBLE)
-         |    END AS jac
-         |  FROM cand)
-         |WHERE jac >= 0.8
-         |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => lshNearDupPairs(s, dir).orderBy(col("a_id"), col("b_id")),
+      s"""WITH $LshPairsSqlCtes
+         |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin),
 
     "dedup_ngram_jaccard" -> Q(
       "n-gram Jaccard near-dup: source-blocked pairwise 2-gram shingle-set similarity",
