@@ -31,9 +31,23 @@ object TextOpsQueries {
   private val QueryTerms = Seq("spark", "join", "window")
 
   /** (doc_id, simhash): 16-bit md5-nibble majority-vote signature per
-    * document — shared by `dedup_simhash` and `dedup_simhash_near`. */
-  private def simhashOf(s: SparkSession, dir: String): DataFrame = {
-    val toks = T.documentsSpread(s, dir)
+    * document — shared by `dedup_simhash` and `dedup_simhash_near`.
+    * One-pass codegen'd [[graft.functions.SimHash16]] over the distinct
+    * token array: no row explosion, no shuffle (the round-2 form exploded
+    * tokens×16 bit-rows through two hash-agg shuffles). The `isNotNull`
+    * filter preserves the groupBy form's drop-document-on-null-text
+    * behavior (unreachable from real data; pinned in PropertySpec). */
+  private def simhashOf(s: SparkSession, dir: String): DataFrame =
+    T.documentsSpread(s, dir)
+      .select(col("doc_id"),
+        graft.functions.SimHash16.simhash16(array_distinct(tokens(col("text"))))
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** Declarative twin of [[simhashOf]] (round-2 explode×16 groupBy form) —
+    * kept ONLY as the PropertySpec equality oracle for [[SimHash16]]. */
+  private[graft] def simhashOfSpec(df: DataFrame): DataFrame = {
+    val toks = df
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val bits = toks

@@ -169,6 +169,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SimHash16 expression == declarative explode×16 groupBy pipeline") {
+    import graft.functions.SimHash16.simhash16
+    val texts = Seq("a b c d e f g", "one", "x y x y x y",
+      "the quick brown fox jumps over the lazy dog", "") ++
+      (1 to 200).map(_ => randString(80))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = df.select(col("doc_id"),
+      simhash16(array_distinct(tokens(col("text")))).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val spec = graft.queries.TextOpsQueries.simhashOfSpec(df)
+      .as[(Long, Long)].collect().toMap
+    // groupBy form drops token-less docs; split("", " ") = [""] so every
+    // doc appears on both sides here
+    assert(spec.keySet == fast.keySet)
+    spec.foreach { case (id, sig) =>
+      assert(fast(id) == sig, s"simhash mismatch on doc $id: ${texts(id.toInt)}")
+    }
+    // null-array semantics: expression → NULL (filtered by callers), and a
+    // null *element* weighs −1 on every bit like the declarative weight
+    val edge = spark.sql(
+      """SELECT CAST(NULL AS ARRAY<STRING>) AS a
+        |UNION ALL SELECT array('x', CAST(NULL AS STRING))""".stripMargin)
+      .select(simhash16(col("a")).as("s")).collect()
+    assert(edge.exists(_.isNullAt(0)))
+  }
+
   test("null-input parity: bucketCol and minhashSignature equal their declarative specs") {
     import graft.functions.TextFunctions.{minhashSignature, minhashSignatureSpec}
     import graft.queries.VectorSearchQueries
