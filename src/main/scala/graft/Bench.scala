@@ -18,18 +18,23 @@ object Bench {
     // the one a long-lived cluster actually runs in: plans are re-planned
     // per query here (nothing is result-cached — every timed run scans the
     // parquet and recomputes), but code and metadata caches are hot.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // optional dev-only subset filter (the driver never sets it)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    val bench = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    bench.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // Per query: best of two timed runs. Single-run timings on a shared
-    // box swing ±40% from GC pauses and scheduler jitter; min-of-2 is the
+    // Per query: best of three timed runs. Single-run timings on a shared
+    // box swing ±40% from GC pauses and scheduler jitter; min-of-N is the
     // standard way to report the repeatable cost. Every timed run starts
     // from a cleared cache — queries persist() internal stages, and the
     // CacheManager matches them by logical-plan equality, so without the
     // clear a timed run would read a previous run's materialized data
     // instead of recomputing.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val results = bench.map { case (name, fn) =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

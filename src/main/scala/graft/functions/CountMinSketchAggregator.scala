@@ -80,7 +80,36 @@ object CountMinSketchAggregator {
     if (est == Long.MaxValue) 0L else est
   }
 
-  /** Untyped column form: `df.agg(countMinSketch(w, d, col))` → array<long>. */
+  /** Untyped column form: `df.agg(countMinSketch(w, d, col))` → array<long>.
+    *
+    * NOTE: the udaf path funnels every row through an encoder round-trip of
+    * the full depth×width buffer — fine for correctness tests, wrong for the
+    * hot path. Production queries use [[sketchPartitioned]]. */
   def countMinSketch(width: Int, depth: Int, key: Column): Column =
     udaf(new CountMinSketchAggregator(width, depth)).apply(key)
+
+  /** The hot-path form: ONE mutable sketch per partition, updated in place
+    * per row (plain array stores, no buffer serialization), merged once per
+    * partition up a 2-level tree. Output is bit-identical to the udaf form
+    * (integer adds are associative/commutative) — pinned in CmsSpec.
+    * This is the shape that holds at 100 TB: the driver receives
+    * `treeDepth`-level partial merges of fixed 640 KB arrays, never rows.
+    */
+  def sketchPartitioned(
+      keys: org.apache.spark.sql.Dataset[String],
+      width: Int, depth: Int): Array[Long] =
+    keys.rdd.treeAggregate(new Array[Long](width * depth))(
+      seqOp = (buf, key) => {
+        if (key != null) {
+          var d = 0
+          while (d < depth) { buf(d * width + cell(key, d, width)) += 1L; d += 1 }
+        }
+        buf
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      },
+      depth = 2)
 }

@@ -336,16 +336,20 @@ object AnalyticsQueries {
         import graft.functions.CountMinSketchAggregator
         import graft.functions.TextFunctions._
         val W = 16384; val D = 5
-        val toks = T.documentsSpread(s, dir)
+        // Tokens are derived twice (sketch pass + exact pass) instead of
+        // persisted: re-scanning the columnar source and re-splitting is
+        // cheaper than materializing the exploded token stream in the
+        // block manager, and leaves no cached blocks behind.
+        def toks = T.documentsSpread(s, dir)
           .select(explode(tokens(col("text"))).as("tok"))
-          .persist() // the sketch pass and the exact top-20 pass share it
         // The sketch is an index-like artifact: fixed 640 KB regardless of
         // corpus size (the whole point at 100 TB). Collecting it to the
         // driver is the same boundary IvfIndex.train crosses for its
-        // centroids.
-        val sketch = toks.agg(CountMinSketchAggregator
-            .countMinSketch(W, D, col("tok")).as("sk"))
-          .head().getSeq[Long](0).toArray
+        // centroids. Partition-local sketches merged once (treeAggregate)
+        // — the udaf form round-tripped the full 640 KB buffer per row.
+        import s.implicits._
+        val sketch = CountMinSketchAggregator
+          .sketchPartitioned(toks.as[String], W, D)
         val est = udf((t: String) =>
           CountMinSketchAggregator.estimate(sketch, t, W, D))
         toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))

@@ -48,6 +48,18 @@ class CmsSpec extends SparkSpec {
     }
   }
 
+  test("sketchPartitioned (treeAggregate hot path) == udaf sketch, bit for bit") {
+    import spark.implicits._
+    Seq((64, 3), (16384, 5)).foreach { case (w, d) =>
+      val viaUdaf = sketchOf(w, d)
+      val viaTree = CountMinSketchAggregator.sketchPartitioned(
+        Tables.documents(spark, sf)
+          .select(explode(tokens(col("text"))).as("tok")).as[String],
+        w, d)
+      assert(viaTree.sameElements(viaUdaf), s"sketch divergence at w=$w d=$d")
+    }
+  }
+
   test("absent key estimates zero (or pure collision mass) and sketch sums are row-consistent") {
     val (w, d) = (16384, 5)
     val sk = sketchOf(w, d)
