@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list, by
+  * iterative min-id label propagation with pointer jumping — the
+  * pair→cluster resolution step a near-dup dedup pipeline needs between
+  * "LSH emitted similar pairs" and "keep one document per duplicate
+  * cluster" (a pair list alone over-deletes when clusters overlap:
+  * a–b, b–c must resolve to ONE cluster {a,b,c} with canonical min-id a,
+  * not to "drop the right-hand side of every pair").
+  *
+  * Algorithm (no GraphX, no driver-side row iteration — every step is a
+  * hash-partitioned join/agg on the id key):
+  *
+  *  1. `label(v) ← min(label(v), min over neighbors u of label(u))`
+  *     — one edge⋈label join + min-agg;
+  *  2. `label(v) ← label(label(v))` (pointer jumping) — one label⋈label
+  *     join. Halves the depth of every label-forwarding chain, so
+  *     convergence is O(log diameter) rounds instead of O(diameter);
+  *     each round is a fixed number of shuffles on the id key.
+  *
+  * The driver loop only issues a per-round `count()` to test convergence
+  * (labels changed = 0) — the classic Pregel-style control flow; label
+  * data never leaves the executors. Each round's labels are eagerly
+  * lineage-truncated (localCheckpoint), so plan depth stays constant
+  * across rounds. At 100 TB scale the same loop holds: shuffle volume per round is
+  * |V|+|E| fixed-width (id, label) longs, and the round count is
+  * logarithmic in the largest near-dup chain (for templated/crawled
+  * corpora, effectively ≤ ~20 rounds for billions of docs).
+  *
+  * Reference analog: none — the reference dedups by exact `message_id`
+  * upsert only (src/database.py:88-94); this is the scale path for
+  * near-dup corpora. Literature: Kiveris et al., "Connected Components in
+  * MapReduce and Beyond" (the large-star/small-star family; min-label +
+  * pointer-jumping is the two-phase variant).
+  */
+object ConnectedComponents {
+
+  /** Resolve components of the undirected graph given as `(a_id, b_id)`
+    * pairs. Returns one row per node appearing in any pair:
+    * `(doc_id, cluster_id)` where `cluster_id` is the minimum doc_id in
+    * the node's component. The result is persisted (callers run straight
+    * into aggregations/joins over it); Verify/Bench clear the cache
+    * between materializations per the documented harness contract.
+    */
+  def resolve(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .union(pairs
+        .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .persist()
+    // Every round's result is lineage-truncated (eager localCheckpoint):
+    // the pointer-jumping self-join references the round's plan TWICE, so
+    // without truncation the logical plan doubles per round — exponential
+    // tree growth that stalls the optimizer long before data size matters.
+    // Iterative dataflows must cut lineage each round; on a cluster with
+    // executor-loss concerns use reliable `checkpoint()` with a checkpoint
+    // dir instead (same call shape).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // step 1: min over self + neighborhood
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val step1 = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id").as("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // step 2: pointer jumping — label values are always node ids (they
+      // start as ids and min-propagation only moves existing ids), so the
+      // self-join always matches
+      val jump = step1.select(col("id").as("jid"), col("label").as("jlabel"))
+      val next = step1.join(jump, step1("label") === jump("jid"))
+        .select(step1("id").as("id"), col("jlabel").as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Canonical-keep form: the set of doc_ids to DROP — every member of a
+    * component except its minimum id. `docs anti-join dropSet` is then the
+    * deduplicated corpus. */
+  def dropSet(pairs: DataFrame): DataFrame =
+    resolve(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+}

@@ -480,7 +480,7 @@ object TextOpsQueries {
         |ORDER BY n_ab DESC, a, b LIMIT 20""".stripMargin),
 
     "curation_pipeline" -> Q(
-      "Composite training-data curation: quality gate → exact dedup → MinHash-LSH near-dup removal (greedy keep-lowest-id), the end-to-end 100 TB document pipeline",
+      "Composite training-data curation: quality gate → exact dedup → MinHash-LSH near-dup cluster resolution (connected components, keep component-minimum id), the end-to-end 100 TB document pipeline",
       (s, dir) => {
         // Stage 1: quality gate (uniq-token ratio and length floor).
         val toks = tokens(col("text"))
@@ -506,7 +506,11 @@ object TextOpsQueries {
           .select(col("doc_id"), col("toks"))
           .persist()
         // Stage 3: near-dup removal — MinHash bands over survivors, exact
-        // Jaccard ≥ 0.8 verify, greedy drop of the higher id of each pair.
+        // Jaccard ≥ 0.8 verify, then CLUSTER resolution: connected
+        // components over the verified pairs, keep the component-minimum
+        // id. (Round 2 greedily dropped every b_id of a pair, which
+        // over-deletes on overlapping clusters — a–b, b–c must keep
+        // exactly a, as one three-member cluster.)
         val staged = exact
           .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
           .select(col("doc_id"),
@@ -525,17 +529,18 @@ object TextOpsQueries {
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
         val tsets = staged.select(col("doc_id"), col("tset"))
-        val dupBs = cand
+        val pairs = cand
           .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
           .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
           .filter(graft.functions.ArrayFunctions
             .jaccardSorted(col("ta"), col("tb")) >= 0.8)
-          .select(col("b_id").as("doc_id")).distinct()
+          .select(col("a_id"), col("b_id"))
+        val drop = graft.operators.ConnectedComponents.dropSet(pairs)
         exact.select(col("doc_id"))
-          .join(dupBs, Seq("doc_id"), "left_anti")
+          .join(drop, Seq("doc_id"), "left_anti")
           .orderBy(col("doc_id"))
       },
-      s"""WITH quality AS (
+      s"""WITH RECURSIVE quality AS (
          |  SELECT doc_id, text, $ToksSql AS toks FROM documents
          |  WHERE len($ToksSql) >= 20
          |    AND len(list_distinct($ToksSql))::DOUBLE / len($ToksSql)::DOUBLE >= 0.15),
@@ -556,12 +561,13 @@ object TextOpsQueries {
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tset AS ta, b.tset AS tb
          |  FROM bands a JOIN bands b
          |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |dup_bs AS (
-         |  SELECT DISTINCT b_id AS doc_id FROM cand
+         |pairs AS (
+         |  SELECT a_id, b_id FROM cand
          |  WHERE len(list_intersect(ta, tb))::DOUBLE
-         |    / (len(ta)::DOUBLE + len(tb)::DOUBLE - len(list_intersect(ta, tb))::DOUBLE) >= 0.8)
+         |    / (len(ta)::DOUBLE + len(tb)::DOUBLE - len(list_intersect(ta, tb))::DOUBLE) >= 0.8),
+         |${PipelineQueries.CcSqlCtes}
          |SELECT doc_id FROM exact
-         |WHERE doc_id NOT IN (SELECT doc_id FROM dup_bs)
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE cluster_id <> id)
          |ORDER BY doc_id""".stripMargin),
 
     "text_top_tokens" -> Q(
