@@ -508,7 +508,7 @@ object AnalyticsQueries {
         |GROUP BY events.event_type ORDER BY event_type""".stripMargin),
 
     "feat1_quantile_bins" -> Q(
-      "Feature engineering: decile binning of order values (ntile over a deterministic total order) with per-bin count, bounds, exact mean",
+      "Feature engineering: decile binning of order values (ntile over a deterministic total order) with per-bin count, bounds, exact mean. Small-data form: the no-partition window is a single-partition sort — use feat1_quantile_bins_scale beyond memory scale",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -529,6 +529,44 @@ object AnalyticsQueries {
         |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
         |  FROM orders)
         |GROUP BY decile ORDER BY decile""".stripMargin),
+
+    "feat1_quantile_bins_scale" -> Q(
+      "Scale-safe decile binning: exact percentile cut points (one aggregate) broadcast to a row-local bucket assignment — no global sort. The ntile form above is the small-data twin; at 100 TB swap percentile -> approx_percentile (identical plumbing, sketch-mergeable cuts)",
+      (s, dir) => {
+        // Cut points are ONE aggregate over the table (9 doubles), then
+        // every row buckets itself against the broadcast array — the
+        // shape that survives 100 TB, unlike ntile's single-partition
+        // window sort. Value-boundary semantics (ties share a bin), so
+        // bin populations need not be exactly n/10 like ntile's.
+        // Spark percentile() is bit-identical to DuckDB quantile_cont
+        // (pinned by the c14_quartiles oracle), so strict `>` comparisons
+        // against the cuts agree cross-engine.
+        val cuts = T.orders(s, dir)
+          .agg(expr(s"percentile(o_totalprice, array(${(1 to 9).map(_ / 10.0).mkString(",")}))")
+            .as("cs"))
+        T.orders(s, dir)
+          .crossJoin(broadcast(cuts))
+          .withColumn("bin",
+            (lit(1) + size(filter(col("cs"), c => col("o_totalprice") > c)))
+              .cast("long"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            (sum(dec(col("o_totalprice"), 2)).cast("double")
+              / count(lit(1)).cast("double")).as("mean_v"))
+          .orderBy(col("bin"))
+      },
+      s"""WITH cuts AS (
+         |  SELECT quantile_cont(o_totalprice, [${(1 to 9).map(_ / 10.0).mkString(",")}]) AS cs
+         |  FROM orders)
+         |SELECT bin, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mean_v
+         |FROM (SELECT o_totalprice,
+         |    CAST(1 + len(list_filter(cs, c -> o_totalprice > c)) AS BIGINT) AS bin
+         |  FROM orders, cuts)
+         |GROUP BY bin ORDER BY bin""".stripMargin),
 
     "g5_funnel" -> Q(
       "Two-step funnel: users whose first 'click' precedes a later 'purchase' — conditional-min aggregation, one pass over events",

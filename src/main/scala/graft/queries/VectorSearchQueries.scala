@@ -79,19 +79,83 @@ object VectorSearchQueries {
     (emb, q)
   }
 
+  /** Exact cosine top-10 for query vec 0 (d1_knn body; recall baseline). */
+  private def exactKnn10(s: SparkSession, dir: String): DataFrame = {
+    val (emb, q) = withQuery(s, dir)
+    emb.filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosineSim(col("embedding"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** LSH-bucketed approximate top-10 (ann_lsh_knn body). */
+  private def lshKnn10(s: SparkSession, dir: String): DataFrame = {
+    val emb = T.embeddings(s, dir)
+    val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))
+    val q = withBucket.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+    withBucket
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket") && col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        cosineSim(col("embedding"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Multi-probe LSH approximate top-10 (ann_lsh_multiprobe body):
+    * query bucket plus all Hamming-1 neighbour buckets. */
+  private def multiprobeKnn10(s: SparkSession, dir: String): DataFrame = {
+    val emb = T.embeddings(s, dir)
+    val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))
+    val q = withBucket.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qv"), col("bucket").as("qb"))
+    // Probe set: qb and qb with each bit flipped.
+    val flips = (0 until NPlanes).map { i =>
+      concat(
+        substring(col("qb"), 1, i),
+        when(substring(col("qb"), i + 1, 1) === "0", lit("1")).otherwise(lit("0")),
+        substring(col("qb"), i + 2, NPlanes))
+    }
+    val probes = q.select(col("qv"),
+      explode(array(col("qb") +: flips: _*)).as("probe"))
+    withBucket
+      .join(broadcast(probes), col("bucket") === col("probe"))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        cosineSim(col("embedding"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF-pruned approximate top-10 (ann_ivf_knn body). */
+  private def ivfKnn10(s: SparkSession, dir: String): DataFrame = {
+    val emb = T.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val wRep = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val reps = emb.withColumn("rn", row_number().over(wRep))
+      .filter(col("rn") === 1)
+      .select(col("label").as("rep_label"), col("embedding").as("rep"))
+    val best = reps.crossJoin(broadcast(q))
+      .select(col("rep_label"), cosineSim(col("rep"), col("qv")).as("rsim"))
+      .orderBy(col("rsim").desc, col("rep_label"))
+      .limit(1)
+    emb.join(broadcast(best), col("label") === col("rep_label"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        cosineSim(col("embedding"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     "d1_knn" -> Q(
       "D1 exact k-NN by cosine similarity (reference: src/database.py:168-184, pgvector <=> scan)",
-      (s, dir) => {
-        val (emb, q) = withQuery(s, dir)
-        emb.filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"),
-            cosineSim(col("embedding"), col("qv")).as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(10)
-      },
+      (s, dir) => exactKnn10(s, dir),
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
          |FROM embeddings, q
@@ -142,19 +206,7 @@ object VectorSearchQueries {
 
     "ann_lsh_knn" -> Q(
       "ANN: random-hyperplane LSH bucket pre-filter + exact rerank — the 100 TB scale path for D1",
-      (s, dir) => {
-        val emb = T.embeddings(s, dir)
-        val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))
-        val q = withBucket.filter(col("vec_id") === 0L)
-          .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
-        withBucket
-          .crossJoin(broadcast(q))
-          .filter(col("bucket") === col("qbucket") && col("vec_id") =!= 0L)
-          .select(col("vec_id"),
-            cosineSim(col("embedding"), col("qv")).as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(10)
-      },
+      (s, dir) => lshKnn10(s, dir),
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
          |q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
          |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
@@ -164,28 +216,7 @@ object VectorSearchQueries {
 
     "ann_lsh_multiprobe" -> Q(
       "ANN: multi-probe LSH — query bucket plus all Hamming-1 neighbour buckets, then exact rerank (recall-tunable scale path)",
-      (s, dir) => {
-        val emb = T.embeddings(s, dir)
-        val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))
-        val q = withBucket.filter(col("vec_id") === 0L)
-          .select(col("embedding").as("qv"), col("bucket").as("qb"))
-        // Probe set: qb and qb with each bit flipped.
-        val flips = (0 until NPlanes).map { i =>
-          concat(
-            substring(col("qb"), 1, i),
-            when(substring(col("qb"), i + 1, 1) === "0", lit("1")).otherwise(lit("0")),
-            substring(col("qb"), i + 2, NPlanes))
-        }
-        val probes = q.select(col("qv"),
-          explode(array(col("qb") +: flips: _*)).as("probe"))
-        withBucket
-          .join(broadcast(probes), col("bucket") === col("probe"))
-          .filter(col("vec_id") =!= 0L)
-          .select(col("vec_id"),
-            cosineSim(col("embedding"), col("qv")).as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(10)
-      }, {
+      (s, dir) => multiprobeKnn10(s, dir), {
         val flipsSql = (0 until NPlanes).map { i =>
           s"substr(qb, 1, $i) || (CASE WHEN substr(qb, ${i + 1}, 1) = '0' THEN '1' ELSE '0' END) || substr(qb, ${i + 2}, $NPlanes)"
         }
@@ -235,28 +266,8 @@ object VectorSearchQueries {
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
 
     "ann_ivf_knn" -> Q(
-      "ANN: IVF-style partition pruning — pick best coarse partition by its representative, search only inside it",
-      (s, dir) => {
-        val emb = T.embeddings(s, dir)
-        val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
-        // Coarse representative per partition (label): the min-vec_id member —
-        // deterministic, no float-order-dependent centroid averaging.
-        val wRep = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-        val reps = emb.withColumn("rn", row_number().over(wRep))
-          .filter(col("rn") === 1)
-          .select(col("label").as("rep_label"), col("embedding").as("rep"))
-        val best = reps.crossJoin(broadcast(q))
-          .select(col("rep_label"), cosineSim(col("rep"), col("qv")).as("rsim"))
-          .orderBy(col("rsim").desc, col("rep_label"))
-          .limit(1)
-        emb.join(broadcast(best), col("label") === col("rep_label"))
-          .crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= 0L)
-          .select(col("vec_id"),
-            cosineSim(col("embedding"), col("qv")).as("sim"))
-          .orderBy(col("sim").desc, col("vec_id"))
-          .limit(10)
-      },
+      "ANN: IVF-style partition pruning — pick best coarse partition by its representative (min-vec_id member: deterministic, no float-order-dependent centroid averaging), search only inside it",
+      (s, dir) => ivfKnn10(s, dir),
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |reps AS (SELECT label AS rep_label, embedding AS rep FROM embeddings
          |         QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
@@ -291,6 +302,59 @@ object VectorSearchQueries {
           topK = 10, nprobe = 2)
       },
       None),
+
+    "ann_recall" -> Q(
+      "ANN recall instrumentation: recall@10 of the LSH-bucketed and IVF-pruned searches against the exact cosine top-10 — the measured number behind the documented speed/recall trade (all three searches are deterministic, so recall itself is oracle-checkable)",
+      (s, dir) => {
+        val exact = exactKnn10(s, dir).select(col("vec_id"))
+        def recallOf(method: String, approx: DataFrame): DataFrame =
+          approx.select(col("vec_id")).join(exact, Seq("vec_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(method).as("method"), col("n_hits"),
+              (col("n_hits").cast("double") / lit(10.0)).as("recall_at_10"))
+        recallOf("ivf", ivfKnn10(s, dir))
+          .unionAll(recallOf("lsh", lshKnn10(s, dir)))
+          .unionAll(recallOf("lsh_mp", multiprobeKnn10(s, dir)))
+          .orderBy(col("method"))
+      },
+      {
+        val flipsSql = (0 until NPlanes).map { i =>
+          s"substr(qb, 1, $i) || (CASE WHEN substr(qb, ${i + 1}, 1) = '0' THEN '1' ELSE '0' END) || substr(qb, ${i + 2}, $NPlanes)"
+        }
+        s"""WITH b AS (SELECT vec_id, label, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+           |exact10 AS (
+           |  SELECT vec_id FROM embeddings, q
+           |  WHERE vec_id <> 0 AND embedding IS NOT NULL
+           |  ORDER BY ${cosSql("embedding", "qv")} DESC, vec_id LIMIT 10),
+           |lsh10 AS (
+           |  SELECT vec_id FROM b, q
+           |  WHERE bucket = qb AND vec_id <> 0
+           |  ORDER BY ${cosSql("embedding", "qv")} DESC, vec_id LIMIT 10),
+           |probes AS (SELECT qv, unnest([qb${flipsSql.map(f => ", " + f).mkString}]) AS probe FROM q),
+           |mp10 AS (
+           |  SELECT vec_id FROM b JOIN probes ON b.bucket = probes.probe
+           |  WHERE vec_id <> 0
+           |  ORDER BY ${cosSql("embedding", "qv")} DESC, vec_id LIMIT 10),
+           |reps AS (SELECT label AS rep_label, embedding AS rep FROM embeddings
+           |         QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+           |best AS (SELECT rep_label FROM reps, q
+           |         ORDER BY ${cosSql("rep", "qv")} DESC, rep_label LIMIT 1),
+           |ivf10 AS (
+           |  SELECT vec_id FROM embeddings, q, best
+           |  WHERE label = best.rep_label AND vec_id <> 0
+           |  ORDER BY ${cosSql("embedding", "qv")} DESC, vec_id LIMIT 10)
+           |SELECT method, n_hits, n_hits::DOUBLE / 10.0 AS recall_at_10 FROM (
+           |  SELECT 'ivf' AS method, COUNT(*) AS n_hits
+           |  FROM ivf10 JOIN exact10 USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'lsh' AS method, COUNT(*) AS n_hits
+           |  FROM lsh10 JOIN exact10 USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'lsh_mp' AS method, COUNT(*) AS n_hits
+           |  FROM mp10 JOIN exact10 USING (vec_id))
+           |ORDER BY method""".stripMargin
+      }),
 
     "dedup_embedding" -> Q(
       "Near-duplicate detection by embedding cosine: blocked self-join (label partition) + threshold",
