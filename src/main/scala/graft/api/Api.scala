@@ -108,12 +108,15 @@ final class EmailEtlApi(
   }
 
   /** `analyze actions` (reference: main.py:348-391; days 7 ∈ [1,90],
-    * limit 50 ∈ [1,100]). */
+    * limit 50 ∈ [1,100]). `now` is injectable for deterministic tests
+    * (same pattern as EmailSearch.patterns); the default mirrors the
+    * reference's wall-clock "last N days" semantics. */
   def extractActions(days: Int = 7, limit: Int = 50,
-      extractor: ActionExtractor = new StubActionExtractor): DataFrame = {
+      extractor: ActionExtractor = new StubActionExtractor,
+      now: Option[java.sql.Timestamp] = None): DataFrame = {
     val d = math.max(1, math.min(days, 90))
     val k = math.max(1, math.min(limit, 100))
-    val cutoffExpr = date_sub(current_timestamp(), d)
+    val cutoffExpr = date_sub(now.map(lit).getOrElse(current_timestamp()), d)
     val window = emails.filter(col("date") >= cutoffExpr)
       .orderBy(col("date").desc).limit(k)
     Enrichment.extractActions(window, extractor)

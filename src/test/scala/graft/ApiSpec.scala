@@ -48,6 +48,17 @@ class ApiSpec extends SparkSpec {
     assert(sources.length == 2)
   }
 
+  test("extract actions: injectable now makes the last-N-days window deterministic") {
+    val acts = api.extractActions(days = 30, limit = 10,
+      now = Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))).collect()
+    // all 3 fixture emails fall in the injected window; only the
+    // "please send the report" one carries an action pattern
+    assert(acts.length == 1)
+    assert(acts(0).getAs[String]("subject") == "project deadline")
+    assert(api.extractActions(days = 1, limit = 10,
+      now = Some(java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))).collect().isEmpty)
+  }
+
   test("categorize + patterns + status verbs") {
     val cats = api.categorize(10).collect()
     assert(cats.length == 3)

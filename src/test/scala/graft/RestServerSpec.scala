@@ -1,0 +1,107 @@
+package graft
+
+import graft.api.{EmailEtlApi, RestServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** e2e over HTTP: boot the JDK-HttpServer façade on an ephemeral port and
+  * drive the reference's POST /api/search/emails and /api/search/ask
+  * shapes (plus analyze + status + error contracts) with a plain
+  * HttpURLConnection client. */
+class RestServerSpec extends SparkSpec {
+  implicit private val formats: Formats = DefaultFormats
+
+  private def rawMsg(id: String, subject: String, dateRfc: String, body: String): String =
+    s"""{"id":"$id","threadId":"t-$id","labelIds":["INBOX"],"snippet":"s","sizeEstimate":1,"historyId":"h",
+       |"payload":{"partId":"0","mimeType":"text/plain","filename":"",
+       |"headers":[{"name":"From","value":"sender@x.com"},{"name":"Subject","value":"$subject"},{"name":"Date","value":"$dateRfc"}],
+       |"body":{"data":"${b64url(body)}","size":1,"attachmentId":null}}}""".stripMargin.replaceAll("\n", "")
+
+  private lazy val server = {
+    val inbox = tmpDir("rest-inbox")
+    java.nio.file.Files.write(java.nio.file.Paths.get(inbox, "batch.json"),
+      Seq(
+        rawMsg("r1", "spark join tuning", "Mon, 15 Jan 2024 10:00:00 +0000",
+          "how to tune spark joins with broadcast"),
+        rawMsg("r2", "project deadline", "Tue, 16 Jan 2024 10:00:00 +0000",
+          "please send the report before the meeting")
+      ).mkString("\n").getBytes("UTF-8"))
+    val api = new EmailEtlApi(spark, tmpDir("rest-store"))
+    api.importFull(inbox)
+    RestServer.start(api, port = 0)
+  }
+  private def base = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  private def http(method: String, path: String, body: Option[String] = None): (Int, JValue) = {
+    val conn = new java.net.URL(base + path).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.getOutputStream.write(b.getBytes("UTF-8"))
+    }
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = new String(in.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, JsonMethods.parse(text))
+  }
+
+  test("GET /health") {
+    val (code, json) = http("GET", "/health")
+    assert(code == 200 && (json \ "status").extract[String] == "healthy")
+  }
+
+  test("POST /api/search/emails returns the EmailSearchResponse shape, ranked") {
+    val (code, json) = http("POST", "/api/search/emails",
+      Some("""{"query": "spark join tuning", "limit": 2}"""))
+    assert(code == 200)
+    assert((json \ "query").extract[String] == "spark join tuning")
+    val results = (json \ "results").extract[List[JValue]]
+    assert((json \ "total_found").extract[Int] == results.size && results.nonEmpty)
+    val top = results.head
+    assert((top \ "message_id").extract[String] == "r1")
+    // EmailSummary fields present (models.py:133-151)
+    Seq("id", "subject", "sender", "similarity", "has_attachments").foreach { f =>
+      assert((top \ f) != JNothing, s"missing summary field $f")
+    }
+  }
+
+  test("POST /api/search/ask returns answer + sources + context count") {
+    val (code, json) = http("POST", "/api/search/ask",
+      Some("""{"question": "what about spark joins?", "context_limit": 2}"""))
+    assert(code == 200)
+    assert((json \ "answer").extract[String].contains("[stub]"))
+    assert((json \ "context_email_count").extract[Int] == 2)
+    assert((json \ "sources").extract[List[JValue]].size == 2)
+  }
+
+  test("POST /api/analyze/categorize and /actions return row arrays") {
+    val (c1, cats) = http("POST", "/api/analyze/categorize", Some("""{"limit": 5}"""))
+    assert(c1 == 200 && cats.extract[List[JValue]].size == 2)
+    // actions window anchors to wall-clock "now" (reference semantics);
+    // the 2024 fixture is outside any 90-day window, so the route must
+    // return 200 with an empty array. The populated path is covered in
+    // ApiSpec via the injectable `now`.
+    val (c2, acts) = http("POST", "/api/analyze/actions",
+      Some("""{"days": 90, "limit": 10}"""))
+    assert(c2 == 200 && acts.extract[List[JValue]].isEmpty)
+  }
+
+  test("GET /api/status carries totals and provider rows") {
+    val (code, json) = http("GET", "/api/status")
+    assert(code == 200)
+    assert((json \ "database" \ "total_emails").extract[Long] == 2L)
+    assert((json \ "providers").extract[List[JValue]].nonEmpty)
+  }
+
+  test("error contract: missing field 400, wrong method 405, unknown path 404") {
+    val (c1, e1) = http("POST", "/api/search/emails", Some("""{"limit": 3}"""))
+    assert(c1 == 400 && (e1 \ "detail").extract[String].contains("query"))
+    val (c2, _) = http("GET", "/api/search/emails")
+    assert(c2 == 405)
+    val (c3, _) = http("GET", "/api/status/nope")
+    assert(c3 == 404)
+  }
+}
