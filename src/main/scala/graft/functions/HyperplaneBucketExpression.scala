@@ -35,6 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * convention as [[CosineSimilarity]]); the zip_with spec instead
   * null-poisons a vector shorter than the planes. Embeddings are
   * fixed-dimension by schema, so the distinction never arises in data.
+  *
+  * A NULL *element* anywhere in the vector yields the all-zeros bucket,
+  * matching the spec exactly: zip_with's `x * y` null-poisons the dot of
+  * every plane, and `when(null > 0, …)` routes each to '0'. (Before this
+  * was made explicit, a null element read as 0.0 — a silent divergence on
+  * containsNull=true arrays; pinned in PropertySpec.)
   */
 case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {
@@ -72,6 +78,18 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
 
 object HyperplaneBucket {
   def compute(v: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): String = {
+    // spec parity: one null element null-poisons every plane's zip_with
+    // dot product, so the whole bucket is zeros
+    var k = 0
+    val len = v.numElements()
+    while (k < len) {
+      if (v.isNullAt(k)) {
+        val zeros = new Array[Char](planes.length)
+        java.util.Arrays.fill(zeros, '0')
+        return new String(zeros)
+      }
+      k += 1
+    }
     val sb = new java.lang.StringBuilder(planes.length)
     var p = 0
     while (p < planes.length) {

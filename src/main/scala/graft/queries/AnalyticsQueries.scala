@@ -777,13 +777,17 @@ object AnalyticsQueries {
       (s, dir) => T.events(s, dir)
         .select(date_trunc("second", col("ts")).as("ts_sec"),
           col("event_type"), col("value"))
-        .groupBy(expr("unix_timestamp(ts_sec) div 900 * 900").as("bucket_sec"))
+        .groupBy((floor(unix_timestamp(col("ts_sec")) / 900.0) * 900).cast("long")
+          .as("bucket_sec"))
         .agg(count(lit(1)).as("n"),
           decSum(col("value"), 4).as("total_value"))
         .orderBy(col("bucket_sec")),
-      // integer epoch arithmetic on second-truncated ts is engine-portable
-      // (native bucket helpers differ on tz/origin semantics)
-      """SELECT (epoch(date_trunc('second', ts))::BIGINT // 900) * 900 AS bucket_sec,
+      // FLOOR-division epoch bucketing, spelled identically on both sides:
+      // Spark `div` truncates toward zero while DuckDB `//` floors, so the
+      // two diverge on pre-1970 (negative-epoch) timestamps. floor(x/900.0)
+      // is exact for integer x < 2^53: the double quotient can only land on
+      // an integer when x is an exact multiple of 900.
+      """SELECT CAST(floor(epoch(date_trunc('second', ts))::BIGINT / 900.0) * 900 AS BIGINT) AS bucket_sec,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY bucket_sec""".stripMargin),

@@ -242,6 +242,11 @@ object VectorSearchQueries {
         try {
           // The flag is scoped to THIS materialization (collect now, restore
           // after), so no other registry query ever sees the rewrite.
+          // NOT thread-safe: the flag lives in shared session conf, so a
+          // query materializing CONCURRENTLY on this SparkSession inside
+          // this window would also get the rewrite if its plan matches.
+          // Fine for the single-threaded harness; concurrent callers must
+          // scope via a cloned session (spark.cloneSession()) instead.
           val df = emb
             .filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
             .select(col("vec_id"),

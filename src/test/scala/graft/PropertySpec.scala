@@ -206,6 +206,9 @@ class PropertySpec extends SparkSpec {
       """SELECT CAST(NULL AS ARRAY<DOUBLE>) AS vec, CAST(NULL AS ARRAY<STRING>) AS sh
         |UNION ALL SELECT transform(sequence(1, 64), i -> CAST(i % 7 - 3 AS DOUBLE)),
         |  array('a b', 'b c')
+        |UNION ALL SELECT transform(sequence(1, 64),
+        |    i -> CASE WHEN i = 7 THEN CAST(NULL AS DOUBLE) ELSE CAST(i AS DOUBLE) END),
+        |  array('a b')
         |UNION ALL SELECT array(), array()""".stripMargin)
     val got = df.select(
       VectorSearchQueries.bucketCol(col("vec")).as("b"),
