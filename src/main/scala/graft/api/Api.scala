@@ -126,6 +126,19 @@ final class EmailEtlApi(
   def patterns(groupBy: String, days: Int = 30): DataFrame =
     search.patterns(groupBy, days)
 
+  /** Attachment metadata table (reference: get_email_by_id MCP tool,
+    * src/api/mcp_tools.py:166-183 include_attachments). */
+  def attachments: DataFrame = spark.read.parquet(s"$storeDir/attachments")
+
+  /** B1 point lookup by surrogate id (reference: mcp_tools.py:166-183). */
+  def emailById(id: Long): DataFrame = search.byId(id)
+
+  /** H3 thread summary context (reference: mcp_tools.py:192-202;
+    * engine part — participants/dates/ordered context blocks; the LLM
+    * call on top stays pluggable). */
+  def summarizeThread(threadId: String): DataFrame =
+    Enrichment.threadContext(search.thread(threadId))
+
   /** `status` (reference: main.py:394-432). */
   def status(): DataFrame = search.stats
 

@@ -1,0 +1,178 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import org.json4s._
+
+/** MCP (Model Context Protocol) tool surface — the reference's tool
+  * registry (reference: src/api/mcp_tools.py:13-269, served at
+  * GET /mcp/tools by src/api/server.py:507-513) re-expressed over
+  * [[EmailEtlApi]].
+  *
+  * Parity contract: same tool names, parameter names/types/defaults, and
+  * the same validation semantics as `validate_mcp_parameters`
+  * (mcp_tools.py:242-269 — required check, defaults applied, unknown
+  * params dropped). Dispatch maps each tool to the backing engine call;
+  * the two live-ingest tools (`import_emails`, `sync_emails`) are listed
+  * for discovery parity but dispatch to a documented error, since live
+  * OAuth ingest is environment-excluded (COVERAGE.md) and batch ingest is
+  * the CLI/streaming surface.
+  */
+object McpTools {
+  implicit private val formats: Formats = DefaultFormats
+
+  final case class Param(
+      name: String, typ: String, description: String,
+      required: Boolean = false, default: Option[JValue] = None,
+      allowed: Option[List[String]] = None)
+
+  final case class Tool(name: String, description: String, params: List[Param])
+
+  /** Reference: MCP_SERVER_INFO (mcp_tools.py:272-286), renamed for this
+    * engine; capability flags reflect what dispatch actually serves. */
+  val serverInfo: JValue = JObject(
+    "name" -> JString("graft-email-etl-mcp"),
+    "version" -> JString("1.0.0"),
+    "description" -> JString(
+      "Email ETL engine with semantic search and RAG query surface over Spark"),
+    "capabilities" -> JObject(
+      "email_import" -> JBool(false), // live OAuth ingest environment-excluded
+      "semantic_search" -> JBool(true),
+      "question_answering" -> JBool(true),
+      "categorization" -> JBool(true),
+      "action_extraction" -> JBool(true),
+      "thread_summarization" -> JBool(true),
+      "pattern_analysis" -> JBool(true)))
+
+  /** Tool registry mirroring mcp_tools.py:13-269, line for line. */
+  val tools: List[Tool] = List(
+    Tool("search_emails",
+      "Search emails using semantic similarity. Uses vector embeddings to find emails with similar meaning to your query.",
+      List(
+        Param("query", "string", "Natural language search query for semantic matching", required = true),
+        Param("limit", "integer", "Maximum number of results to return (1-100)", default = Some(JInt(10))),
+        Param("date_from", "string", "ISO 8601 datetime to filter emails after this date"),
+        Param("date_to", "string", "ISO 8601 datetime to filter emails before this date"),
+        Param("include_content", "boolean", "Whether to include full email content in results", default = Some(JBool(false))))),
+    Tool("ask_email_question",
+      "Ask a natural language question about your emails. Uses RAG to find relevant emails and generate an answer.",
+      List(
+        Param("question", "string", "Natural language question about your emails", required = true),
+        Param("context_limit", "integer", "Number of relevant emails to use as context (1-20)", default = Some(JInt(5))))),
+    Tool("categorize_emails",
+      "Categorize recent emails into predefined categories.",
+      List(
+        Param("limit", "integer", "Number of recent emails to categorize (1-50)", default = Some(JInt(10))))),
+    Tool("extract_action_items",
+      "Extract action items from recent emails.",
+      List(
+        Param("days", "integer", "Extract actions from emails in the last N days (1-90)", default = Some(JInt(7))),
+        Param("limit", "integer", "Maximum number of emails to process (1-100)", default = Some(JInt(50))))),
+    Tool("import_emails",
+      "Import emails from the provider (environment-excluded: live OAuth ingest; use the CLI import/sync verbs).",
+      List(
+        Param("query", "string", "Provider search query", default = Some(JString(""))),
+        Param("max_results", "integer", "Maximum number of emails to import"))),
+    Tool("sync_emails",
+      "Perform incremental sync to import only new emails since last import (environment-excluded: see CLI `import sync`).",
+      Nil),
+    Tool("get_email_by_id",
+      "Retrieve a specific email by its database ID, including full content and metadata.",
+      List(
+        Param("email_id", "integer", "Database ID of the email to retrieve", required = true),
+        Param("include_attachments", "boolean", "Whether to include attachment metadata", default = Some(JBool(true))))),
+    Tool("get_system_status",
+      "Get current system status including database statistics and storage information.",
+      Nil),
+    Tool("summarize_thread",
+      "Generate a summary of an email thread including participants, decisions, and action items.",
+      List(
+        Param("thread_id", "string", "Thread ID to summarize", required = true))),
+    Tool("analyze_email_patterns",
+      "Analyze email patterns to generate insights about communication habits and trends.",
+      List(
+        Param("days", "integer", "Analyze emails from the last N days (1-365)", default = Some(JInt(30))),
+        Param("group_by", "string", "How to group analysis: 'sender', 'domain', 'label', 'day', 'week'",
+          default = Some(JString("sender")),
+          allowed = Some(List("sender", "domain", "label", "day", "week"))))))
+
+  /** The GET /mcp/tools body (server.py:507-513 shape). */
+  def definitions: JValue = {
+    def paramJson(p: Param): JValue = JObject(
+      List[JField](
+        "name" -> JString(p.name),
+        "type" -> JString(p.typ),
+        "description" -> JString(p.description),
+        "required" -> JBool(p.required),
+        "default" -> p.default.getOrElse(JNull)) ++
+        p.allowed.map(e => "enum" -> (JArray(e.map(JString(_))): JValue)).toList)
+    JObject(
+      "server" -> serverInfo,
+      "tools" -> JArray(tools.map { t =>
+        JObject(
+          "name" -> JString(t.name),
+          "description" -> JString(t.description),
+          "parameters" -> JArray(t.params.map(paramJson)))
+      }))
+  }
+
+  final case class McpError(msg: String) extends RuntimeException(msg)
+
+  /** validate_mcp_parameters semantics (mcp_tools.py:242-269): required
+    * check, defaults applied, unknown params dropped. */
+  private def cleaned(tool: Tool, params: JValue): Map[String, JValue] =
+    tool.params.flatMap { p =>
+      (params \ p.name) match {
+        case JNothing | JNull =>
+          if (p.required) throw McpError(
+            s"Required parameter '${p.name}' missing for tool '${tool.name}'")
+          p.default.map(p.name -> _)
+        case v => Some(p.name -> v)
+      }
+    }.toMap
+
+  /** Execute one tool call against the engine. Row payloads serialize via
+    * Spark's toJSON, as in [[RestServer]]. */
+  def dispatch(api: EmailEtlApi, toolName: String, params: JValue): JValue = {
+    val tool = tools.find(_.name == toolName)
+      .getOrElse(throw McpError(s"MCP tool '$toolName' not found"))
+    val p = cleaned(tool, params)
+    def int(n: String, d: Int): Int = p.get(n).flatMap(_.extractOpt[Int]).getOrElse(d)
+    def str(n: String): String = p(n).extract[String]
+    def rows(df: org.apache.spark.sql.DataFrame): JValue =
+      JArray(df.toJSON.collect().toList.map(org.json4s.jackson.JsonMethods.parse(_)))
+    toolName match {
+      case "search_emails" =>
+        rows(api.searchSemantic(str("query"), int("limit", 10)))
+      case "ask_email_question" =>
+        val (answer, sources) = api.ask(str("question"), int("context_limit", 5))
+        JObject("answer" -> JString(answer),
+          "sources" -> JArray(sources.map(JString(_)).toList),
+          "context_email_count" -> JInt(sources.size))
+      case "categorize_emails" =>
+        rows(api.categorize(int("limit", 10)))
+      case "extract_action_items" =>
+        rows(api.extractActions(int("days", 7), int("limit", 50)))
+      case "get_email_by_id" =>
+        val id = p("email_id").extract[Long]
+        val email = rows(api.emailById(id))
+        if (email == JArray(Nil)) throw McpError(s"email $id not found")
+        val atts =
+          if (p.get("include_attachments").flatMap(_.extractOpt[Boolean]).getOrElse(true))
+            rows(api.attachments.filter(col("email_id") === id))
+          else JArray(Nil)
+        JObject("email" -> email.asInstanceOf[JArray].arr.head, "attachments" -> atts)
+      case "get_system_status" =>
+        JObject(
+          "database" -> rows(api.status()).asInstanceOf[JArray].arr.headOption.getOrElse(JObject()),
+          "providers" -> rows(api.providerStats()))
+      case "summarize_thread" =>
+        rows(api.summarizeThread(str("thread_id")))
+      case "analyze_email_patterns" =>
+        rows(api.patterns(p.get("group_by").flatMap(_.extractOpt[String]).getOrElse("sender"),
+          int("days", 30)))
+      case "import_emails" | "sync_emails" =>
+        throw McpError(s"tool '$toolName' is environment-excluded here: " +
+          "live provider ingest needs OAuth; use the CLI import/sync verbs for batch ingest")
+    }
+  }
+}

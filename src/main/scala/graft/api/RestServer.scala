@@ -25,11 +25,13 @@ import org.json4s.jackson.JsonMethods
   *  - POST /api/search/ask         → {question, answer, sources, context_email_count}
   *  - POST /api/analyze/categorize → [{...category rows}]
   *  - POST /api/analyze/actions    → [{...action rows}]
+  *  - GET  /mcp/tools              → MCP server info + tool definitions
+  *  - POST /mcp/call               → {tool, parameters} → {tool, result}
   * Errors return FastAPI's shape: {"detail": msg} with 400/404/405/500.
   *
   * Out of scope (documented in COVERAGE.md): the import/sync background
   * task routes (server.py:137-282) — batch ingest is the CLI/streaming
-  * surface here — and OAuth/MCP discovery, which are environment-excluded.
+  * surface here — and OAuth, which is environment-excluded.
   */
 object RestServer {
   implicit private val formats: Formats = DefaultFormats
@@ -102,6 +104,16 @@ object RestServer {
       val days = (body \ "days").extractOpt[Int].getOrElse(7)
       val limit = (body \ "limit").extractOpt[Int].getOrElse(50)
       JArray(dfJson(api.extractActions(days, limit)).toList)
+    }
+
+    route(srv, "/mcp/tools", "GET") { _ => McpTools.definitions }
+
+    route(srv, "/mcp/call", "POST") { body =>
+      val tool = (body \ "tool").extractOpt[String]
+        .getOrElse(throw BadRequest("missing field: tool"))
+      try JObject("tool" -> JString(tool),
+        "result" -> McpTools.dispatch(api, tool, body \ "parameters"))
+      catch { case McpTools.McpError(m) => throw BadRequest(m) }
     }
 
     srv.setExecutor(null) // serve on the dispatch thread

@@ -96,6 +96,54 @@ class RestServerSpec extends SparkSpec {
     assert((json \ "providers").extract[List[JValue]].nonEmpty)
   }
 
+  test("GET /mcp/tools lists the reference's tool registry with parameter schemas") {
+    val (code, json) = http("GET", "/mcp/tools")
+    assert(code == 200)
+    val tools = (json \ "tools").extract[List[JValue]]
+    val names = tools.map(t => (t \ "name").extract[String]).toSet
+    // reference registry, mcp_tools.py:13-269
+    assert(names == Set("search_emails", "ask_email_question", "categorize_emails",
+      "extract_action_items", "import_emails", "sync_emails", "get_email_by_id",
+      "get_system_status", "summarize_thread", "analyze_email_patterns"))
+    val search = tools.find(t => (t \ "name").extract[String] == "search_emails").get
+    val q = (search \ "parameters").extract[List[JValue]]
+      .find(pp => (pp \ "name").extract[String] == "query").get
+    assert((q \ "required").extract[Boolean])
+  }
+
+  test("POST /mcp/call dispatches tools with defaults, required checks, and exclusions") {
+    val (c1, r1) = http("POST", "/mcp/call",
+      Some("""{"tool": "search_emails", "parameters": {"query": "spark join tuning"}}"""))
+    assert(c1 == 200)
+    val hits = (r1 \ "result").extract[List[JValue]]
+    assert(hits.nonEmpty && (hits.head \ "message_id").extract[String] == "r1")
+
+    val (c2, r2) = http("POST", "/mcp/call",
+      Some("""{"tool": "get_system_status"}"""))
+    assert(c2 == 200 && (r2 \ "result" \ "database" \ "total_emails").extract[Long] == 2L)
+
+    val id = (hits.head \ "id").extract[Long]
+    val (c3, r3) = http("POST", "/mcp/call",
+      Some(s"""{"tool": "get_email_by_id", "parameters": {"email_id": $id}}"""))
+    assert(c3 == 200 && (r3 \ "result" \ "email" \ "message_id").extract[String] == "r1")
+
+    val (c4, r4) = http("POST", "/mcp/call",
+      Some("""{"tool": "summarize_thread", "parameters": {"thread_id": "t-r1"}}"""))
+    assert(c4 == 200)
+    val th = (r4 \ "result").extract[List[JValue]]
+    assert(th.size == 1 && (th.head \ "email_count").extract[Int] == 1)
+
+    // required param missing → 400 with the reference's message shape
+    val (c5, e5) = http("POST", "/mcp/call", Some("""{"tool": "search_emails"}"""))
+    assert(c5 == 400 && (e5 \ "detail").extract[String].contains("Required parameter 'query'"))
+    // unknown tool → 400
+    val (c6, _) = http("POST", "/mcp/call", Some("""{"tool": "nope"}"""))
+    assert(c6 == 400)
+    // environment-excluded ingest tools are listed but refuse dispatch
+    val (c7, e7) = http("POST", "/mcp/call", Some("""{"tool": "sync_emails"}"""))
+    assert(c7 == 400 && (e7 \ "detail").extract[String].contains("environment-excluded"))
+  }
+
   test("error contract: missing field 400, wrong method 405, unknown path 404") {
     val (c1, e1) = http("POST", "/api/search/emails", Some("""{"limit": 3}"""))
     assert(c1 == 400 && (e1 \ "detail").extract[String].contains("query"))
