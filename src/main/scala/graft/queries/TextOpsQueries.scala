@@ -25,7 +25,7 @@ object TextOpsQueries {
        | ELSE list_transform(range(1, len($toks) - ${k - 2}),
        |        i -> ${(0 until k).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")})
        | END)""".stripMargin.replaceAll("\n", " ")
-  private def minhashSql(sh: String, seed: Int): String =
+  private[queries] def minhashSql(sh: String, seed: Int): String =
     s"list_min(list_transform($sh, s -> md5('$seed|' || s)))"
 
   private val QueryTerms = Seq("spark", "join", "window")
