@@ -86,6 +86,29 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("feat1_quantile_bins_scale: no window, no global sort — broadcast cuts + hash agg") {
+    val p = plan("feat1_quantile_bins_scale")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      "scale-safe binning must not plan a window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "cut points must broadcast")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial + final aggregation over bins")
+  }
+
+  test("dedup_simhash: signature computed in-row — no Generate, no shuffle") {
+    val p = plan("dedup_simhash")
+    assert(p.contains("simhash16"), "expected the codegen'd SimHash16 expression")
+    assert(!p.contains("Generate"), "signature must not explode rows")
+    assert(!p.contains("HashAggregate"), "signature must not aggregate")
+  }
+
+  test("text_contamination: benchmark side broadcasts, doc_id range pushed to scan") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("LessThan(doc_id,3)") && p.contains("GreaterThanOrEqual(doc_id,3)"))
+  }
+
   test("w1_window_suite: single window exchange serves all window functions") {
     val p = plan("w1_window_suite")
     // rank/ntile/percent_rank/cume_dist/lag/lead share one (partition,
