@@ -1,28 +1,54 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-/** Session extension that exposes the engine's custom expressions to SQL:
+/** Session extension that exposes EVERY custom engine expression to SQL:
   *
   * {{{
   * SparkSession.builder()
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   *   ...
   * spark.sql("SELECT cosine_sim(embedding, query_vec) FROM emails")
+  * spark.sql("SELECT simhash16(split(text, ' ')) FROM documents")
+  * spark.sql("SELECT minhash_signature(shingles, 4) FROM staged")
   * }}}
   *
   * Registration also works on a live session via
   * [[org.apache.spark.sql.graftbridge.SparkBridge.registerFunction]].
+  * Static parameters (signature length m, shingle width k) must be
+  * integer literals, mirroring how Spark's own parameterized functions
+  * (e.g. `approx_count_distinct`) take their precision argument.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    def register(name: String, clazz: Class[_])(
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+
+    register("cosine_sim", classOf[CosineSimilarity])(
+      cs => CosineSimilarity(cs(0), cs(1)))
+    register("ts_tokens", classOf[TsTokens])(cs => TsTokens(cs(0)))
+    register("simhash16", classOf[SimHash16])(cs => SimHash16(cs(0)))
+    register("minhash_signature", classOf[MinHashSignature])(
+      cs => MinHashSignature(cs(0), intLit(cs(1), "signature length m")))
+    register("hashed_shingles", classOf[HashedShingles])(
+      cs => HashedShingles(cs(0), intLit(cs(1), "shingle width k")))
+    register("sorted_intersect_size", classOf[SortedIntersectSize])(
+      cs => SortedIntersectSize(cs(0), cs(1)))
     // Opt-in ANN rewrite: inert unless spark.graft.ann.rewrite=true
     // (see graft.plans.AnnBucketRewrite).
     ext.injectOptimizerRule(_ => graft.plans.AnnBucketRewrite())

@@ -18,6 +18,44 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got.getDouble(2) == 0.0) // zero-norm guard
   }
 
+  test("every engine expression is callable from SQL via GraftExtensions") {
+    // GraftExtensions wires these same builders at session build time; on
+    // the shared live test session, register through the bridge instead
+    // (same builder lambdas, same names).
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    import graft.functions._
+    SparkBridge.registerFunction(spark, "ts_tokens", cs => TsTokens(cs(0)))
+    SparkBridge.registerFunction(spark, "simhash16", cs => SimHash16(cs(0)))
+    SparkBridge.registerFunction(spark, "minhash_signature",
+      cs => MinHashSignature(cs(0),
+        cs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]))
+    SparkBridge.registerFunction(spark, "hashed_shingles",
+      cs => HashedShingles(cs(0),
+        cs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]))
+    SparkBridge.registerFunction(spark, "sorted_intersect_size",
+      cs => SortedIntersectSize(cs(0), cs(1)))
+    val r = spark.sql(
+      """SELECT ts_tokens('The Running dogs') AS tt,
+        |  simhash16(array('a', 'b')) AS sh,
+        |  minhash_signature(array('a b c'), 4) AS ms,
+        |  hashed_shingles(array('a', 'b', 'c'), 2) AS hs,
+        |  sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS sis""".stripMargin)
+      .collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("tt") == Seq("runn", "dog"))
+    assert(r.getAs[scala.collection.Seq[String]]("ms").length == 4)
+    assert(r.getAs[scala.collection.Seq[Long]]("hs").length == 2)
+    assert(r.getAs[Int]("sis") == 2)
+    // simhash16 from SQL == the Column helper
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaCol = Seq("a b").toDF("t")
+      .select(SimHash16.simhash16(split(col("t"), " "))).collect()(0).getLong(0)
+    val viaSql = spark.sql("SELECT simhash16(array('a', 'b'))").collect()(0).getLong(0)
+    assert(viaCol == viaSql)
+  }
+
   test("registered function participates in full SQL queries over views") {
     SparkBridge.registerFunction(spark, "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
