@@ -66,21 +66,21 @@ object PipelineQueries {
     "text_repetition" -> Q(
       "Gopher-style repetition quality filters: per-document top-2-gram fraction and duplicate-2-gram fraction (Rae et al. 2021 §A1.1 repetition signals) — the filters that catch boilerplate/templated text that uniq-token ratios miss",
       (s, dir) => {
-        // One explode + one hash-agg per doc+gram, then a per-doc agg:
-        // shuffle rows are (doc, gram) pairs — the similarity-join shape,
-        // never a per-doc sorted array. All outputs are integer ratios.
-        val grams = T.documentsSpread(s, dir)
-          .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("g"))
-        grams.groupBy(col("doc_id"), col("g"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n_grams"),
-            max(col("c")).as("top_c"),
-            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
-          .select(col("doc_id"), col("n_grams"),
-            (col("top_c").cast("double") / col("n_grams").cast("double"))
+        // A document's repetition profile is a property of the ROW: the
+        // codegen'd GramStats expression counts k-grams in one in-row
+        // pass, so the whole query is scan + project + sort — ZERO
+        // shuffles (the explode → groupBy(doc, gram) → groupBy(doc) form
+        // it replaces shuffled every gram twice; PropertySpec pins
+        // equality). At 100 TB this is scan-bandwidth-bound like any
+        // scalar.
+        val st = graft.functions.GramStats.gramStats(tokens(col("text")), 2)
+        T.documentsSpread(s, dir)
+          .select(col("doc_id"), st.as("st"))
+          .select(col("doc_id"),
+            col("st.n_grams").as("n_grams"),
+            (col("st.top_c").cast("double") / col("st.n_grams").cast("double"))
               .as("top_2gram_frac"),
-            (col("dup_c").cast("double") / col("n_grams").cast("double"))
+            (col("st.dup_c").cast("double") / col("st.n_grams").cast("double"))
               .as("dup_2gram_frac"))
           .orderBy(col("doc_id"))
       },
@@ -132,6 +132,147 @@ object PipelineQueries {
          |  GROUP BY doc_id, n_grams)
          |WHERE CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.1
          |ORDER BY doc_id""".stripMargin),
+
+    "curation_pipeline_full" -> Q(
+      "The complete curation composite: quality gate → repetition gate (Gopher dup-2gram ≤ 0.2) → benchmark decontamination (< 0.1 overlap vs docs 0-2) → exact dedup → LSH near-dup cluster resolution with canonical keep. Every stage is the registry operator of the same name, composed",
+      (s, dir) => {
+        // Tokenize is recomputed per consuming branch (columnar re-scan +
+        // split beats a persist barrier here — measured).
+        val base = T.documentsSpread(s, dir)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        // benchmark = docs 0-2 (held out; never enters the corpus).
+        // Grams travel as xxhash64 longs on both contamination sides (the
+        // dedup_ppjoin representation): join keys and shuffle rows are
+        // 8 bytes, and collisions (~2⁻⁶⁴·m²) are below the oracle's
+        // resolution — the string-gram twin is text_contamination.
+        val bench = base.filter(col("doc_id") < 3)
+          .select(explode(graft.functions.HashedShinglesFunctions
+            .hashedShingles(col("toks"), 3)).as("g3"))
+          .distinct()
+        // gate 1: quality (length + uniq-token ratio), corpus side only
+        val quality = base.filter(col("doc_id") >= 3)
+          .select(col("doc_id"), col("text"), col("toks"),
+            size(col("toks")).cast("long").as("n_tok"),
+            size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+          .filter(col("n_tok") >= 20 &&
+            col("n_uniq").cast("double") / col("n_tok").cast("double") >= 0.15)
+        // gate 2: repetition — dup-2gram fraction ≤ 0.2, row-local via the
+        // codegen'd GramStats expression (no gram shuffle at all)
+        val st = graft.functions.GramStats.gramStats(col("toks"), 2)
+        val candidates = quality
+          .withColumn("st", st)
+          .filter(col("st.dup_c").cast("double")
+            / col("st.n_grams").cast("double") <= 0.2)
+          .drop("st")
+          .persist()
+        // gate 3: decontamination — drop candidates with ≥ 0.1 benchmark
+        // overlap. Screening only the surviving candidates (not the whole
+        // corpus) is result-identical: the contaminated set is consumed by
+        // an anti-join against these candidates, so ids outside them are
+        // irrelevant — and it skips the 3-gram explode for already-dropped
+        // docs.
+        val contaminated = candidates
+          .select(col("doc_id"), graft.functions.HashedShinglesFunctions
+            .hashedShingles(col("toks"), 3).as("gr"))
+          .select(col("doc_id"), size(col("gr")).cast("long").as("ng"),
+            explode(col("gr")).as("g3"))
+          .join(broadcast(bench), Seq("g3"))
+          .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("nh"))
+          .filter(col("nh").cast("double") / col("ng").cast("double") >= 0.1)
+          .select("doc_id")
+        val gated = candidates
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        // stage 4: exact dedup, keep min doc_id per fingerprint
+        val exact = gated
+          .withColumn("fp", fingerprint(col("text")))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("toks"))
+          .persist()
+        // stage 5: LSH near-dup pairs over survivors → CC canonical keep
+        val staged = exact
+          .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
+          .select(col("doc_id"),
+            array_sort(array_distinct(col("toks"))).as("tset"),
+            minhashSignature(col("sh"), 4).as("sig"))
+          .select(col("doc_id"), col("tset"), lshBands(col("sig"), 4, 2).as("bands"))
+          .persist()
+        val bandRows = staged
+          .select(col("doc_id"), col("bands"), explode(array(lit(0), lit(1))).as("bi"))
+          .select(col("doc_id"), col("bi"),
+            element_at(col("bands"), col("bi") + 1).as("bv"))
+        val cand = bandRows.select(col("doc_id").as("a_id"), col("bi"), col("bv"))
+          .join(bandRows.select(col("doc_id").as("b_id"), col("bi"), col("bv")),
+            Seq("bi", "bv"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val tsets = staged.select(col("doc_id"), col("tset"))
+        val pairs = cand
+          .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
+          .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
+          .filter(graft.functions.ArrayFunctions
+            .jaccardSorted(col("ta"), col("tb")) >= 0.8)
+          .select(col("a_id"), col("b_id"))
+        exact.select(col("doc_id"))
+          .join(ConnectedComponents.dropSet(pairs), Seq("doc_id"), "left_anti")
+          .orderBy(col("doc_id"))
+      }, {
+        import TextOpsQueries.minhashSql
+        s"""WITH RECURSIVE dgr AS (
+           |  SELECT doc_id, list_distinct(${shinglesSql(ToksSql, 3)}) AS gr FROM documents),
+           |bench AS (SELECT DISTINCT unnest(gr) AS g3 FROM dgr WHERE doc_id < 3),
+           |quality AS (
+           |  SELECT doc_id, text, $ToksSql AS toks FROM documents
+           |  WHERE doc_id >= 3 AND len($ToksSql) >= 20
+           |    AND len(list_distinct($ToksSql))::DOUBLE / len($ToksSql)::DOUBLE >= 0.15),
+           |gc AS (
+           |  SELECT doc_id, g, COUNT(*) AS c FROM (
+           |    SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS g FROM quality)
+           |  GROUP BY doc_id, g),
+           |rep AS (
+           |  SELECT doc_id FROM gc GROUP BY doc_id
+           |  HAVING SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+           |    / SUM(c)::DOUBLE <= 0.2),
+           |cont AS (
+           |  SELECT doc_id FROM (
+           |    SELECT e.doc_id, len(d.gr) AS ng, COUNT(*) AS nh
+           |    FROM (SELECT doc_id, unnest(gr) AS g3 FROM dgr WHERE doc_id >= 3) e
+           |    JOIN bench USING (g3)
+           |    JOIN dgr d ON d.doc_id = e.doc_id
+           |    GROUP BY e.doc_id, len(d.gr))
+           |  WHERE nh::DOUBLE / ng::DOUBLE >= 0.1),
+           |gated AS (
+           |  SELECT q.doc_id, q.text, q.toks FROM quality q
+           |  JOIN rep USING (doc_id)
+           |  WHERE q.doc_id NOT IN (SELECT doc_id FROM cont)),
+           |exact AS (
+           |  SELECT doc_id, toks FROM gated
+           |  QUALIFY row_number() OVER (
+           |    PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |    ORDER BY doc_id) = 1),
+           |sigs AS (
+           |  SELECT doc_id, list_distinct(toks) AS tset,
+           |    ${(0 until 4).map(seed =>
+              s"${minhashSql(shinglesSql("toks", 3), seed)} AS m$seed").mkString(", ")}
+           |  FROM exact),
+           |bands AS (
+           |  SELECT doc_id, tset, 0 AS bi, m0 || m1 AS bv FROM sigs
+           |  UNION ALL SELECT doc_id, tset, 1, m2 || m3 FROM sigs),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tset AS ta, b.tset AS tb
+           |  FROM bands a JOIN bands b
+           |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand
+           |  WHERE len(list_intersect(ta, tb))::DOUBLE
+           |    / (len(ta)::DOUBLE + len(tb)::DOUBLE - len(list_intersect(ta, tb))::DOUBLE) >= 0.8),
+           |$CcSqlCtes
+           |SELECT doc_id FROM exact
+           |WHERE doc_id NOT IN (SELECT id FROM comp WHERE cluster_id <> id)
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     "dedup_minhash_est" -> Q(
       "MinHash estimator instrumentation: estimated Jaccard (matching signature fraction) vs exact Jaccard on the LSH candidate pairs — the measured quality of the signature the banding scheme is built on",

@@ -196,6 +196,33 @@ class PropertySpec extends SparkSpec {
     assert(edge.exists(_.isNullAt(0)))
   }
 
+  test("GramStats expression == distributed explode+groupBy gram counting") {
+    import graft.functions.GramStats.gramStats
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val texts = Seq("a b a b a b", "one", "x", "a a a a a", "p q r s") ++
+      (1 to 200).map(_ => (1 to rnd.nextInt(30) + 1)
+        .map(_ => "abcde" (rnd.nextInt(5)).toString).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = df
+      .select(col("doc_id"), gramStats(tokens(col("text")), 2).as("st"))
+      .select(col("doc_id"), col("st.n_grams"), col("st.top_c"), col("st.dup_c"))
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    val spec = df
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), max(col("c")).as("t"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("d"))
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(fast == spec)
+  }
+
+  implicit private class Tup4Map(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+  }
+
   test("null-input parity: bucketCol and minhashSignature equal their declarative specs") {
     import graft.functions.TextFunctions.{minhashSignature, minhashSignatureSpec}
     import graft.queries.VectorSearchQueries
