@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => HashedShingles(cs(0), intLit(cs(1), "shingle width k")))
     register("sorted_intersect_size", classOf[SortedIntersectSize])(
       cs => SortedIntersectSize(cs(0), cs(1)))
+    register("gram_stats", classOf[GramStats])(
+      cs => GramStats(cs(0), intLit(cs(1), "gram width k")))
     // Opt-in ANN rewrite: inert unless spark.graft.ann.rewrite=true
     // (see graft.plans.AnnBucketRewrite).
     ext.injectOptimizerRule(_ => graft.plans.AnnBucketRewrite())

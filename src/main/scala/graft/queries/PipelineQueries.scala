@@ -133,6 +133,25 @@ object PipelineQueries {
          |WHERE CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.1
          |ORDER BY doc_id""".stripMargin),
 
+    "text_token_count_bpe" -> Q(
+      "Token counting, all three pipeline flavors per document: whitespace tokens, BPE-ish regex pieces (GPT-2-style run segmentation — letter runs / digit runs / punctuation runs with optional leading space; lookahead-free so Java regex and RE2 agree), and the chars/4 estimator (reference F20 src/embeddings.py:95-107)",
+      (s, dir) => {
+        val Piece = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+        T.documents(s, dir)
+          .select(col("doc_id"),
+            tokenCount(col("text")).as("n_ws"),
+            size(regexp_extract_all(lower(col("text")), lit(Piece), lit(0)))
+              .cast("long").as("n_bpe"),
+            graft.functions.EmailFunctions.approxTokenCount(col("text"))
+              .as("n_est"))
+          .orderBy(col("doc_id"))
+      },
+      s"""SELECT doc_id,
+         |  CAST(len($ToksSql) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe,
+         |  CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS n_est
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
     "curation_pipeline_full" -> Q(
       "The complete curation composite: quality gate → repetition gate (Gopher dup-2gram ≤ 0.2) → benchmark decontamination (< 0.1 overlap vs docs 0-2) → exact dedup → LSH near-dup cluster resolution with canonical keep. Every stage is the registry operator of the same name, composed",
       (s, dir) => {

@@ -36,13 +36,20 @@ class SqlSurfaceSpec extends SparkSpec {
           .value.asInstanceOf[Int]))
     SparkBridge.registerFunction(spark, "sorted_intersect_size",
       cs => SortedIntersectSize(cs(0), cs(1)))
+    SparkBridge.registerFunction(spark, "gram_stats",
+      cs => GramStats(cs(0),
+        cs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]))
     val r = spark.sql(
       """SELECT ts_tokens('The Running dogs') AS tt,
         |  simhash16(array('a', 'b')) AS sh,
         |  minhash_signature(array('a b c'), 4) AS ms,
         |  hashed_shingles(array('a', 'b', 'c'), 2) AS hs,
-        |  sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS sis""".stripMargin)
+        |  sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS sis,
+        |  gram_stats(array('a', 'b', 'a', 'b'), 2) AS gs""".stripMargin)
       .collect()(0)
+    val gs = r.getAs[org.apache.spark.sql.Row]("gs")
+    assert(gs.getLong(0) == 3 && gs.getLong(1) == 2 && gs.getLong(2) == 2)
     assert(r.getAs[scala.collection.Seq[String]]("tt") == Seq("runn", "dog"))
     assert(r.getAs[scala.collection.Seq[String]]("ms").length == 4)
     assert(r.getAs[scala.collection.Seq[Long]]("hs").length == 2)
