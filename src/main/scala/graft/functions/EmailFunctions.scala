@@ -315,6 +315,34 @@ object EmailFunctions {
       hits.as("issues"))
   }
 
+  // --------------------------------------------------------- PII scrubbing
+
+  /** Training-data PII scrub: replaces email addresses, URLs, and long
+    * digit runs (phone/account numbers, ≥7 digits allowing separators)
+    * with typed placeholders, and reports what was removed. Order
+    * matters: URLs before emails (a URL can embed an @), emails before
+    * digit runs (an address can embed digits). Returns
+    * {text, n_emails, n_urls, n_numbers}. Row-local — scales with scan
+    * bandwidth like every F-series scalar. (No reference analog: the
+    * reference stores raw bodies; this is the corpus-export step a
+    * training pipeline adds.)
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPat = "https?://[^\\s<>\"]+"
+  val LongNumberPat = "[(]?[0-9](?:[0-9 ()\\-.]{5,}[0-9])"
+
+  def scrubPii(text: Column): Column = {
+    val t0 = coalesce(text, lit(""))
+    val nUrls = size(regexp_extract_all(t0, lit(UrlPat), lit(0))).cast("long")
+    val t1 = regexp_replace(t0, UrlPat, "<URL>")
+    val nEmails = size(regexp_extract_all(t1, lit(EmailPat), lit(0))).cast("long")
+    val t2 = regexp_replace(t1, EmailPat, "<EMAIL>")
+    val nNums = size(regexp_extract_all(t2, lit(LongNumberPat), lit(0))).cast("long")
+    val t3 = regexp_replace(t2, LongNumberPat, "<NUMBER>")
+    struct(t3.as("text"), nEmails.as("n_emails"), nUrls.as("n_urls"),
+      nNums.as("n_numbers"))
+  }
+
   // ------------------------------------------------------- F20, F21 tokens/cost
 
   /** F20: token-cap truncation — chars/4 heuristic for the 8191-token model

@@ -9,6 +9,32 @@ class EmailFunctionsSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column): Any =
     Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
 
+  test("PII scrub: emails, URLs, long numbers replaced with typed placeholders") {
+    import graft.functions.EmailFunctions.scrubPii
+    val in = Seq(
+      "contact alice.smith+x@corp.example.com or see https://example.com/a?b=1 now",
+      "call (555) 123-4567 or 555.987.6543 x99",
+      "clean text with the number 42 and v2.0 kept",
+      null
+    ).toDF("t")
+    val rows = in.select(scrubPii(col("t")).as("s"))
+      .select("s.text", "s.n_emails", "s.n_urls", "s.n_numbers")
+      .collect()
+    assert(rows(0).getString(0) == "contact <EMAIL> or see <URL> now")
+    assert(rows(0).getLong(1) == 1 && rows(0).getLong(2) == 1)
+    assert(rows(1).getString(0) == "call <NUMBER> or <NUMBER> x99")
+    assert(rows(1).getLong(3) == 2)
+    // short numbers and versions survive; null -> empty, all zero
+    assert(rows(2).getString(0) == "clean text with the number 42 and v2.0 kept")
+    assert(rows(2).getLong(1) == 0 && rows(2).getLong(2) == 0 && rows(2).getLong(3) == 0)
+    assert(rows(3).getString(0) == "" && rows(3).getLong(1) == 0)
+    // idempotent: scrubbing scrubbed text changes nothing
+    val twice = in.select(scrubPii(col("t")).getField("text").as("t1"))
+      .select(scrubPii(col("t1")).getField("text").as("t2"), col("t1"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("F11 slug: charset, collapse, truncate, default") {
     val rows = Seq(
       "Hello World!", "  --  ", "", "A" * 100, "Re: [urgent] fix/bug #42"

@@ -1,0 +1,51 @@
+package graft
+
+import graft.streaming.StreamingCuration
+
+/** The curation gates as a structured stream: quality + repetition gates
+  * filter, and fingerprint dedup drops duplicates ACROSS micro-batches
+  * (state store), including a duplicate landing in a later drain against
+  * the same checkpoint. */
+class StreamingCurationSpec extends SparkSpec {
+
+  private def doc(id: Long, text: String): String =
+    s"""{"doc_id": $id, "text": "$text"}"""
+
+  private val good =
+    (1 to 30).map(i => s"tok$i").mkString(" ") // 30 distinct tokens
+  private val short = "too short"
+  private val repetitive =
+    (1 to 30).map(_ => "a b").mkString(" ")    // dup-2gram frac ≈ 1
+
+  test("gates filter within a drain; dedup state spans micro-batches and drains") {
+    val landing = tmpDir("cur-landing")
+    val out = tmpDir("cur-out")
+    val ckpt = tmpDir("cur-ckpt")
+
+    // two files → two micro-batches (maxFilesPerTrigger=1); the duplicate
+    // of doc 1 arrives in the SECOND batch and must hit state from the first
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "b1.json"),
+      Seq(doc(1, good), doc(2, short), doc(3, repetitive))
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "b2.json"),
+      Seq(doc(4, good), doc(5, good + " extra tail tokens"))
+        .mkString("\n").getBytes("UTF-8"))
+    StreamingCuration.drainTo(spark, landing, out, ckpt)
+
+    val got1 = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted
+    // 1 passes; 2 fails length; 3 fails repetition; 4 is an exact dup of 1
+    // (same text → same fingerprint, later batch); 5 is novel
+    assert(got1.toSeq == Seq(1L, 5L))
+
+    // a later drain on the same checkpoint: re-landed duplicates stay
+    // dropped (dedup state persists across restarts via the checkpoint)
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "b3.json"),
+      Seq(doc(6, good), doc(7, (1 to 25).map(i => s"new$i").mkString(" ")))
+        .mkString("\n").getBytes("UTF-8"))
+    StreamingCuration.drainTo(spark, landing, out, ckpt)
+    val got2 = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted
+    assert(got2.toSeq == Seq(1L, 5L, 7L)) // 6 deduped against state from drain 1
+  }
+}
