@@ -40,6 +40,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("connected components: 60k-node graph with a 512-node chain converges in O(log d) rounds") {
+    import graft.operators.ConnectedComponents
+    import org.apache.spark.sql.functions._
+    // worst-case topology for label propagation: one long path (diameter
+    // 511) buried in 20k small cliques. Pointer jumping must resolve the
+    // path in ~log2(512)=9 doubling rounds, not 511 propagation rounds —
+    // the property that makes the loop viable on billion-doc corpora.
+    val spark2 = spark
+    import spark2.implicits._
+    val chain = (0L until 511L).map(i => (i, i + 1))
+    val cliques = (0 until 20000).flatMap { c =>
+      val base = 1000L + c * 3L
+      Seq((base, base + 1), (base + 1, base + 2))
+    }
+    val labels = ConnectedComponents
+      .resolve((chain ++ cliques).toDF("a_id", "b_id"), maxIters = 16)
+      .as[(Long, Long)].collect().toMap
+    // the whole chain resolved to 0 — would fail at maxIters=16 without
+    // pointer jumping (needs 511 pure-propagation rounds)
+    (0L to 511L).foreach(v => assert(labels(v) == 0L))
+    assert(labels.size == 512 + 3 * 20000)
+    assert(labels(1000L + 42 * 3 + 2) == 1000L + 42 * 3)
+  }
+
   test("zstd write is smaller than uncompressed for text columns") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val base = tmpDir("compress")
