@@ -68,4 +68,69 @@ object MultiModal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(everyK))))
       .select(col(idCol), col("frame_idx"))
+
+  /** Resized payload row: binary in, binary out, plus the recorded target
+    * dimensions — the image-thumbnailing batch shape. */
+  final case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize: binary → binary partition-level transform. The stub
+    * emits a deterministic payload (8-byte target-dim header + SHA-256 of
+    * the source bytes) so tests can assert determinism and size bounds;
+    * a real build swaps in an image library call with the same
+    * (bytes, w, h) → bytes signature. Shape properties that are real and
+    * carried by the plan: no shuffle, output size independent of input
+    * size (thumbnails don't grow with originals), codec state reused
+    * across each partition. */
+  def resizeTo(df: DataFrame, idCol: String, blobCol: String,
+      w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.empty[Byte] else bytes
+          digest.reset()
+          val body = digest.digest(b)
+          val out = java.nio.ByteBuffer.allocate(8 + body.length)
+            .putInt(w).putInt(h).put(body).array()
+          ResizedMedia(id, w, h, out)
+        }
+      }
+  }
+
+  /** Media feature row: the binary → dense-vector bridge into the ANN
+    * operators (D family) — decode, then embed. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** STUB feature extraction: binary payload → unit-norm Float vector,
+    * deterministic (seeded from content bytes — the same contract as
+    * enrich.HashEmbedder for text). The output column is directly
+    * consumable by cosineSim / the LSH–IVF ANN paths, which is the point:
+    * multimodal payloads enter the SAME vector-search operators as text
+    * embeddings, no special-casing downstream. */
+  def extractFeatures(df: DataFrame, idCol: String, blobCol: String,
+      dim: Int = 64): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.empty[Byte] else bytes
+          digest.reset()
+          val seedBytes = digest.digest(b)
+          val seed = java.nio.ByteBuffer.wrap(seedBytes.take(8)).getLong
+          val rnd = new java.util.Random(seed)
+          val v = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+          val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+          val unit =
+            if (norm == 0.0) v else v.map(x => (x / norm).toFloat)
+          MediaFeatures(id, unit)
+        }
+      }
+  }
 }
