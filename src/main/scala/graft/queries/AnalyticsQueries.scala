@@ -663,6 +663,30 @@ object AnalyticsQueries {
         |  FROM documents)
         |GROUP BY 1, 2 ORDER BY source, split""".stripMargin),
 
+    "samp3_per_group" -> Q(
+      "Deterministic per-group k-sample (reservoir-sampling semantics, engine-portable): rank rows inside each source by md5(doc_id), keep the 5 smallest — a uniform-at-random fixed-k sample per group that any engine reproduces bit-for-bit, unlike rand()-based reservoirs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // md5 of the id is the portable random key: uniform, stable, and
+        // identical in every engine — the property rand(seed) lacks.
+        // Plans as one hash-partitioned window per group with
+        // WindowGroupLimit pushing the top-5 below the sort at scale.
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        T.documents(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("rk"), col("doc_id"))
+          .orderBy(col("source"), col("rk"))
+      },
+      """SELECT source, rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin),
+
     "g4_gap_fill" -> Q(
       "Time-series gap filling: dense daily spine (sequence + explode) left-joined to per-day counts, zero-filled",
       (s, dir) => {
