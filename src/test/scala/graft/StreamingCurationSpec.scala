@@ -48,4 +48,32 @@ class StreamingCurationSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id")).sorted
     assert(got2.toSeq == Seq(1L, 5L, 7L)) // 6 deduped against state from drain 1
   }
+
+  test("incremental near-dup drain: batch docs screened against the accumulated store") {
+    val landing = tmpDir("nd-landing")
+    val store = tmpDir("nd-store") + "/docs"
+    val ckpt = tmpDir("nd-ckpt")
+    val baseText = (1 to 30).map(i => s"w$i").mkString(" ")
+
+    // drain 1: two distinct docs + one within-batch near-dup cluster
+    // (11-12: 12 = 11 plus one appended token -> Jaccard ~ 0.97, same
+    // fingerprint? no - different text, passes exact dedup)
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "b1.json"),
+      Seq(doc(11, baseText), doc(12, baseText + " tail"),
+        doc(13, (1 to 25).map(i => s"x$i").mkString(" ")))
+        .mkString("\n").getBytes("UTF-8"))
+    StreamingCuration.drainIncrementalNearDup(spark, landing, store, ckpt)
+    val s1 = spark.read.parquet(store).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(s1.toSeq == Seq(11L, 13L)) // 12 resolved into 11's cluster, min kept
+
+    // drain 2: a near-dup of STORED doc 11 must be dropped against the
+    // store's persisted signatures; a novel doc survives
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "b2.json"),
+      Seq(doc(21, baseText + " coda"),
+        doc(22, (1 to 25).map(i => s"z$i").mkString(" ")))
+        .mkString("\n").getBytes("UTF-8"))
+    StreamingCuration.drainIncrementalNearDup(spark, landing, store, ckpt)
+    val s2 = spark.read.parquet(store).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(s2.toSeq == Seq(11L, 13L, 22L)) // 21 near-dups stored 11
+  }
 }
