@@ -3,8 +3,8 @@ package graft
 import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, CreateArray, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** Session extension that exposes EVERY custom engine expression to SQL:
   *
@@ -43,8 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => CosineSimilarity(cs(0), cs(1)))
     register("ts_tokens", classOf[TsTokens])(cs => TsTokens(cs(0)))
     register("simhash16", classOf[SimHash16])(cs => SimHash16(cs(0)))
-    register("minhash_signature", classOf[MinHashSignature])(
-      cs => MinHashSignature(cs(0), intLit(cs(1), "signature length m")))
+    // same NULL-input parity wrapper as TextFunctions.minhashSignature:
+    // the raw expression is null-intolerant, the spec yields m nulls
+    register("minhash_signature", classOf[MinHashSignature])(cs => {
+      val m = intLit(cs(1), "signature length m")
+      Coalesce(Seq(MinHashSignature(cs(0), m),
+        CreateArray(Seq.fill(m)(Literal.create(null, StringType)))))
+    })
     register("hashed_shingles", classOf[HashedShingles])(
       cs => HashedShingles(cs(0), intLit(cs(1), "shingle width k")))
     register("sorted_intersect_size", classOf[SortedIntersectSize])(

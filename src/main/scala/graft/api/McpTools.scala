@@ -57,7 +57,12 @@ object McpTools {
       "Ask a natural language question about your emails. Uses RAG to find relevant emails and generate an answer.",
       List(
         Param("question", "string", "Natural language question about your emails", required = true),
-        Param("context_limit", "integer", "Number of relevant emails to use as context (1-20)", default = Some(JInt(5))))),
+        Param("context_limit", "integer", "Number of relevant emails to use as context (1-20)", default = Some(JInt(5))),
+        // declared for registry parity (mcp_tools.py:68-83); accepted and
+        // unused by dispatch — the reference server drops them too
+        // (server.py:332-375 forwards only question + context_limit)
+        Param("date_from", "string", "ISO 8601 datetime to only consider emails after this date"),
+        Param("date_to", "string", "ISO 8601 datetime to only consider emails before this date"))),
     Tool("categorize_emails",
       "Categorize recent emails into predefined categories.",
       List(
@@ -118,7 +123,9 @@ object McpTools {
   final case class McpError(msg: String) extends RuntimeException(msg)
 
   /** validate_mcp_parameters semantics (mcp_tools.py:242-269): required
-    * check, defaults applied, unknown params dropped. */
+    * check, defaults applied, unknown params dropped — plus enum
+    * enforcement, so an invalid choice is a tool-level 400, not a
+    * downstream engine exception surfacing as a 500. */
   private def cleaned(tool: Tool, params: JValue): Map[String, JValue] =
     tool.params.flatMap { p =>
       (params \ p.name) match {
@@ -126,7 +133,14 @@ object McpTools {
           if (p.required) throw McpError(
             s"Required parameter '${p.name}' missing for tool '${tool.name}'")
           p.default.map(p.name -> _)
-        case v => Some(p.name -> v)
+        case v =>
+          p.allowed.foreach { allowed =>
+            val s = v.extractOpt[String].getOrElse("")
+            if (!allowed.contains(s)) throw McpError(
+              s"Parameter '${p.name}' for tool '${tool.name}' must be one of " +
+                allowed.mkString("[", ", ", "]") + s", got '$s'")
+          }
+          Some(p.name -> v)
       }
     }.toMap
 
@@ -138,11 +152,23 @@ object McpTools {
     val p = cleaned(tool, params)
     def int(n: String, d: Int): Int = p.get(n).flatMap(_.extractOpt[Int]).getOrElse(d)
     def str(n: String): String = p(n).extract[String]
-    def rows(df: org.apache.spark.sql.DataFrame): JValue =
-      JArray(df.toJSON.collect().toList.map(org.json4s.jackson.JsonMethods.parse(_)))
+    def bool(n: String, d: Boolean): Boolean =
+      p.get(n).flatMap(_.extractOpt[Boolean]).getOrElse(d)
+    def tsOf(n: String): Option[java.sql.Timestamp] =
+      p.get(n).flatMap { v =>
+        try Json.timestamp(v)
+        catch { case e: IllegalArgumentException => throw McpError(e.getMessage) }
+      }
+    def rows(df: org.apache.spark.sql.DataFrame): JValue = JArray(Json.rows(df).toList)
     toolName match {
       case "search_emails" =>
-        rows(api.searchSemantic(str("query"), int("limit", 10)))
+        val filters = graft.search.SearchFilters(
+          dateFrom = tsOf("date_from"), dateTo = tsOf("date_to"))
+        val hits = api.searchSemantic(str("query"), int("limit", 10), filters)
+        rows(
+          if (!bool("include_content", d = false)) hits
+          else hits.join(
+            api.emails.select(col("id"), col("body_plain")), Seq("id"), "left"))
       case "ask_email_question" =>
         val (answer, sources) = api.ask(str("question"), int("context_limit", 5))
         JObject("answer" -> JString(answer),

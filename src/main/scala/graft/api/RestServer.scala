@@ -59,15 +59,20 @@ object RestServer {
       val limit = (body \ "limit").extractOpt[Int].getOrElse(10)
       val filters = SearchFilters(
         dateFrom = ts(body \ "date_from"), dateTo = ts(body \ "date_to"))
+      val includeContent = (body \ "include_content").extractOpt[Boolean]
+        .getOrElse(false)
       val hits = api.searchSemantic(query, limit, filters)
       // EmailSummary shape (models.py:133-151): rejoin the store for the
-      // summary fields the ranked projection doesn't carry
+      // summary fields the ranked projection doesn't carry;
+      // include_content additionally attaches the full plain body
+      val extra = Seq("sender_name", "has_attachments", "labels",
+        "markdown_path") ++ (if (includeContent) Seq("body_plain") else Nil)
       val summaries = hits
-        .join(api.emails.select(col("id"), col("sender_name"),
-          col("has_attachments"), col("labels"), col("markdown_path")), Seq("id"))
-        .select(col("id"), col("message_id"), col("subject"), col("sender"),
-          col("sender_name"), col("date"), col("has_attachments"),
-          col("labels"), col("similarity"), col("markdown_path"), col("score"))
+        .join(api.emails.select((Seq("id") ++ extra).map(col): _*), Seq("id"))
+        .select((Seq("id", "message_id", "subject", "sender", "sender_name",
+          "date", "has_attachments", "labels", "similarity", "markdown_path") ++
+          (if (includeContent) Seq("body_plain") else Nil) ++
+          Seq("score")).map(col): _*)
         .orderBy(col("score").desc, col("message_id"))
         .drop("score")
       val rows = dfJson(summaries)
@@ -123,13 +128,11 @@ object RestServer {
 
   private final case class BadRequest(msg: String) extends RuntimeException(msg)
 
-  /** DataFrame rows as json4s values via Spark's own JSON encoder. */
-  private def dfJson(df: DataFrame): Seq[JValue] =
-    df.toJSON.collect().toSeq.map(JsonMethods.parse(_))
+  private def dfJson(df: DataFrame): Seq[JValue] = Json.rows(df)
 
   private def ts(v: JValue): Option[java.sql.Timestamp] =
-    v.extractOpt[String].map(s =>
-      java.sql.Timestamp.from(java.time.OffsetDateTime.parse(s).toInstant))
+    try Json.timestamp(v)
+    catch { case e: IllegalArgumentException => throw BadRequest(e.getMessage) }
 
   private def route(srv: HttpServer, path: String, method: String)(
       handler: JValue => JValue): Unit =

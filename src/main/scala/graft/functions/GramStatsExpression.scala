@@ -26,9 +26,11 @@ import org.apache.spark.sql.types._
   * the stats cost is absorbed into the scan, like any scalar.
   *
   * NULL array → NULL (standard null-intolerant semantics); a NULL token
-  * element renders as the string "null" inside its gram, matching
-  * `concat_ws`/`array_join` null-dropping... not applicable from
-  * `split()` output, which never yields nulls.
+  * element is DROPPED from its gram — exactly `array_join`'s null
+  * handling, which the declarative `shingles` builds on — so the
+  * equality with the distributed pipeline holds even on
+  * containsNull=true inputs (unreachable from `split()` output; pinned
+  * in PropertySpec anyway).
   */
 case class GramStats(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, "gram width must be >= 1")
@@ -59,20 +61,28 @@ object GramStats {
   def compute(toks: ArrayData, k: Int): InternalRow = {
     val n = toks.numElements()
     val counts = new java.util.HashMap[String, Long]()
-    def tok(i: Int): String =
-      if (toks.isNullAt(i)) "null" else toks.getUTF8String(i).toString
-    if (n <= k) {
+    // gram of a token window = array_join semantics: null elements are
+    // dropped, remaining tokens single-space-joined
+    def gram(from: Int, len: Int): String = {
       val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i < n) { if (i > 0) sb.append(' '); sb.append(tok(i)); i += 1 }
-      counts.put(sb.toString, 1L)
+      var j = 0
+      var first = true
+      while (j < len) {
+        if (!toks.isNullAt(from + j)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(from + j).toString)
+          first = false
+        }
+        j += 1
+      }
+      sb.toString
+    }
+    if (n <= k) {
+      counts.put(gram(0, n), 1L)
     } else {
       var i = 0
       while (i <= n - k) {
-        val sb = new java.lang.StringBuilder
-        var j = 0
-        while (j < k) { if (j > 0) sb.append(' '); sb.append(tok(i + j)); j += 1 }
-        counts.merge(sb.toString, 1L, (a, b) => a + b)
+        counts.merge(gram(i, k), 1L, (a, b) => a + b)
         i += 1
       }
     }

@@ -55,7 +55,7 @@ object MinHashSignature {
   def compute(shingles: ArrayData, m: Int): ArrayData = {
     val n = shingles.numElements()
     val mins = new Array[String](m)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Digests.md5.get()
     val prefixes = new Array[Array[Byte]](m)
     var s = 0
     while (s < m) { prefixes(s) = (s.toString + "|").getBytes("UTF-8"); s += 1 }

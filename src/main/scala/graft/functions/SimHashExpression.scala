@@ -60,7 +60,7 @@ case class SimHash16(child: Expression) extends UnaryExpression {
 object SimHash16 {
   def compute(toks: ArrayData): Long = {
     val sums = new Array[Int](16)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Digests.md5.get()
     val n = toks.numElements()
     var i = 0
     while (i < n) {

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an undirected edge list, by
   * iterative min-id label propagation with pointer jumping — the
@@ -24,7 +25,8 @@ import org.apache.spark.sql.functions._
   * The driver loop only issues a per-round `count()` to test convergence
   * (labels changed = 0) — the classic Pregel-style control flow; label
   * data never leaves the executors. Each round's labels are eagerly
-  * lineage-truncated (localCheckpoint), so plan depth stays constant
+  * lineage-truncated (persisted RDD cut, previous round freed), so plan
+  * depth and block-manager footprint stay constant
   * across rounds. At 100 TB scale the same loop holds: shuffle volume per round is
   * |V|+|E| fixed-width (id, label) longs, and the round count is
   * logarithmic in the largest near-dup chain (for templated/crawled
@@ -46,21 +48,32 @@ object ConnectedComponents {
     * between materializations per the documented harness contract.
     */
   def resolve(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
       .union(pairs
         .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
       .persist()
-    // Every round's result is lineage-truncated (eager localCheckpoint):
-    // the pointer-jumping self-join references the round's plan TWICE, so
-    // without truncation the logical plan doubles per round — exponential
-    // tree growth that stalls the optimizer long before data size matters.
-    // Iterative dataflows must cut lineage each round; on a cluster with
-    // executor-loss concerns use reliable `checkpoint()` with a checkpoint
-    // dir instead (same call shape).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    // Every round's result is lineage-truncated: the pointer-jumping
+    // self-join references the round's plan TWICE, so without truncation
+    // the logical plan doubles per round — exponential tree growth that
+    // stalls the optimizer long before data size matters. Truncation is
+    // an explicit RDD persist (df.rdd → createDataFrame) rather than
+    // localCheckpoint, because the PREVIOUS round's blocks must be freed
+    // deterministically each round — localCheckpoint blocks are invisible
+    // to both Dataset.unpersist and catalog.clearCache, and would
+    // accumulate rounds × |V| in the block manager until GC-driven
+    // cleanup. Only the final round's RDD outlives the call (the returned
+    // plan reads it); it is context-cleaned once the caller drops the
+    // DataFrame. On a cluster with executor-loss concerns use reliable
+    // `checkpoint()` instead (same structure).
+    def truncated(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = truncated(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -74,14 +87,16 @@ object ConnectedComponents {
       // start as ids and min-propagation only moves existing ids), so the
       // self-join always matches
       val jump = step1.select(col("id").as("jid"), col("label").as("jlabel"))
-      val next = step1.join(jump, step1("label") === jump("jid"))
-        .select(step1("id").as("id"), col("jlabel").as("label"))
-        .localCheckpoint()
+      val (next, nextRdd) = truncated(
+        step1.join(jump, step1("label") === jump("jid"))
+          .select(step1("id").as("id"), col("jlabel").as("label")))
       changed = next
         .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
         .filter(col("label") =!= col("prev"))
         .count()
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       iter += 1
     }
     edges.unpersist()

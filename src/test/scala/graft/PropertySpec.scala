@@ -216,6 +216,14 @@ class PropertySpec extends SparkSpec {
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("d"))
       .as[(Long, Long, Long, Long)].collect().toMap2
     assert(fast == spec)
+    // null ELEMENT parity: gram construction drops nulls like array_join
+    val nullCase = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'a') AS t")
+      .select(gramStats(col("t"), 2).as("st"))
+      .select(col("st.n_grams"), col("st.top_c"), col("st.dup_c"))
+      .as[(Long, Long, Long)].collect()(0)
+    // grams: join(['a', null]) = "a", join([null, 'a']) = "a" -> "a"×2
+    assert(nullCase == ((2L, 2L, 2L)))
   }
 
   implicit private class Tup4Map(rows: Array[(Long, Long, Long, Long)]) {

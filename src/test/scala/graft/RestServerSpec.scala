@@ -144,6 +144,39 @@ class RestServerSpec extends SparkSpec {
     assert(c7 == 400 && (e7 \ "detail").extract[String].contains("environment-excluded"))
   }
 
+  test("date filters: offset-less ISO accepted, garbage is a 400, ranges apply on REST and MCP") {
+    // offset-less ISO 8601 (reference FastAPI accepts naive datetimes)
+    val (c1, j1) = http("POST", "/api/search/emails",
+      Some("""{"query": "spark", "date_from": "2024-01-16T00:00:00"}"""))
+    assert(c1 == 200)
+    val r1 = (j1 \ "results").extract[List[JValue]]
+    assert(r1.map(r => (r \ "message_id").extract[String]) == List("r2"),
+      "date_from must exclude the Jan 15 email")
+    // unparseable datetime -> 400 with the offending text, not a 500
+    val (c2, e2) = http("POST", "/api/search/emails",
+      Some("""{"query": "spark", "date_from": "not-a-date"}"""))
+    assert(c2 == 400 && (e2 \ "detail").extract[String].contains("not-a-date"))
+    // MCP dispatch honors the same filters (was silently ignored before)
+    val (c3, j3) = http("POST", "/mcp/call",
+      Some("""{"tool": "search_emails", "parameters": {"query": "spark", "date_to": "2024-01-15T23:59:59Z"}}"""))
+    assert(c3 == 200)
+    val r3 = (j3 \ "result").extract[List[JValue]]
+    assert(r3.map(r => (r \ "message_id").extract[String]) == List("r1"))
+    // include_content attaches the body on request
+    val (c4, j4) = http("POST", "/api/search/emails",
+      Some("""{"query": "spark", "limit": 1, "include_content": true}"""))
+    assert(c4 == 200)
+    val body = ((j4 \ "results").extract[List[JValue]].head \ "body_plain")
+    assert(body.extract[String].contains("broadcast"))
+  }
+
+  test("MCP enum validation: invalid group_by is a 400 tool error, not a 500") {
+    val (code, err) = http("POST", "/mcp/call",
+      Some("""{"tool": "analyze_email_patterns", "parameters": {"group_by": "hour"}}"""))
+    assert(code == 400)
+    assert((err \ "detail").extract[String].contains("must be one of"))
+  }
+
   test("error contract: missing field 400, wrong method 405, unknown path 404") {
     val (c1, e1) = http("POST", "/api/search/emails", Some("""{"limit": 3}"""))
     assert(c1 == 400 && (e1 \ "detail").extract[String].contains("query"))

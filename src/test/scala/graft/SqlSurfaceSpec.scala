@@ -54,6 +54,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[String]]("ms").length == 4)
     assert(r.getAs[scala.collection.Seq[Long]]("hs").length == 2)
     assert(r.getAs[Int]("sis") == 2)
+    // minhash_signature NULL parity: SQL registration carries the same
+    // coalesce wrapper as TextFunctions.minhashSignature (m nulls, not NULL)
+    SparkBridge.registerFunction(spark, "minhash_signature_wrapped",
+      cs => {
+        import org.apache.spark.sql.catalyst.expressions.{Coalesce, CreateArray, Literal}
+        import org.apache.spark.sql.types.StringType
+        val m = cs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]
+        Coalesce(Seq(MinHashSignature(cs(0), m),
+          CreateArray(Seq.fill(m)(Literal.create(null, StringType)))))
+      })
+    val nullSig = spark.sql(
+      "SELECT minhash_signature_wrapped(CAST(NULL AS ARRAY<STRING>), 4) AS s")
+      .collect()(0).getAs[scala.collection.Seq[String]]("s")
+    assert(nullSig != null && nullSig.length == 4 && nullSig.forall(_ == null))
+
     // simhash16 from SQL == the Column helper
     import org.apache.spark.sql.functions._
     import spark.implicits._
