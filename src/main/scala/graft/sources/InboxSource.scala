@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.util
+
+import graft.model.Schemas
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.graftbridge.JsonLineParser
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** SURVEY §2 A1 — the provider inbox as a first-class DataSource V2
+  * `TableProvider` (the "faithful shape" SURVEY's A1 row names): a
+  * directory of provider-exported message-JSON batch files becomes a
+  * Spark table with the canonical raw schema, one input partition per
+  * batch file, and REAL column pruning — the scan parses each JSON line
+  * directly against the PRUNED schema (Jackson skips unrequested
+  * subtrees), so `SELECT id FROM inbox` never materializes the nested
+  * MIME payload tree.
+  *
+  * Usage:
+  * {{{ spark.read.format("graft-inbox").load(inboxDir)          // full
+  *     spark.read.format("graft-inbox").load(dir).select("id")  // pruned }}}
+  *
+  * Scope (mirrors the environment contract): batch files only — the live
+  * paginated Gmail API source is environment-excluded (no OAuth); its
+  * pagination becomes the file boundary here, exactly as
+  * `ingest.Normalize.readRaw` assumes. Streaming reads go through the
+  * file-stream source (`streaming.IncrementalSync`), which already
+  * handles checkpoints; this provider is the batch scan.
+  *
+  * Reference: message listing + fetch
+  * `src/providers/gmail/provider.py:89-164`; the canonical nested
+  * payload this parses is `provider.py:227-284`'s input.
+  */
+class InboxSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-inbox"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.rawMessageSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new InboxTable(schema, properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final class InboxTable(schema: StructType, properties: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-inbox(${properties.getOrElse("path", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new InboxScanBuilder(schema,
+      options.asScala.toMap ++ properties)
+}
+
+/** Column pruning: the engine hands us the required top-level columns and
+  * we parse ONLY those — nested pruning below the top level is left to
+  * Jackson's subtree skipping. */
+final class InboxScanBuilder(fullSchema: StructType, options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve declared field order/types from the full schema
+    val keep = requiredSchema.fieldNames.toSet
+    val pruned = StructType(fullSchema.fields.filter(f => keep(f.name)))
+    required = if (pruned.isEmpty) StructType(Seq(fullSchema.fields.head)) else pruned
+  }
+
+  override def build(): Scan = new InboxScan(required, options)
+}
+
+final class InboxScan(readSchemaV: StructType, options: Map[String, String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = readSchemaV
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-inbox scan, parsed columns: ${readSchemaV.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val path = options.getOrElse("path",
+      throw new IllegalArgumentException("graft-inbox requires a path"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    val files: Array[String] =
+      if (!fs.exists(p)) Array.empty
+      else if (fs.getFileStatus(p).isFile) Array(p.toString)
+      else fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
+    // one partition per batch file: the provider's page boundary is the
+    // parallelism unit, same as the JSON file source's split behavior for
+    // line-delimited files
+    files.map(f => InboxFilePartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new InboxReaderFactory(readSchemaV,
+      options.getOrElse("timeZone", "UTC"))
+}
+
+final case class InboxFilePartition(path: String) extends InputPartition
+
+final class InboxReaderFactory(schema: StructType, tz: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[InboxFilePartition].path
+    new PartitionReader[InternalRow] {
+      private val parser = new JsonLineParser(schema, tz)
+      private val stream = {
+        val p = new org.apache.hadoop.fs.Path(file)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+      }
+      private val lines = scala.io.Source.fromInputStream(stream, "UTF-8")
+        .getLines()
+      private var current: Iterator[InternalRow] = Iterator.empty
+
+      override def next(): Boolean = {
+        while (!current.hasNext && lines.hasNext) {
+          val line = lines.next()
+          if (line.trim.nonEmpty) current = parser.parse(line)
+        }
+        current.hasNext
+      }
+      override def get(): InternalRow = current.next()
+      override def close(): Unit = stream.close()
+    }
+  }
+}

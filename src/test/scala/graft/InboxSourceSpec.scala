@@ -1,0 +1,56 @@
+package graft
+
+import graft.model.Schemas
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 inbox provider: full-schema parity with the built-in
+  * JSON source, column pruning down to the parsed schema, per-file
+  * partitioning, and composition with the normalize stage. */
+class InboxSourceSpec extends SparkSpec {
+
+  private def rawMsg(id: String, subject: String, body: String): String =
+    s"""{"id":"$id","threadId":"t-$id","labelIds":["INBOX"],"snippet":"s","sizeEstimate":1,"historyId":"h",
+       |"payload":{"partId":"0","mimeType":"text/plain","filename":"",
+       |"headers":[{"name":"From","value":"a@x.com"},{"name":"Subject","value":"$subject"},{"name":"Date","value":"Mon, 15 Jan 2024 10:00:00 +0000"}],
+       |"body":{"data":"${b64url(body)}","size":1,"attachmentId":null}}}""".stripMargin.replaceAll("\n", "")
+
+  private lazy val inbox = {
+    val dir = tmpDir("dsv2-inbox")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch1.json"),
+      Seq(rawMsg("m1", "one", "body one"), rawMsg("m2", "two", "body two"))
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch2.json"),
+      Seq(rawMsg("m3", "three", "body three")).mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
+  private def viaDsv2 = spark.read.format("graft-inbox").load(inbox)
+
+  test("row parity with the built-in JSON source on the full raw schema") {
+    val builtin = spark.read.schema(Schemas.rawMessageSchema).json(inbox)
+    val a = viaDsv2.orderBy("id").collect()
+    val b = builtin.orderBy("id").collect()
+    assert(a.length == 3)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("column pruning reaches the scan: projected read parses only required top-level columns") {
+    val pruned = viaDsv2.select("id", "threadId")
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("parsed columns: id,threadId"),
+      s"scan description should show pruning, got:\n$desc")
+    assert(pruned.orderBy("id").collect().map(_.getString(0)).toSeq ==
+      Seq("m1", "m2", "m3"))
+  }
+
+  test("one input partition per batch file") {
+    assert(viaDsv2.rdd.getNumPartitions == 2)
+  }
+
+  test("composes with the A2 normalize stage") {
+    val emails = graft.ingest.Normalize.emails(viaDsv2)
+    val got = emails.select("message_id", "subject").orderBy("message_id").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("m1", "m2", "m3"))
+    assert(got.map(_.getString(1)).toSeq == Seq("one", "two", "three"))
+  }
+}
