@@ -41,12 +41,17 @@ object IvfIndex {
   private def centroidLit(m: Model): Column =
     typedlit(m.centroids.map(_.toSeq).toSeq)
 
-  /** Nearest-centroid id for a vector column given the broadcast matrix. */
+  /** Nearest-centroid id for a vector column given the broadcast matrix.
+    * The centroid matrix literal appears ONCE in the plan (inside the
+    * transform lambda) — building k per-centroid expressions that each
+    * embed `centroidLit` would serialize k copies of the whole k×dim
+    * matrix into every assignment plan (O(k²·dim) literal payload per
+    * Lloyd round). */
   private def nearest(vec: Column, m: Model): Column = {
-    val sims = (0 until m.k).map(c =>
+    val sims = transform(sequence(lit(0), lit(m.k - 1)), c =>
       struct(cosineSim(vec, element_at(centroidLit(m), c + 1)).as("s"),
-        lit(c).as("c")))
-    element_at(array_sort(array(sims: _*),
+        c.cast("int").as("c")))
+    element_at(array_sort(sims,
       (a, b) => when(a.getField("s") > b.getField("s"), -1)
         .when(a.getField("s") < b.getField("s"), 1)
         .otherwise(a.getField("c") - b.getField("c"))), 1).getField("c")

@@ -63,11 +63,16 @@ object MultiModal {
   /** Deterministic frame-sampling plan for video-like payloads: given a
     * per-item frame count, emit (doc_id, frame_idx) rows for every k-th
     * frame — the explode shape a real frame extractor feeds. */
-  def sampleFrames(meta: DataFrame, idCol: String, nFramesCol: String, everyK: Int): DataFrame =
+  def sampleFrames(meta: DataFrame, idCol: String, nFramesCol: String, everyK: Int): DataFrame = {
+    require(everyK >= 1, s"frame stride must be >= 1, got $everyK")
+    // zero-frame items (corrupt/audio-only payloads) emit NO rows — a
+    // greatest(n-1, 0) clamp would fabricate a phantom frame 0
     meta.select(col(idCol), col(nFramesCol))
+      .filter(col(nFramesCol) > 0)
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(everyK))))
+        explode(sequence(lit(0), col(nFramesCol) - 1, lit(everyK))))
       .select(col(idCol), col("frame_idx"))
+  }
 
   /** Resized payload row: binary in, binary out, plus the recorded target
     * dimensions — the image-thumbnailing batch shape. */

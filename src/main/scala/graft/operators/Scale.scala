@@ -64,8 +64,12 @@ object Scale {
     * `spark.sql.files.maxPartitionBytes`. */
   def repartitionForSize(df: DataFrame, targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(1, (bytes / BigInt(targetBytes)).toInt +
-      (if (bytes % BigInt(targetBytes) > 0) 1 else 0))
+    // stats can be absent (defaultSizeInBytes ≈ Long.MaxValue) or a join
+    // product far beyond Int range — clamp in BigInt space BEFORE toInt,
+    // which would otherwise keep only the low 32 bits and produce an
+    // arbitrary (possibly tiny) partition count
+    val needed = (bytes + targetBytes - 1) / BigInt(targetBytes)
+    val parts = needed.max(BigInt(1)).min(BigInt(200000)).toInt
     df.repartition(parts)
   }
 

@@ -21,7 +21,13 @@ object Upsert {
     * row with the greater `version` wins, incoming preferred on ties
     * (reference: src/database.py:72-122 — ON CONFLICT (message_id) DO
     * UPDATE with updated_at=NOW()). Idempotent: merging the same batch
-    * twice equals merging once. */
+    * twice equals merging once.
+    *
+    * The ordering is TOTAL: two rows with the same key, version, and side
+    * (an in-batch duplicate with divergent content) tie-break on a
+    * content hash, so which one survives never depends on partitioning —
+    * without this, `row_number` over a non-total order picks an
+    * arbitrary, run-varying winner. */
   def mergeByKey(
       existing: DataFrame,
       incoming: DataFrame,
@@ -29,8 +35,10 @@ object Upsert {
       version: String): DataFrame = {
     val tagged = existing.withColumn("__src", lit(0))
       .unionByName(incoming.withColumn("__src", lit(1)), allowMissingColumns = true)
+    val contentCols = tagged.columns.filterNot(_ == "__src").map(col).toSeq
     val w = Window.partitionBy(col(key))
-      .orderBy(col(version).desc_nulls_last, col("__src").desc)
+      .orderBy(col(version).desc_nulls_last, col("__src").desc,
+        md5(to_json(struct(contentCols: _*))))
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -39,14 +47,19 @@ object Upsert {
 
   /** A9: column-level upsert — overwrite `valueCol` for keys present in
     * `updates`, keep the old value elsewhere (reference:
-    * src/database.py:150-166 UPDATE emails SET embedding=... WHERE id=...). */
+    * src/database.py:150-166 UPDATE emails SET embedding=... WHERE id=...).
+    *
+    * UPDATE semantics require the row count of `target` to be preserved,
+    * so duplicate keys in `updates` (e.g. a backlog processed twice into
+    * one frame) are resolved BEFORE the join — deterministically, by the
+    * greatest value (`valueCol` must be an orderable type; arrays are). */
   def updateColumn(
       target: DataFrame,
       updates: DataFrame,
       key: String,
       valueCol: String): DataFrame = {
     val newCol = s"__new_$valueCol"
-    val u = updates.select(col(key), col(valueCol).as(newCol))
+    val u = updates.groupBy(col(key)).agg(max(col(valueCol)).as(newCol))
     target.join(u, Seq(key), "left")
       .withColumn(valueCol, coalesce(col(newCol), col(valueCol)))
       .drop(newCol)

@@ -32,19 +32,26 @@ object MarkdownSink {
     * the derived index (reference: markdown_storage.py:67-132; index
     * entries markdown_storage.py:122-129). */
   def writeArchive(emails: DataFrame, outDir: String): DataFrame = {
+    // render once: the archive write, the index write, and the returned
+    // frame all consume the same pipeline — unpersisted, the markdown
+    // rendering would run 2-3×
     val rendered = renderMarkdown(emails)
       .withColumn("year", year(col("date")))
       .withColumn("month", month(col("date")))
+      .persist()
     rendered
       .select("message_id", "markdown_path", "md", "year", "month")
       .write.mode("overwrite")
       .partitionBy("year", "month")
       .parquet(s"$outDir/archive")
-    val index = rendered.select(
+    rendered.select(
       col("message_id"), col("markdown_path").as("path"), col("subject"),
       col("sender"), col("date"), col("has_attachments"))
-    index.write.mode("overwrite").parquet(s"$outDir/index")
-    index
+      .write.mode("overwrite").parquet(s"$outDir/index")
+    rendered.unpersist()
+    // the returned index reads the just-written parquet: already
+    // materialized, no lingering cached blocks, no recompute
+    emails.sparkSession.read.parquet(s"$outDir/index")
   }
 
   /** A6: point read by message_id — index lookup + content join +

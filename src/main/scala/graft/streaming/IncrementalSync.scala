@@ -30,7 +30,10 @@ object IncrementalSync {
     val fresh = if (cursorRow.isNullAt(0)) incoming else {
       val cursor = new java.sql.Timestamp(
         cursorRow.getTimestamp(0).getTime - overlapHours.toLong * 3600000L)
-      incoming.filter(col("date") > lit(cursor))
+      // null dates (unparseable Date headers) pass the cursor: `date >
+      // cursor` alone null-routes them to dropped, permanently excluding
+      // those messages after the first sync — the merge dedups re-reads
+      incoming.filter(col("date") > lit(cursor) || col("date").isNull)
     }
     Upsert.mergeByKey(existing, fresh, "message_id", "updated_at")
   }
@@ -54,18 +57,28 @@ object IncrementalSync {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val deduped = batch.dropDuplicates("message_id")
         val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val staging = new org.apache.hadoop.fs.Path(storeDir + "__staging")
         val fs = storePath.getFileSystem(
           batch.sparkSession.sessionState.newHadoopConf())
+        // Crash recovery: a previous batch may have died between
+        // delete(store) and rename(staging, store). Staging then holds
+        // that batch's COMPLETE merged result (prior store + batch), so
+        // promote it before proceeding; the checkpoint replays the batch
+        // and the merge is idempotent. Without this, replay with a
+        // missing store would rebuild it from the batch alone, silently
+        // dropping everything previously synced.
+        if (!fs.exists(storePath) && fs.exists(staging)) fs.rename(staging, storePath)
+        // In-batch duplicate message_ids are resolved by mergeByKey's
+        // total last-writer-wins order — a pre-dropDuplicates here would
+        // pick an arbitrary row instead.
         val merged =
           if (fs.exists(storePath)) {
             val existing = batch.sparkSession.read.parquet(storeDir)
-            Upsert.mergeByKey(existing, deduped, "message_id", "updated_at")
-          } else deduped
+            Upsert.mergeByKey(existing, batch, "message_id", "updated_at")
+          } else Upsert.mergeByKey(batch.limit(0), batch, "message_id", "updated_at")
         // Stage-and-swap: never overwrite the directory being read mid-plan,
         // and stay fully distributed (no driver materialization).
-        val staging = new org.apache.hadoop.fs.Path(storeDir + "__staging")
         merged.write.mode("overwrite").parquet(staging.toString)
         fs.delete(storePath, true)
         fs.rename(staging, storePath)

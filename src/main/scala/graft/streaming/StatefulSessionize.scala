@@ -49,7 +49,11 @@ object StatefulSessionize {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                  // a cross-batch late event can precede the open
+                  // session's start — extend BOTH bounds, or the emitted
+                  // session_start misreports the earliest event
+                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
+                    endMs = math.max(s.endMs, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= close(userId, s)
                   cur = Some(OpenSession(t, t, 1))
@@ -59,7 +63,14 @@ object StatefulSessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+              // setTimeoutTimestamp rejects timestamps at or before the
+              // current watermark (flatMapGroupsWithState does NOT drop
+              // late rows for us): a key whose newest event lags the
+              // watermark by more than the gap would otherwise crash the
+              // query. Clamping means such a session times out on the
+              // next watermark advance — the earliest legal moment.
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs + 1))
             }
             closed.reverse.iterator
           }

@@ -66,10 +66,14 @@ class MultiModalSpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
 
-  test("sampleFrames: every-k explode shape") {
+  test("sampleFrames: every-k explode shape; zero-frame items emit no rows") {
     val meta = Seq((1L, 10), (2L, 1), (3L, 0)).toDF("doc_id", "n_frames")
     val got = MultiModal.sampleFrames(meta, "doc_id", "n_frames", everyK = 4)
       .as[(Long, Int)].collect().toSet
-    assert(got == Set((1L, 0), (1L, 4), (1L, 8), (2L, 0), (3L, 0)))
+    // doc 3 has no frames: no phantom frame 0 for it
+    assert(got == Set((1L, 0), (1L, 4), (1L, 8), (2L, 0)))
+    intercept[IllegalArgumentException] {
+      MultiModal.sampleFrames(meta, "doc_id", "n_frames", everyK = 0)
+    }
   }
 }

@@ -42,6 +42,49 @@ class StreamingAndSinkSpec extends SparkSpec {
       .getAs[String]("subject") == "second updated")
   }
 
+  test("G1 streamSync crash recovery: store deleted but staging intact -> staging promoted, no data loss") {
+    val inbox = tmpDir("cr-inbox")
+    val store = tmpDir("cr-store") + "/emails"
+    val ckpt = tmpDir("cr-ckpt")
+    java.nio.file.Files.write(java.nio.file.Paths.get(inbox, "b1.json"),
+      Seq(rawMsg("c1", "one", "Mon, 15 Jan 2024 10:00:00 +0000", "x"),
+        rawMsg("c2", "two", "Mon, 15 Jan 2024 11:00:00 +0000", "y"))
+        .mkString("\n").getBytes("UTF-8"))
+    IncrementalSync.streamSync(spark, inbox, store, ckpt)
+    assert(spark.read.parquet(store).count() == 2)
+
+    // simulate a crash between delete(store) and rename(staging, store):
+    // staging holds the complete merged result, the store is gone
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + "__staging"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store)))
+
+    // next drain (new file) must first promote staging, then merge — the
+    // pre-crash emails survive
+    java.nio.file.Files.write(java.nio.file.Paths.get(inbox, "b2.json"),
+      Seq(rawMsg("c3", "three", "Tue, 16 Jan 2024 10:00:00 +0000", "z"))
+        .mkString("\n").getBytes("UTF-8"))
+    IncrementalSync.streamSync(spark, inbox, store, ckpt)
+    val after = spark.read.parquet(store)
+    assert(after.count() == 3)
+    assert(after.select("message_id").as[String].collect().sorted.toSeq ==
+      Seq("c1", "c2", "c3"))
+  }
+
+  test("G1 batchSync: null-date messages pass the cursor instead of being dropped forever") {
+    val existing = Normalize.emails(
+      rawDf(Seq(rawMsg("e1", "old", "Mon, 15 Jan 2024 10:00:00 +0000", "x"))))
+    // a message whose Date header fails RFC-2822 parsing -> date null
+    val raw = rawDf(Seq(
+      rawMsg("e2", "undated", "not a real date", "y"),
+      rawMsg("e3", "new", "Tue, 16 Jan 2024 10:00:00 +0000", "z")))
+    val merged = IncrementalSync.batchSync(existing, raw)
+    assert(merged.count() == 3)
+    assert(merged.filter($"message_id" === "e2").count() == 1)
+  }
+
   test("G1 batchSync: cursor + overlap + merge") {
     val existing = Normalize.emails(
       rawDf(Seq(rawMsg("e1", "old", "Mon, 01 Jan 2024 10:00:00 +0000", "x"))))

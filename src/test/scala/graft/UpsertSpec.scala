@@ -51,6 +51,27 @@ class UpsertSpec extends SparkSpec {
     assert(got(2)._2 == Seq(8.0f))
   }
 
+  test("A4 merge order is total: identical key+version+side with divergent content resolves the same way every run") {
+    val dupBatch = Seq(
+      ("m9", "variant A", ts("2024-03-01 00:00:00")),
+      ("m9", "variant B", ts("2024-03-01 00:00:00"))
+    ).toDF("message_id", "subject", "updated_at")
+    val winners = (1 to 5).map { _ =>
+      Upsert.mergeByKey(existing, dupBatch.repartition(4), "message_id", "updated_at")
+        .filter($"message_id" === "m9").collect()(0).getString(1)
+    }
+    assert(winners.distinct.length == 1, s"nondeterministic winner: $winners")
+  }
+
+  test("A9 column upsert preserves target row count under duplicate update keys") {
+    val target = Seq((1L, Seq(1.0f)), (2L, Seq(2.0f))).toDF("id", "embedding")
+    val dupUpdates = Seq((2L, Seq(9.0f)), (2L, Seq(7.0f))).toDF("id", "embedding")
+    val got = Upsert.updateColumn(target, dupUpdates, "id", "embedding")
+      .orderBy("id").as[(Long, Seq[Float])].collect()
+    assert(got.length == 2, "UPDATE semantics: row count must not change")
+    assert(got(1)._2 == Seq(9.0f)) // deterministic greatest-value resolution
+  }
+
   test("A10 kv upsert on composite key + F25 map collect") {
     val ex = Seq(("gmail", "k1", "v1", 1L), ("gmail", "k2", "v2", 1L))
       .toDF("provider", "config_key", "config_value", "version")
