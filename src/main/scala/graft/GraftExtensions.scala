@@ -41,7 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     register("cosine_sim", classOf[CosineSimilarity])(
       cs => CosineSimilarity(cs(0), cs(1)))
-    register("ts_tokens", classOf[TsTokens])(cs => TsTokens(cs(0)))
+    // NULL-parity wrapper (same contract as minhash_signature below): the
+    // raw expression is null-intolerant, but the engine's tsTokens spec
+    // treats NULL text as "" → empty token array
+    register("ts_tokens", classOf[TsTokens])(cs =>
+      Coalesce(Seq(TsTokens(cs(0)),
+        Literal.create(Seq.empty[String],
+          org.apache.spark.sql.types.ArrayType(StringType)))))
     register("simhash16", classOf[SimHash16])(cs => SimHash16(cs(0)))
     // same NULL-input parity wrapper as TextFunctions.minhashSignature:
     // the raw expression is null-intolerant, the spec yields m nulls

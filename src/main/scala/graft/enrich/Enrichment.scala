@@ -201,7 +201,7 @@ object Enrichment {
         count(lit(1)).as("email_count"),
         min(col("date")).as("first_date"),
         max(col("date")).as("last_date"),
-        collect_set(col("sender")).as("participants"),
+        array_sort(collect_set(col("sender"))).as("participants"),
         concat_ws("\n---\n", sort_array(collect_list(
           struct(col("date"), col("block")))).getField("block")).as("context"))
 

@@ -145,10 +145,13 @@ object EmailFunctions {
   }
 
   /** F6: split a comma-separated recipient header into clean addresses,
-    * empties dropped (reference: provider.py:290-301). */
+    * empties dropped (reference: provider.py:290-301, getaddresses
+    * semantics). The split skips commas inside quoted display names —
+    * '"Doe, John" <j@x.com>' is ONE recipient, not two fragments. */
   def splitRecipients(header: Column): Column =
     filter(
-      transform(split(coalesce(header, lit("")), ","),
+      transform(
+        split(coalesce(header, lit("")), ",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)"),
         r => parseAddrEmail(trim(r))),
       a => length(a) > 0)
 
@@ -197,11 +200,13 @@ object EmailFunctions {
     c = regexp_replace(c, "(?i)<li\\b[^>]*>", "- ")
     c = regexp_replace(c, "<[^>]+>", "")
     c = regexp_replace(c, "&nbsp;", " ")
-    c = regexp_replace(c, "&amp;", "&")
     c = regexp_replace(c, "&lt;", "<")
     c = regexp_replace(c, "&gt;", ">")
     c = regexp_replace(c, "&quot;", "\"")
     c = regexp_replace(c, "&#39;", "'")
+    // &amp; decodes LAST: earlier would turn author-escaped entity text
+    // ("&amp;lt;" meaning the literal 4 chars "&lt;") into real markup
+    c = regexp_replace(c, "&amp;", "&")
     c = regexp_replace(c, "[ \\t]+", " ")
     c = regexp_replace(c, "\\n{3,}", "\n\n")
     regexp_replace(c, "^\\s+|\\s+$", "") // trim() strips spaces only, not \n
@@ -279,8 +284,22 @@ object EmailFunctions {
       when(hasDangerousExtension(filename), lit("dangerous_extension")),
       when(!coalesce(declaredMime, lit("")).isin(Schemas.AllowedMimeTypes.toSeq.map(lit(_)): _*),
         lit("mime_not_allowed")),
-      when(declaredMime.isNotNull && detected =!= lit("application/octet-stream")
-        && declaredMime =!= detected, lit("mime_mismatch"))),
+      {
+        // OOXML documents ARE zip containers: magic 504b0304 detects as
+        // application/zip for every docx/xlsx, so "detected zip" is
+        // consistent with any declared zip-family type — without this,
+        // every legitimate docx on the engine's own allowlist would flag
+        // mime_mismatch and report is_safe=false
+        val zipFamily = Seq(
+          "application/zip", "application/x-zip-compressed",
+          "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+          "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+        val compatible =
+          detected === lit("application/zip") &&
+            declaredMime.isin(zipFamily.map(lit(_)): _*)
+        when(declaredMime.isNotNull && detected =!= lit("application/octet-stream")
+          && declaredMime =!= detected && !compatible, lit("mime_mismatch"))
+      }),
       c => c.isNotNull)
     struct(
       (size(issues) === 0).as("is_safe"),
@@ -329,7 +348,10 @@ object EmailFunctions {
     */
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlPat = "https?://[^\\s<>\"]+"
-  val LongNumberPat = "[(]?[0-9](?:[0-9 ()\\-.]{5,}[0-9])"
+  // ≥7 digits total, each optionally preceded by separators — a plain
+  // "{5,} any-of-digits-or-separators" would match 2 digits spanning a
+  // long separator run ("1  -  2.0") and scrub ordinary text
+  val LongNumberPat = "[(]?[0-9](?:[ ()\\-.]*[0-9]){6,}"
 
   def scrubPii(text: Column): Column = {
     val t0 = coalesce(text, lit(""))

@@ -79,13 +79,21 @@ object HashedShingles {
     h
   }
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  private val EmptyBytes = Array.empty[Byte]
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * A null token element hashes as the empty byte string (array_join's
+    * null-drop analog at the byte level) rather than NPE-ing the task —
+    * unreachable from split() output, but the type accepts
+    * containsNull=true and the function is SQL-exposed. */
   def compute(toksData: ArrayData, k: Int): ArrayData = {
     val n = toksData.numElements()
     val toks = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
-      toks(i) = toksData.getUTF8String(i).getBytes
+      toks(i) =
+        if (toksData.isNullAt(i)) EmptyBytes
+        else toksData.getUTF8String(i).getBytes
       i += 1
     }
     val m = if (n <= k) 1 else n - k + 1

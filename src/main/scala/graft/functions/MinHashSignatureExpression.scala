@@ -39,11 +39,19 @@ case class MinHashSignature(child: Expression, m: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(input: Any): Any =
-    MinHashSignature.compute(input.asInstanceOf[ArrayData], m)
+  // seed prefixes ("0|", "1|", …) computed once per expression instance
+  // and shipped into generated code as a reference object — rebuilding
+  // them per row allocated m byte arrays per input row for nothing
+  private lazy val prefixesArr: Array[Array[Byte]] =
+    Array.tabulate(m)(s => (s.toString + "|").getBytes("UTF-8"))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSignature.compute($c, $m)")
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], prefixesArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prefixes", prefixesArr, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSignature.compute($c, $ref)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -52,13 +60,11 @@ case class MinHashSignature(child: Expression, m: Int) extends UnaryExpression {
 object MinHashSignature {
   private val HexDigits = "0123456789abcdef".toCharArray
 
-  def compute(shingles: ArrayData, m: Int): ArrayData = {
+  def compute(shingles: ArrayData, prefixes: Array[Array[Byte]]): ArrayData = {
+    val m = prefixes.length
     val n = shingles.numElements()
     val mins = new Array[String](m)
     val md = Digests.md5.get()
-    val prefixes = new Array[Array[Byte]](m)
-    var s = 0
-    while (s < m) { prefixes(s) = (s.toString + "|").getBytes("UTF-8"); s += 1 }
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {

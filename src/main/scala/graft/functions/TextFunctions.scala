@@ -68,6 +68,9 @@ object TextFunctions {
   /** LSH bands: signature of m hashes split into `bands` concatenated
     * groups; docs sharing any band value are near-dup candidates. */
   def lshBands(signature: Column, m: Int, bands: Int): Column = {
+    require(m % bands == 0,
+      s"bands ($bands) must divide signature length ($m): a remainder would" +
+        " silently drop the trailing hashes from every band, cutting recall")
     val rows = m / bands
     array((0 until bands).map { b =>
       concat_ws("", slice(signature, b * rows + 1, rows))

@@ -21,10 +21,15 @@ final class VectorAvgAggregator(dim: Int)
   override def zero: Buf = Buf(new Array[Double](dim), 0L)
 
   override def reduce(b: Buf, v: Seq[Double]): Buf = {
-    var i = 0
-    val n = math.min(dim, v.length)
-    while (i < n) { b.sums(i) += v(i); i += 1 }
-    b.count += 1
+    // null vectors are skipped, not NPE'd — the embeddings column is
+    // nullable by schema and an aggregate must degrade like COUNT(col)
+    // (same contract as CountMinSketchAggregator's null-key skip)
+    if (v != null) {
+      var i = 0
+      val n = math.min(dim, v.length)
+      while (i < n) { b.sums(i) += v(i); i += 1 }
+      b.count += 1
+    }
     b
   }
 

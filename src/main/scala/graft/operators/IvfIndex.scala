@@ -61,7 +61,10 @@ object IvfIndex {
     * vectors (deterministic seed). */
   def train(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Model = {
-    val init = emb.orderBy(col(idCol)).limit(k)
+    // nullable embedding column: a null among the k lowest-id seed rows
+    // (or in the Lloyd pass) must not NPE the training job
+    val nonNull = emb.filter(col(vecCol).isNotNull)
+    val init = nonNull.orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     var model = Model(init)
@@ -70,7 +73,7 @@ object IvfIndex {
       // One partial+final aggregation per iteration via the typed
       // VectorAvg aggregator: shuffle = one dim-length buffer per
       // (partition, cluster), not one row per (vector, dimension).
-      val means = emb.select(
+      val means = nonNull.select(
           col(vecCol).cast("array<double>").as("v"),
           nearest(col(vecCol), model).as("cid"))
         .groupBy(col("cid"))

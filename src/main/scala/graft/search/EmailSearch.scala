@@ -116,7 +116,8 @@ class EmailSearch(emails: DataFrame) {
         count(lit(1)).as("email_count"),
         min(col("date")).as("first_date"),
         max(col("date")).as("last_date"),
-        collect_set(col("sender")).as("participants"))
+        // collect_set order is partitioning-dependent; sort for a stable row
+        array_sort(collect_set(col("sender"))).as("participants"))
 
   // ------------------------------------------------------------------ D search
 

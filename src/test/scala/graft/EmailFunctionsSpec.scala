@@ -64,6 +64,36 @@ class EmailFunctionsSpec extends SparkSpec {
     assert(got == Seq("a@x.com", "b@y.com", "c@z.com"))
   }
 
+  test("F6 recipients split keeps quoted display-name commas intact") {
+    import graft.functions.EmailFunctions.splitRecipients
+    val got = one(splitRecipients(
+      lit("\"Doe, John\" <j@x.com>, plain@y.com, \"Smith, Anna\" <a@z.com>")))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(got == Seq("j@x.com", "plain@y.com", "a@z.com"))
+  }
+
+  test("F9 entity decode order: author-escaped entities stay literal text") {
+    import graft.functions.EmailFunctions.htmlToMarkdown
+    // "&amp;lt;b&amp;gt;" means the literal 8 chars "&lt;b&gt;" — decoding
+    // &amp; first would turn it into real markup
+    assert(one(htmlToMarkdown(lit("use &amp;lt;b&amp;gt; for bold")))
+      == "use &lt;b&gt; for bold")
+  }
+
+  test("F16 docx (zip container) with declared OOXML type is not a mime mismatch") {
+    import graft.functions.EmailFunctions.validationReport
+    val zipMagic = Array[Byte](0x50, 0x4b, 0x03, 0x04, 1, 2, 3, 4)
+    val report = one(validationReport(lit("report.docx"),
+      lit("application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
+      lit(zipMagic))).asInstanceOf[org.apache.spark.sql.Row]
+    assert(report.getAs[Boolean]("is_safe"),
+      s"docx flagged: ${report.getAs[scala.collection.Seq[String]]("issues")}")
+    // a zip payload declared as pdf IS still a mismatch
+    val bad = one(validationReport(lit("x.pdf"), lit("application/pdf"),
+      lit(zipMagic))).asInstanceOf[org.apache.spark.sql.Row]
+    assert(bad.getAs[scala.collection.Seq[String]]("issues").contains("mime_mismatch"))
+  }
+
   test("F7 RFC-2822 date fallback chain; unparseable → null") {
     val df = Seq(
       "Mon, 15 Jan 2024 10:30:00 +0000",
