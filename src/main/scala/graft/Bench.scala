@@ -23,8 +23,20 @@ object Bench {
       .map(_.split(",").toSet).getOrElse(Set.empty)
     val bench = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // Materialization sink: the noop DataSource v2 writer consumes every
+    // output row in full. A `count()` here would let Catalyst prune the
+    // very work being measured — ColumnPruning drops all projected
+    // expressions count(1) doesn't need and EliminateSorts removes the
+    // final ORDER BY, so projection-shaped operators (fingerprints,
+    // slugs, signatures) would time as bare parquet row-count scans.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     bench.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // warmup honors the Q contract too: clear persisted stages between
+      // queries, or identical subplans (the LSH stage feeds four queries)
+      // get served from another query's cache and never JIT-warm
+      spark.catalog.clearCache()
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     // Per query: best of three timed runs. Single-run timings on a shared
     // box swing ±40% from GC pauses and scheduler jitter; min-of-N is the
@@ -32,15 +44,17 @@ object Bench {
     // from a cleared cache — queries persist() internal stages, and the
     // CacheManager matches them by logical-plan equality, so without the
     // clear a timed run would read a previous run's materialized data
-    // instead of recomputing.
+    // instead of recomputing. A query that THROWS reports -1 (never a
+    // fast-looking time-to-exception): a regression must surface as a
+    // failure marker in the bench JSON, not as an "improvement".
     val results = bench.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -29,6 +29,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure may strike BEFORE the overwrite truncates a previous
+        // run's dump for this query — a stale passing dump must not
+        // satisfy the correctness gate, so remove it and let the compare
+        // report "no spark output" for this query
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        } catch { case _: Throwable => () }
       }
       // queries persist() internal stages; drop them so ~90 queries don't
       // accumulate cached blocks (and no query can read another's cache)

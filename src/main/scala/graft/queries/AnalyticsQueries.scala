@@ -423,7 +423,7 @@ object AnalyticsQueries {
       None),
 
     "c18_mode" -> Q(
-      "Deterministic mode: most frequent order priority per status, ties broken by smallest value (engines' native mode() leaves ties undefined — spelled out as count-then-argmax instead)",
+      "Deterministic mode: most frequent order priority per status, ties broken by LARGEST priority (max over (count, value) structs; engines' native mode() leaves ties undefined — spelled out as count-then-argmax instead)",
       (s, dir) => {
         val counts = T.orders(s, dir)
           .groupBy(col("o_orderstatus"), col("o_orderpriority"))

@@ -210,30 +210,10 @@ object PipelineQueries {
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("toks"))
           .persist()
-        // stage 5: LSH near-dup pairs over survivors → CC canonical keep
-        val staged = exact
-          .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
-          .select(col("doc_id"),
-            array_sort(array_distinct(col("toks"))).as("tset"),
-            minhashSignature(col("sh"), 4).as("sig"))
-          .select(col("doc_id"), col("tset"), lshBands(col("sig"), 4, 2).as("bands"))
-          .persist()
-        val bandRows = staged
-          .select(col("doc_id"), col("bands"), explode(array(lit(0), lit(1))).as("bi"))
-          .select(col("doc_id"), col("bi"),
-            element_at(col("bands"), col("bi") + 1).as("bv"))
-        val cand = bandRows.select(col("doc_id").as("a_id"), col("bi"), col("bv"))
-          .join(bandRows.select(col("doc_id").as("b_id"), col("bi"), col("bv")),
-            Seq("bi", "bv"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val tsets = staged.select(col("doc_id"), col("tset"))
-        val pairs = cand
-          .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
-          .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
-          .filter(graft.functions.ArrayFunctions
-            .jaccardSorted(col("ta"), col("tb")) >= 0.8)
-          .select(col("a_id"), col("b_id"))
+        // stage 5: the shared LSH stage over survivors → CC canonical keep
+        val (staged, cand) = TextOpsQueries.lshStage(exact)
+        val pairs = TextOpsQueries.lshVerifiedPairs(staged, cand, 0.8)
+          .select("a_id", "b_id")
         exact.select(col("doc_id"))
           .join(ConnectedComponents.dropSet(pairs), Seq("doc_id"), "left_anti")
           .orderBy(col("doc_id"))
@@ -296,24 +276,9 @@ object PipelineQueries {
     "dedup_minhash_est" -> Q(
       "MinHash estimator instrumentation: estimated Jaccard (matching signature fraction) vs exact Jaccard on the LSH candidate pairs — the measured quality of the signature the banding scheme is built on",
       (s, dir) => {
-        val staged = T.documentsSpread(s, dir)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            array_sort(array_distinct(col("toks"))).as("tset"),
-            minhashSignature(shingles(col("toks"), 3), 4).as("sig"))
-          .select(col("doc_id"), col("tset"), col("sig"),
-            lshBands(col("sig"), 4, 2).as("bands"))
-          .persist()
-        val bandRows = staged
-          .select(col("doc_id"), col("bands"),
-            explode(array(lit(0), lit(1))).as("bi"))
-          .select(col("doc_id"), col("bi"),
-            element_at(col("bands"), col("bi") + 1).as("bv"))
-        val cand = bandRows.select(col("doc_id").as("a_id"), col("bi"), col("bv"))
-          .join(bandRows.select(col("doc_id").as("b_id"), col("bi"), col("bv")),
-            Seq("bi", "bv"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
+        val (staged, cand) = TextOpsQueries.lshStage(
+          T.documentsSpread(s, dir)
+            .select(col("doc_id"), tokens(col("text")).as("toks")))
         val side = staged.select(col("doc_id"), col("tset"), col("sig"))
         cand
           .join(side.select(col("doc_id").as("a_id"), col("tset").as("ta"),

@@ -97,23 +97,32 @@ object TextOpsQueries {
     * token arrays — and token sets are re-attached after the candidate
     * `distinct`, so shuffle volume is 16-byte id pairs.
     */
-  private[queries] def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val staged = T.documentsSpread(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+  /** Shared MinHash-LSH staging over any `(doc_id, toks)` frame — ONE
+    * implementation of the signature/band/candidate pipeline, composed by
+    * `dedup_minhash_lsh`, both curation composites, and the estimator
+    * query (a band-logic fix must not need four edits). Returns the
+    * PERSISTED signature table `(doc_id, tset, sig, bands)` and the
+    * candidate id-pair stream `(a_id, b_id)`.
+    *
+    * Shape notes (the 100×-survival properties): arrays are staged once
+    * per projection, the band join carries only (id, band) pairs — never
+    * token arrays — and token sets re-attach after the candidate
+    * `distinct`, so shuffle volume is 16-byte id pairs. The persist is
+    * tiny relative to the corpus: (id, distinct tokens, signature, 2
+    * band strings) per doc, reused by four plan branches.
+    * Explode is over literal band indices, NOT posexplode(bands): a
+    * generator over a computed array makes Catalyst infer a
+    * `size(bands) > 0` filter and push the whole minhash expression
+    * tree below the projections, recomputing it per row per band. */
+  private[queries] def lshStage(docsWithToks: DataFrame): (DataFrame, DataFrame) = {
+    val staged = docsWithToks
       .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
       .select(col("doc_id"),
         array_sort(array_distinct(col("toks"))).as("tset"),
         minhashSignature(col("sh"), 4).as("sig"))
-      .select(col("doc_id"), col("tset"), lshBands(col("sig"), 4, 2).as("bands"))
-      // The signature table is reused by four plan branches (two band
-      // sides, two token-set sides); persist it once instead of
-      // recomputing the md5 minhash pipeline per branch. Tiny relative
-      // to the corpus: (id, distinct tokens, 2 band strings) per doc.
+      .select(col("doc_id"), col("tset"), col("sig"),
+        lshBands(col("sig"), 4, 2).as("bands"))
       .persist()
-    // Explode over literal band indices, NOT posexplode(bands): a
-    // generator over a computed array makes Catalyst infer a
-    // `size(bands) > 0` filter and push the whole minhash expression
-    // tree below the projections, recomputing it per row per band.
     val bandRows = staged
       .select(col("doc_id"), col("bands"),
         explode(array(lit(0), lit(1))).as("band_idx"))
@@ -124,13 +133,26 @@ object TextOpsQueries {
         Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    (staged, cand)
+  }
+
+  /** Candidate pairs with exact Jaccard ≥ `minJac` verified against the
+    * staged token sets. */
+  private[queries] def lshVerifiedPairs(staged: DataFrame, cand: DataFrame,
+      minJac: Double): DataFrame = {
     val tsets = staged.select(col("doc_id"), col("tset"))
     cand
       .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
       .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         graft.functions.ArrayFunctions.jaccardSorted(col("ta"), col("tb")).as("jac"))
-      .filter(col("jac") >= 0.8)
+      .filter(col("jac") >= minJac)
+  }
+
+  private[queries] def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val (staged, cand) = lshStage(T.documentsSpread(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    lshVerifiedPairs(staged, cand, 0.8)
   }
 
   /** DuckDB CTE chain ending in `pairs(a_id, b_id, jac)` — the oracle twin
@@ -505,36 +527,14 @@ object TextOpsQueries {
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("toks"))
           .persist()
-        // Stage 3: near-dup removal — MinHash bands over survivors, exact
-        // Jaccard ≥ 0.8 verify, then CLUSTER resolution: connected
+        // Stage 3: near-dup removal — the shared LSH stage over survivors,
+        // exact Jaccard ≥ 0.8 verify, then CLUSTER resolution: connected
         // components over the verified pairs, keep the component-minimum
         // id. (Round 2 greedily dropped every b_id of a pair, which
         // over-deletes on overlapping clusters — a–b, b–c must keep
         // exactly a, as one three-member cluster.)
-        val staged = exact
-          .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
-          .select(col("doc_id"),
-            array_sort(array_distinct(col("toks"))).as("tset"),
-            minhashSignature(col("sh"), 4).as("sig"))
-          .select(col("doc_id"), col("tset"), lshBands(col("sig"), 4, 2).as("bands"))
-          .persist()
-        val bandRows = staged
-          .select(col("doc_id"), col("bands"),
-            explode(array(lit(0), lit(1))).as("bi"))
-          .select(col("doc_id"), col("bi"),
-            element_at(col("bands"), col("bi") + 1).as("bv"))
-        val cand = bandRows.select(col("doc_id").as("a_id"), col("bi"), col("bv"))
-          .join(bandRows.select(col("doc_id").as("b_id"), col("bi"), col("bv")),
-            Seq("bi", "bv"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val tsets = staged.select(col("doc_id"), col("tset"))
-        val pairs = cand
-          .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
-          .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
-          .filter(graft.functions.ArrayFunctions
-            .jaccardSorted(col("ta"), col("tb")) >= 0.8)
-          .select(col("a_id"), col("b_id"))
+        val (staged, cand) = lshStage(exact)
+        val pairs = lshVerifiedPairs(staged, cand, 0.8).select("a_id", "b_id")
         val drop = graft.operators.ConnectedComponents.dropSet(pairs)
         exact.select(col("doc_id"))
           .join(drop, Seq("doc_id"), "left_anti")
@@ -722,10 +722,16 @@ object TextOpsQueries {
             lower(hex(substring(blob, 1, 4))).as("magic"))
           .orderBy(col("doc_id"))
       },
+      // BYTE semantics on both sides: DuckDB's substring is character-
+      // based (and ::BLOB rejects non-ASCII), so the oracle slices the
+      // hex of the UTF-8 encoding — first 4 BYTES, exactly like Spark's
+      // substring over the binary cast. ASCII-only test data hides the
+      // difference; a multi-byte first character would hash-mismatch the
+      // character-based spelling.
       """SELECT doc_id,
-        |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS digest,
-        |  lower(hex(substring(text, 1, 4)::BLOB)) AS magic
+        |  lower(substr(hex(encode(text)), 1, 8)) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     "c6_run_stats" -> Q(
@@ -764,11 +770,15 @@ object TextOpsQueries {
             length(et).cast("long").as("n_chars"))
           .orderBy(col("doc_id"))
       },
+      // concat_ws on BOTH sides: Spark's concat_ws skips a NULL piece
+      // (and its separator) where a plain || chain would null-poison the
+      // whole string — latent on the no-null test corpus, divergent the
+      // moment a metadata field is null
       """SELECT doc_id,
-        |  md5('Source: ' || source || chr(10) || 'Lang: ' || lang || chr(10)
-        |      || substr(text, 1, 200)) AS fp,
-        |  CAST(length('Source: ' || source || chr(10) || 'Lang: ' || lang || chr(10)
-        |      || substr(text, 1, 200)) AS BIGINT) AS n_chars
+        |  md5(concat_ws(chr(10), 'Source: ' || source, 'Lang: ' || lang,
+        |      substr(text, 1, 200))) AS fp,
+        |  CAST(length(concat_ws(chr(10), 'Source: ' || source, 'Lang: ' || lang,
+        |      substr(text, 1, 200))) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
   )
 }
