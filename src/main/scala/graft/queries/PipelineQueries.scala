@@ -273,6 +273,39 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    "text_bigram_lm" -> Q(
+      "Corpus bigram transition model: P(b|a) = c(a b)/c(a ·) for the 20 most frequent transitions — the n-gram language-model estimation shape (counts + rational division only; no log-probs, which are not bit-portable)",
+      (s, dir) => {
+        // two hash-aggs over exploded bigrams; the denominator re-derives
+        // from the same gram counts (sum per head word), so the corpus is
+        // scanned once and everything downstream is agg-on-agg
+        val grams = T.documentsSpread(s, dir)
+          .select(explode(shingles(tokens(col("text")), 2)).as("g"))
+          .filter(size(split(col("g"), " ")) === 2)
+          .select(split(col("g"), " ").getItem(0).as("a"),
+            split(col("g"), " ").getItem(1).as("b"))
+        val pair = grams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        val head = pair.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+        pair.join(head, Seq("a"))
+          .select(col("a"), col("b"), col("c_ab"),
+            (col("c_ab").cast("double") / col("c_a").cast("double")).as("p_b_given_a"))
+          .orderBy(col("c_ab").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      s"""WITH grams AS (
+         |  SELECT g FROM (
+         |    SELECT unnest(${shinglesSql(ToksSql, 2)}) AS g FROM documents)
+         |  WHERE len(string_split(g, ' ')) = 2),
+         |pair AS (
+         |  SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b,
+         |    COUNT(*) AS c_ab
+         |  FROM grams GROUP BY 1, 2),
+         |head AS (SELECT a, SUM(c_ab) AS c_a FROM pair GROUP BY a)
+         |SELECT a, b, c_ab,
+         |  CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE) AS p_b_given_a
+         |FROM pair JOIN head USING (a)
+         |ORDER BY c_ab DESC, a, b LIMIT 20""".stripMargin),
+
     "dedup_minhash_est" -> Q(
       "MinHash estimator instrumentation: estimated Jaccard (matching signature fraction) vs exact Jaccard on the LSH candidate pairs — the measured quality of the signature the banding scheme is built on",
       (s, dir) => {
