@@ -41,6 +41,7 @@ object Verify {
       // queries persist() internal stages; drop them so ~90 queries don't
       // accumulate cached blocks (and no query can read another's cache)
       spark.catalog.clearCache()
+      graft.operators.ConnectedComponents.freeAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

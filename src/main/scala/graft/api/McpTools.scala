@@ -122,10 +122,21 @@ object McpTools {
 
   final case class McpError(msg: String) extends RuntimeException(msg)
 
+  private def jsonTypeName(v: JValue): String = v match {
+    case _: JString => "string"
+    case _: JInt | _: JLong | _: JDouble | _: JDecimal => "number"
+    case _: JBool => "boolean"
+    case _: JArray => "array"
+    case _: JObject => "object"
+    case _ => "null"
+  }
+
   /** validate_mcp_parameters semantics (mcp_tools.py:242-269): required
-    * check, defaults applied, unknown params dropped — plus enum
-    * enforcement, so an invalid choice is a tool-level 400, not a
-    * downstream engine exception surfacing as a 500. */
+    * check, defaults applied, unknown params dropped — plus enum AND
+    * declared-type enforcement, so an invalid choice or a type-invalid
+    * value (`"email_id": "abc"`, a string `limit`) is a tool-level 400
+    * (McpError), not a downstream json4s MappingException surfacing as a
+    * 500 — and never a silently-applied default. */
   private def cleaned(tool: Tool, params: JValue): Map[String, JValue] =
     tool.params.flatMap { p =>
       (params \ p.name) match {
@@ -134,6 +145,20 @@ object McpTools {
             s"Required parameter '${p.name}' missing for tool '${tool.name}'")
           p.default.map(p.name -> _)
         case v =>
+          val typeOk = p.typ match {
+            case "string"  => v.isInstanceOf[JString]
+            case "boolean" => v.isInstanceOf[JBool]
+            case "integer" => v match {
+              case _: JInt | _: JLong => true
+              case JDouble(d)         => d.isWhole
+              case JDecimal(d)        => d.isWhole
+              case _                  => false
+            }
+            case _ => true
+          }
+          if (!typeOk) throw McpError(
+            s"Parameter '${p.name}' for tool '${tool.name}' must be of type " +
+              s"${p.typ}, got ${jsonTypeName(v)}")
           p.allowed.foreach { allowed =>
             val s = v.extractOpt[String].getOrElse("")
             if (!allowed.contains(s)) throw McpError(

@@ -40,12 +40,37 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Final-round label RDDs still persisted. `spark.catalog.clearCache()`
+    * only drops Dataset-level cache entries — RDD-level persists are
+    * invisible to it — so without an explicit release the ~100-query
+    * registry run would leak |V| blocks per CC materialization until
+    * GC-driven ContextCleaner gets around to them. Q/Verify/Bench call
+    * [[freeAll]] at the same point they clear the SQL cache. */
+  private val liveLabelRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[Row]]()
+
+  /** Unpersist every final-round labels RDD still held from previous
+    * [[resolve]] calls. Safe to call while a returned DataFrame is still
+    * referenced — the RDD recomputes from lineage if re-read. */
+  def freeAll(): Unit = {
+    var rdd = liveLabelRdds.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      rdd = liveLabelRdds.poll()
+    }
+  }
+
   /** Resolve components of the undirected graph given as `(a_id, b_id)`
     * pairs. Returns one row per node appearing in any pair:
     * `(doc_id, cluster_id)` where `cluster_id` is the minimum doc_id in
     * the node's component. The result is persisted (callers run straight
-    * into aggregations/joins over it); Verify/Bench clear the cache
-    * between materializations per the documented harness contract.
+    * into aggregations/joins over it); Verify/Bench clear the cache AND
+    * call [[freeAll]] between materializations per the documented harness
+    * contract. Throws IllegalStateException if the loop hits `maxIters`
+    * without converging — unconverged labels are wrong answers, never
+    * returned silently (the default 50 rounds covers any component the
+    * pointer-jumping depth-halving can meet in practice: convergence is
+    * O(log diameter)).
     */
   def resolve(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
@@ -100,6 +125,14 @@ object ConnectedComponents {
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0) {
+      labelsRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — refusing to return wrong labels; " +
+          "raise maxIters for graphs with astronomically deep chains")
+    }
+    liveLabelRdds.add(labelsRdd)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -88,11 +88,23 @@ final class InboxScan(readSchemaV: StructType, options: Map[String, String])
   override def description(): String =
     s"graft-inbox scan, parsed columns: ${readSchemaV.fieldNames.mkString(",")}"
 
+  // Session Hadoop conf, captured driver-side at scan construction and
+  // shipped to readers via SerializableConfiguration — a bare
+  // `new Configuration()` would drop every spark.hadoop.* setting
+  // (S3/GCS credentials, custom defaultFS), exactly as the built-in file
+  // sources avoid. Scan-level read options (spark.read.option(...)) are
+  // layered on top, matching per-read override semantics.
+  private val hadoopConf = {
+    val c = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    options.foreach { case (k, v) => c.set(k, v) }
+    new org.apache.spark.util.SerializableConfiguration(c)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val path = options.getOrElse("path",
       throw new IllegalArgumentException("graft-inbox requires a path"))
     val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .getFileSystem(hadoopConf.value)
     val p = new org.apache.hadoop.fs.Path(path)
     val files: Array[String] =
       if (!fs.exists(p)) Array.empty
@@ -106,12 +118,13 @@ final class InboxScan(readSchemaV: StructType, options: Map[String, String])
 
   override def createReaderFactory(): PartitionReaderFactory =
     new InboxReaderFactory(readSchemaV,
-      options.getOrElse("timeZone", "UTC"))
+      options.getOrElse("timeZone", "UTC"), hadoopConf)
 }
 
 final case class InboxFilePartition(path: String) extends InputPartition
 
-final class InboxReaderFactory(schema: StructType, tz: String)
+final class InboxReaderFactory(schema: StructType, tz: String,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[InboxFilePartition].path
@@ -119,7 +132,7 @@ final class InboxReaderFactory(schema: StructType, tz: String)
       private val parser = new JsonLineParser(schema, tz)
       private val stream = {
         val p = new org.apache.hadoop.fs.Path(file)
-        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+        p.getFileSystem(hadoopConf.value).open(p)
       }
       private val lines = scala.io.Source.fromInputStream(stream, "UTF-8")
         .getLines()

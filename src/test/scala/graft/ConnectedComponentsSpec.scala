@@ -60,4 +60,23 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(resolveMap(pairs) == expected, s"trial $trial diverged")
     }
   }
+
+  test("maxIters exhaustion throws instead of returning unconverged labels") {
+    val chain = (1L until 16L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.resolve(chain.toDF("a_id", "b_id"), maxIters = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("freeAll releases final-round label blocks; results recompute from lineage") {
+    val labels = ConnectedComponents.resolve(Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id"))
+    assert(labels.count() == 4)
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    ConnectedComponents.freeAll()
+    assert(spark.sparkContext.getPersistentRDDs.size < persisted,
+      "freeAll should unpersist the final labels RDD clearCache cannot see")
+    // the returned plan still works — it recomputes through lineage
+    assert(labels.count() == 4)
+  }
 }

@@ -53,4 +53,26 @@ class InboxSourceSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq == Seq("m1", "m2", "m3"))
     assert(got.map(_.getString(1)).toSeq == Seq("one", "two", "three"))
   }
+
+  test("a malformed line yields a permissive null row, not a dead scan task") {
+    val dir = tmpDir("dsv2-corrupt")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch.json"),
+      Seq(rawMsg("g1", "good", "body"),
+        """{"id": "broken", "payload": {{{ not json""",
+        rawMsg("g2", "also good", "body"))
+        .mkString("\n").getBytes("UTF-8"))
+    val got = spark.read.format("graft-inbox").load(dir)
+    // same fully-materialized rows as the built-in permissive JSON source:
+    // two good rows plus one all-null row for the corrupt line. (Comparing
+    // through a filter would NOT be apples-to-apples — the built-in source
+    // pushes predicates into the parser via JsonFilters and drops the
+    // corrupt row pre-emission; this source only prunes columns.)
+    val builtin = spark.read.schema(Schemas.rawMessageSchema).json(dir)
+    val a = got.collect().map(_.toString).sorted.toSeq
+    val b = builtin.collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    assert(a.length == 3)
+    assert(got.collect().count(_.isNullAt(0)) == 1,
+      "the corrupt line must surface as one permissive null row")
+  }
 }

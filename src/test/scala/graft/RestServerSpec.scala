@@ -185,4 +185,31 @@ class RestServerSpec extends SparkSpec {
     val (c3, _) = http("GET", "/api/status/nope")
     assert(c3 == 404)
   }
+
+  test("MCP type validation: type-invalid params are 400 tool errors, never 500s or silent defaults") {
+    // string where an integer is declared — previously a json4s
+    // MappingException surfacing as a 500
+    val (c1, e1) = http("POST", "/mcp/call",
+      Some("""{"tool": "get_email_by_id", "parameters": {"email_id": "abc"}}"""))
+    assert(c1 == 400 &&
+      (e1 \ "detail").extract[String].contains("must be of type integer"))
+    // string limit — previously silently replaced by the default
+    val (c2, e2) = http("POST", "/mcp/call",
+      Some("""{"tool": "search_emails", "parameters": {"query": "x", "limit": "ten"}}"""))
+    assert(c2 == 400 &&
+      (e2 \ "detail").extract[String].contains("'limit'"))
+    // number where a string is declared
+    val (c3, e3) = http("POST", "/mcp/call",
+      Some("""{"tool": "search_emails", "parameters": {"query": 7}}"""))
+    assert(c3 == 400 &&
+      (e3 \ "detail").extract[String].contains("must be of type string"))
+    // boolean param given as string
+    val (c4, _) = http("POST", "/mcp/call",
+      Some("""{"tool": "search_emails", "parameters": {"query": "x", "include_content": "yes"}}"""))
+    assert(c4 == 400)
+    // whole-valued JSON double is accepted for an integer param
+    val (c5, _) = http("POST", "/mcp/call",
+      Some("""{"tool": "search_emails", "parameters": {"query": "spark join tuning", "limit": 2.0}}"""))
+    assert(c5 == 200)
+  }
 }
