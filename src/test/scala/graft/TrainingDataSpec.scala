@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the training-data export operators that the DuckDB oracle
+  * can't express: the int8 quantization error envelope, packing manifest
+  * invariants, semantic-dedup cluster soundness vs the unblocked
+  * threshold graph, and fixture-driven substring/LM behavior.
+  * (RegistryDeterminismSpec covers run-to-run determinism for all of
+  * them automatically; the driver oracle covers value correctness.) */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Write a tiny documents.parquet fixture and return its dir. */
+  private def docsFixture(rows: Seq[(Long, String)]): String = {
+    val dir = tmpDir("traindata")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("ann_int8_knn: quantized cosine tracks float cosine within the int8 envelope") {
+    val emb = Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+    val qv = emb.filter($"vec_id" === 0L).select($"embedding".as("qv"))
+    val exact = emb.filter($"vec_id" =!= 0L).crossJoin(broadcast(qv))
+      .select($"vec_id",
+        graft.functions.VectorFunctions.cosineSim($"embedding", $"qv").as("sim"))
+    val got = q("ann_int8_knn").join(exact, "vec_id")
+      .select($"qsim", $"sim").as[(Double, Double)].collect()
+    assert(got.length == 10)
+    // 8-bit symmetric quantization of 64-dim vectors: per-element relative
+    // error <= 1/254, cosine estimate error well under 2e-2 in practice
+    got.foreach { case (qs, s) =>
+      assert(math.abs(qs - s) < 0.02, s"quantized $qs vs exact $s")
+    }
+  }
+
+  test("pack_sequences: manifest invariants — contiguous offsets, correct seq math") {
+    val rows = q("pack_sequences")
+      .select($"doc_id", $"shard", $"n_tok", $"start_off", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_._1)
+      var expected = 0L
+      inOrder.foreach { case (id, _, nTok, startOff, seqId, seqOff) =>
+        assert(startOff == expected, s"doc $id offset $startOff != running sum $expected")
+        assert(seqId == startOff / 256, s"doc $id seq_id")
+        assert(seqOff == startOff % 256 && seqOff < 256, s"doc $id seq_off")
+        expected += nTok
+      }
+    }
+    // token totals conserved: sum of n_tok equals last offset + last n_tok per shard
+    val total = rows.map(_._3).sum
+    assert(total == Tables.documents(spark, sf)
+      .select(sum(size(split($"text", " ")).cast("long"))).as[Long].head())
+  }
+
+  test("dedup_semantic: clusters are canonical and refine the unblocked threshold graph") {
+    val out = q("dedup_semantic")
+      .select($"vec_id", $"cluster_id", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty, "sf0.001 embeddings should contain semantic near-dups at 0.35")
+    val byId = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (v, c, keep) =>
+      assert(c <= v, "canonical id is the component minimum")
+      assert(keep == (v == c))
+      assert(byId(c) == c, s"cluster id $c must itself resolve to $c")
+    }
+    // blocking only DROPS candidate edges, so every blocked cluster must
+    // sit inside one brute-force (unblocked) threshold component
+    val emb = Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+    val a = emb.select($"vec_id".as("a_id"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("b_id"), $"embedding".as("vb"))
+    val brutePairs = a.crossJoin(b).filter($"a_id" < $"b_id")
+      .filter(graft.functions.VectorFunctions.cosineSim($"va", $"vb") >= 0.35)
+      .select($"a_id", $"b_id")
+    val brute = graft.operators.ConnectedComponents.resolve(brutePairs)
+      .as[(Long, Long)].collect().toMap
+    out.groupBy(_._2).values.foreach { members =>
+      val bruteComponents = members.map(m => brute(m._1)).toSet
+      assert(bruteComponents.size == 1,
+        s"blocked cluster spans brute-force components $bruteComponents")
+    }
+  }
+
+  test("dedup_substring: shared 8-token spans are detected, unique docs score zero") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val dir = docsFixture(Seq(
+      1L -> s"$shared plus some trailing words here one",
+      2L -> s"leading words then $shared and more after that",
+      3L -> "completely different tokens nothing in common with others at all"))
+    val out = SparkEntry.queries("dedup_substring")(spark, dir)
+      .select($"doc_id", $"n_shared", $"shared_frac")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._2 >= 1 && out(1)._2 >= 1, "docs 1 and 2 share the 8-token span")
+    assert(out(2)._2 == 0 && out(2)._3 == 0.0, "doc 3 has no shared spans")
+  }
+
+  test("text_lm_quality: common bigrams raise common_frac; min_p is a valid probability") {
+    // "the cat" appears in three docs (corpus count >= 3); doc 4 is all
+    // singleton bigrams
+    val dir = docsFixture(Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ran fast",
+      3L -> "see the cat go",
+      4L -> "unique words never repeat anywhere else"))
+    val out = SparkEntry.queries("text_lm_quality")(spark, dir)
+      .select($"doc_id", $"common_frac", $"min_p")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.forall { case (_, cf, mp) =>
+      cf >= 0.0 && cf <= 1.0 && mp > 0.0 && mp <= 1.0
+    })
+    assert(out(0)._2 > 0.0, "doc 1 contains the corpus-common bigram 'the cat'")
+    assert(out(3)._2 == 0.0, "doc 4 has no corpus-common bigram")
+  }
+
+  test("select_token_budget: per-source budget respected, quality-first order") {
+    val rows = q("select_token_budget")
+      .select($"source", $"score", $"cum_tok")
+      .as[(String, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, sel) =>
+      assert(sel.map(_._3).max <= 800L, s"$src exceeded the token budget")
+      val scoresInCumOrder = sel.sortBy(_._3).map(_._2)
+      assert(scoresInCumOrder.zip(scoresInCumOrder.tail).forall { case (a, b) => a >= b },
+        s"$src selection is not quality-first")
+    }
+  }
+
+  test("mix_weighted: target fractions come from the source group, kept <= total") {
+    val rows = q("mix_weighted")
+      .select($"source", $"target_frac", $"n_total", $"n_kept")
+      .as[(String, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val valid = Set(0.5, 0.25, 0.125, 0.0625)
+    rows.foreach { case (src, tf, total, kept) =>
+      assert(valid.contains(tf), s"$src target $tf")
+      val grp = src.drop(3).toInt % 4
+      assert(tf == Seq(0.5, 0.25, 0.125, 0.0625)(grp), s"$src wrong group weight")
+      assert(kept <= total)
+    }
+  }
+
+  test("export_shards: every document lands in exactly one shard, ids bounded") {
+    val out = q("export_shards")
+      .select($"shard", $"n_docs", $"min_id", $"max_id", $"file")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall(r => r._1 >= 0 && r._1 < 16))
+    assert(out.forall(r => r._3 <= r._4))
+    assert(out.forall(r => r._5 == f"shard-${r._1}%05d.parquet"))
+    val totalDocs = out.map(_._2).sum
+    assert(totalDocs == Tables.documents(spark, sf).count())
+  }
+}
