@@ -54,6 +54,41 @@ class InboxSourceSpec extends SparkSpec {
     assert(got.map(_.getString(1)).toSeq == Seq("one", "two", "three"))
   }
 
+  test("filter pushdown: point lookup matches the unfiltered scan's filter, and reaches the scan") {
+    val lookup = viaDsv2.filter(col("id") === "m2").select("id", "snippet", "payload.mimeType")
+    val desc = lookup.queryExecution.executedPlan.toString
+    assert(desc.contains("pushed filters:") && desc.contains("EqualTo(id,m2)"),
+      s"scan description should show the pushed point-lookup filter, got:\n$desc")
+    val expected = viaDsv2.collect().filter(r => r.getString(0) == "m2")
+    assert(lookup.count() == 1 && expected.length == 1)
+    assert(lookup.collect()(0).getString(0) == "m2")
+    // In and IsNotNull shapes push too, and results stay exact
+    val in2 = viaDsv2.filter(col("id").isin("m1", "m3") && col("snippet").isNotNull)
+    assert(in2.queryExecution.executedPlan.toString.contains("pushed filters:"))
+    assert(in2.select("id").orderBy("id").collect().map(_.getString(0)).toSeq ==
+      Seq("m1", "m3"))
+  }
+
+  test("unsupported filter shapes are left entirely to Spark, results unchanged") {
+    // predicate on a nested field: not pushable, still correct post-scan
+    val nested = viaDsv2.filter(col("payload.mimeType") === "text/plain")
+    assert(!nested.queryExecution.executedPlan.toString.contains("pushed filters:"))
+    assert(nested.count() == 3)
+  }
+
+  test("pushdown on a corpus with a corrupt line skips it exactly as the post-scan filter would") {
+    val dir = tmpDir("dsv2-corrupt-filter")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch.json"),
+      Seq(rawMsg("g1", "good", "body"),
+        """{"id": "broken", "payload": {{{ not json""",
+        rawMsg("g2", "also good", "body"))
+        .mkString("\n").getBytes("UTF-8"))
+    val got = spark.read.format("graft-inbox").load(dir)
+      .filter(col("id") === "g2")
+    assert(got.count() == 1)
+    assert(got.collect()(0).getString(0) == "g2")
+  }
+
   test("a malformed line yields a permissive null row, not a dead scan task") {
     val dir = tmpDir("dsv2-corrupt")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch.json"),
