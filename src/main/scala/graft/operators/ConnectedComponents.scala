@@ -93,13 +93,20 @@ object ConnectedComponents {
     val spark = pairs.sparkSession
     val decSum = (c: org.apache.spark.sql.Column) =>
       sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    // The caller's pair stream is typically the EXPENSIVE end of a dedup
+    // pipeline (LSH band join + verify, or a blocked cosine join). It is
+    // read once into the persisted symmetric edge list and never
+    // recomputed: without this persist the union's two branches, the
+    // node derivation, and the self-loop branch would re-execute the
+    // upstream pair plan ~4x (measured as the dominant cost of the CC
+    // registry queries before this fix).
     val sym = pairs
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
       .union(pairs
         .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
-    val nodes = sym.select(col("src").as("id")).distinct().persist()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = sym
-      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .union(sym.select(col("src"), col("src").as("dst")).distinct())
       .repartition(col("dst"))
       .persist()
     // Every round's result is lineage-truncated: the pointer-jumping
@@ -119,12 +126,16 @@ object ConnectedComponents {
       val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    var labels = nodes.select(col("id"), col("id").as("label"))
-    var labelsRdd: org.apache.spark.rdd.RDD[Row] = null
-    // Exact sum of the initial labels (= node ids). Materializing it here
-    // also warms the `nodes` cache that the edge self-loop branch reads.
+    // Round 0 comes free: while labels are trivial (label(v) = v), the
+    // propagation step needs NO label join — min over the self-looped
+    // neighborhood of node ids IS the round-0 result. One agg on the
+    // cached edge list both initializes the labels a full round ahead and
+    // anchors the convergence sum.
+    var (labels, labelsRdd) = truncated(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
+        .select(col("src").as("id"), col("label")))
     // NULL sum = empty graph (no pairs at all) — nothing to propagate.
-    var sumPrev = nodes.agg(decSum(col("id"))).head.getDecimal(0)
+    var sumPrev = labels.agg(decSum(col("label"))).head.getDecimal(0)
     var converged = sumPrev == null
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -150,7 +161,7 @@ object ConnectedComponents {
       sumPrev = sumNew
       iter += 1
     }
-    nodes.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     if (!converged) {
       labelsRdd.unpersist(blocking = false)
