@@ -273,6 +273,58 @@ object TrainingDataQueries {
         |  FROM documents)
         |GROUP BY source, thr ORDER BY source""".stripMargin),
 
+    "text_gopher_rules" -> Q(
+      "The full Gopher document-quality rule set (Rae et al. 2021 §A1.1), row-local: word count in [50, 100000], mean word length in [3, 10], symbol-to-word ratio <= 0.1, >= 80% words alphabetic, >= 2 canonical English stopwords — every component metric emitted alongside the verdict, all integer/rational arithmetic",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val stop = typedlit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+        T.documents(s, dir)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_words"),
+            aggregate(transform(toks, t => length(t).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("n_chars_tok"),
+            size(filter(toks, t => t.contains("#") || t.contains("...")))
+              .cast("long").as("n_symbol"),
+            size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+            size(array_intersect(array_distinct(toks), stop)).cast("long").as("n_stop"))
+          .select(col("doc_id"), col("n_words"),
+            (col("n_chars_tok").cast("double") / col("n_words").cast("double"))
+              .as("mean_word_len"),
+            (col("n_symbol").cast("double") / col("n_words").cast("double"))
+              .as("symbol_frac"),
+            (col("n_alpha").cast("double") / col("n_words").cast("double"))
+              .as("alpha_frac"),
+            col("n_stop"))
+          .withColumn("pass",
+            col("n_words").between(50L, 100000L) &&
+              col("mean_word_len").between(3.0, 10.0) &&
+              col("symbol_frac") <= 0.1 &&
+              col("alpha_frac") >= 0.8 &&
+              col("n_stop") >= 2L)
+          .orderBy(col("doc_id"))
+      },
+      s"""SELECT doc_id, n_words, mean_word_len, symbol_frac, alpha_frac, n_stop,
+         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+         |   AND symbol_frac <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2) AS pass
+         |FROM (
+         |  SELECT doc_id, n_words,
+         |    CAST(n_chars_tok AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+         |    CAST(n_symbol AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_frac,
+         |    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
+         |    n_stop
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len($ToksSql) AS BIGINT) AS n_words,
+         |      CAST(list_sum(list_transform($ToksSql, t -> length(t))) AS BIGINT) AS n_chars_tok,
+         |      CAST(len(list_filter($ToksSql,
+         |        t -> contains(t, '#') OR contains(t, '...'))) AS BIGINT) AS n_symbol,
+         |      CAST(len(list_filter($ToksSql,
+         |        t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |      CAST(len(list_intersect(list_distinct($ToksSql),
+         |        ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+         |    FROM documents))
+         |ORDER BY doc_id""".stripMargin),
+
     "export_shards" -> Q(
       "Deterministic shard export manifest: md5-bucket shard assignment (the samp1 hash convention — row-local, engine-portable, no RNG) with per-shard balance stats. The report a 100 TB export job emits before writing: shard skew here is trainer stragglers later",
       (s, dir) => {

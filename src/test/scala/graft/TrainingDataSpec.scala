@@ -149,6 +149,23 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("text_gopher_rules: a clean English doc passes; each gate fails for the right reason") {
+    val goodBody = ("the quick brown fox jumps over that lazy dog and " +
+      "every word here will have sensible length with plenty more words ") * 3
+    val dir = docsFixture(Seq(
+      1L -> goodBody.trim,                                // passes all gates
+      2L -> "too few words to pass the minimum",          // n_words < 50
+      3L -> (("#### ... #### ... " * 20) + goodBody).trim // symbol_frac > 0.1
+    ))
+    val out = SparkEntry.queries("text_gopher_rules")(spark, dir)
+      .select($"doc_id", $"n_words", $"symbol_frac", $"n_stop", $"pass")
+      .as[(Long, Long, Double, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0)._5, s"doc 1 should pass: ${out(0)}")
+    assert(!out(1)._5 && out(1)._2 < 50, "doc 2 fails on word count")
+    assert(!out(2)._5 && out(2)._3 > 0.1, "doc 3 fails on symbol ratio")
+    assert(out(0)._4 >= 2, "doc 1 has >= 2 canonical stopwords")
+  }
+
   test("export_shards: every document lands in exactly one shard, ids bounded") {
     val out = q("export_shards")
       .select($"shard", $"n_docs", $"min_id", $"max_id", $"file")
