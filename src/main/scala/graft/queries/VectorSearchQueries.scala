@@ -270,6 +270,43 @@ object VectorSearchQueries {
          |WHERE bucket = qbucket AND vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
 
+    "ann_rule_threshold" -> Q(
+      "ANN threshold scan via the optimizer rule: the user writes the EXACT cosine-threshold filter; with spark.graft.ann.rewrite=true AnnBucketRewrite appends the hyperplane-bucket conjunct at optimization time — result equals the hand-written bucket + threshold query",
+      (s, dir) => {
+        import graft.plans.AnnBucketRewrite
+        AnnBucketRewrite.install(s)
+        val emb = T.embeddings(s, dir)
+        val q: Seq[Double] = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toSeq.map(_.toDouble)
+        val prev = s.conf.getOption(AnnBucketRewrite.Flag)
+        s.conf.set(AnnBucketRewrite.Flag, "true")
+        try {
+          // flag scoping identical to ann_rule_knn: collect inside the
+          // window, restore after (single-threaded harness contract)
+          val df = emb
+            .filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
+            .select(col("vec_id"),
+              cosineSim(col("embedding"), typedlit(q)).as("sim"))
+            .filter(col("sim") >= 0.2)
+            .orderBy(col("sim").desc, col("vec_id"))
+          val rows = df.collect().toIndexedSeq
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows, 1), df.schema)
+        } finally prev match {
+          case Some(v) => s.conf.set(AnnBucketRewrite.Flag, v)
+          case None    => s.conf.unset(AnnBucketRewrite.Flag)
+        }
+      },
+      // the bucket-restricted threshold scan the rewrite must reproduce
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, sim FROM (
+         |  SELECT vec_id, bucket, qbucket, ${cosSql("embedding", "qv")} AS sim
+         |  FROM b, q WHERE vec_id <> 0)
+         |WHERE bucket = qbucket AND sim >= 0.2
+         |ORDER BY sim DESC, vec_id""".stripMargin),
+
     "ann_ivf_knn" -> Q(
       "ANN: IVF-style partition pruning — pick best coarse partition by its representative (min-vec_id member: deterministic, no float-order-dependent centroid averaging), search only inside it",
       (s, dir) => ivfKnn10(s, dir),

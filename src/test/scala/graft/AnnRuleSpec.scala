@@ -65,6 +65,55 @@ class AnnRuleSpec extends SparkSpec {
     }
   }
 
+  private def thresholdScan(): DataFrame = {
+    val emb = Tables.embeddings(spark, sf)
+    val q: Seq[Double] = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq.map(_.toDouble)
+    emb.filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
+      .select(col("vec_id"), cosineSim(col("embedding"), typedlit(q)).as("sim"))
+      .filter(col("sim") >= 0.2)
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
+  test("threshold shape: bucket conjunct appended with flag on, absent with flag off") {
+    withFlag(on = false) {
+      assert(!thresholdScan().queryExecution.optimizedPlan.toString
+        .contains("hyperplane_bucket"))
+    }
+    withFlag(on = true) {
+      val plan = thresholdScan().queryExecution.optimizedPlan.toString
+      assert(plan.contains("hyperplane_bucket"),
+        s"expected bucket conjunct in:\n$plan")
+    }
+  }
+
+  test("threshold rewrite equals the hand-written bucket + threshold query") {
+    import graft.queries.VectorSearchQueries
+    val emb = Tables.embeddings(spark, sf).filter(col("embedding").isNotNull)
+      .withColumn("bucket", VectorSearchQueries.bucketCol(col("embedding")))
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qv"), col("bucket").as("qb")).head()
+    val qv = q.getSeq[Float](0).toSeq.map(_.toDouble)
+    val expected = emb.filter(col("vec_id") =!= 0L && col("bucket") === q.getString(1))
+      .select(col("vec_id"), cosineSim(col("embedding"), typedlit(qv)).as("sim"))
+      .filter(col("sim") >= 0.2)
+      .orderBy(col("sim").desc, col("vec_id")).collect().toSeq
+    val got = withFlag(on = true)(thresholdScan().collect().toSeq)
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("a cosine threshold under an OR is left alone (not a top-level conjunct)") {
+    withFlag(on = true) {
+      val emb = Tables.embeddings(spark, sf)
+      val q: Seq[Double] = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toSeq.map(_.toDouble)
+      val df = emb.filter(col("embedding").isNotNull)
+        .filter(cosineSim(col("embedding"), typedlit(q)) >= 0.2 || col("label") === 2)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("hyperplane_bucket"),
+        "bucket conjunct under an OR would wrongly restrict the other branch")
+    }
+  }
+
   test("registry ann_rule_knn leaves the flag unset afterwards") {
     val before = spark.conf.getOption(AnnBucketRewrite.Flag)
     SparkEntry.queries("ann_rule_knn")(spark, sf).collect()
