@@ -157,7 +157,11 @@ object ConnectedComponents {
       if (labelsRdd != null) labelsRdd.unpersist(blocking = false)
       labels = next
       labelsRdd = nextRdd
-      converged = sumNew.compareTo(sumPrev) == 0
+      // A null mid-loop sum can only mean non-ANSI Decimal(38,0) overflow
+      // (≈1e19 rows of near-Long.Max ids); treat it as "not converged"
+      // rather than NPE — the loop then either recovers a real sum next
+      // round or hits the maxIters throw.
+      converged = sumNew != null && sumNew.compareTo(sumPrev) == 0
       sumPrev = sumNew
       iter += 1
     }

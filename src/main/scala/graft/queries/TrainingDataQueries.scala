@@ -131,15 +131,15 @@ object TrainingDataQueries {
           .orderBy(col("doc_id"))
       },
       """SELECT doc_id, shard, n_tok,
-        |  cum - n_tok AS start_off,
-        |  (cum - n_tok) // 256 AS seq_id,
-        |  (cum - n_tok) % 256 AS seq_off
+        |  CAST(cum - n_tok AS BIGINT) AS start_off,
+        |  CAST((cum - n_tok) // 256 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tok) % 256 AS BIGINT) AS seq_off
         |FROM (
         |  SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
         |      PARTITION BY doc_id % 8 ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin),
 
@@ -230,8 +230,8 @@ object TrainingDataQueries {
       },
       """SELECT source, doc_id, n_tok, score, cum_tok FROM (
         |  SELECT source, doc_id, n_tok, score,
-        |    SUM(n_tok) OVER (PARTITION BY source
-        |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
         |  FROM (
         |    SELECT source, doc_id,
         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -184,7 +184,11 @@ final class InboxReaderFactory(schema: StructType, tz: String,
   private def eval(f: org.apache.spark.sql.sources.Filter, row: InternalRow): Boolean = {
     import org.apache.spark.sql.sources._
     def idx(a: String): Int = keySchema.fieldIndex(a)
-    def matches(i: Int, v: Any): Boolean = keySchema(i).dataType match {
+    // A null literal can reach here (Spark translates e.g.
+    // col("x").isin(1L, null) into In(x, [1, null])); SQL comparison
+    // semantics make NULL = v unknown ⇒ non-matching, never an NPE.
+    def matches(i: Int, v: Any): Boolean = if (v == null) false
+    else keySchema(i).dataType match {
       case _: org.apache.spark.sql.types.StringType =>
         row.getUTF8String(i).toString == String.valueOf(v)
       case _: org.apache.spark.sql.types.LongType =>

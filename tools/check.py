@@ -51,6 +51,17 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
+        # The driver hashes pandas values dtype-sensitively: a DuckDB HUGEINT
+        # (e.g. an uncast window SUM(BIGINT)) lands as float64 while Spark
+        # writes int64, and bit-identical values still hash-mismatch. Compare
+        # dtypes first so this class of oracle-authoring bug fails locally.
+        dbad = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in gc
+                if str(got[c].dtype) != str(exp[c].dtype)]
+        if dbad:
+            c, gd, ed = dbad[0]
+            print(f"FAIL {name}: dtype col={c}: spark={gd} oracle={ed}")
+            n_fail += 1
+            continue
         bad = []
         for c in gc:
             gv, ev = got[c].tolist(), exp[c].tolist()
