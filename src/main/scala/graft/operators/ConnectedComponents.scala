@@ -159,9 +159,10 @@ object ConnectedComponents {
       labelsRdd = nextRdd
       // A null mid-loop sum can only mean non-ANSI Decimal(38,0) overflow
       // (≈1e19 rows of near-Long.Max ids); treat it as "not converged"
-      // rather than NPE — the loop then either recovers a real sum next
-      // round or hits the maxIters throw.
-      converged = sumNew != null && sumNew.compareTo(sumPrev) == 0
+      // rather than NPE — both operands need the guard, because a null
+      // sumNew becomes next round's sumPrev and a recovered non-null sum
+      // compared against it would otherwise NPE.
+      converged = sumNew != null && sumPrev != null && sumNew.compareTo(sumPrev) == 0
       sumPrev = sumNew
       iter += 1
     }

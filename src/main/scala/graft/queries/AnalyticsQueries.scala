@@ -143,8 +143,8 @@ object AnalyticsQueries {
           .filter(col("o_custkey") < 50L)
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
             col("o_totalprice"),
-            rank().over(w).as("rnk"),
-            ntile(4).over(w).as("quartile"),
+            rank().over(w).cast("long").as("rnk"),
+            ntile(4).over(w).cast("long").as("quartile"),
             percent_rank().over(w).as("pct_rank"),
             cume_dist().over(w).as("cdist"),
             lag(col("o_totalprice"), 1).over(w).as("prev_price"),
@@ -301,7 +301,7 @@ object AnalyticsQueries {
           .join(broadcast(T.customer(s, dir)
             .select(col("c_custkey"), col("c_mktsegment"))),
             col("o_custkey") === col("c_custkey"))
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
           .orderBy(col("c_mktsegment"), col("rnk"))
@@ -513,7 +513,7 @@ object AnalyticsQueries {
         import org.apache.spark.sql.expressions.Window
         val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
         T.orders(s, dir)
-          .withColumn("decile", ntile(10).over(w))
+          .withColumn("decile", ntile(10).over(w).cast("long"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"),
             min(col("o_totalprice")).as("lo"),
@@ -674,7 +674,7 @@ object AnalyticsQueries {
         val w = Window.partitionBy(col("source"))
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
         T.documents(s, dir)
-          .withColumn("rk", row_number().over(w))
+          .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 5)
           .select(col("source"), col("rk"), col("doc_id"))
           .orderBy(col("source"), col("rk"))

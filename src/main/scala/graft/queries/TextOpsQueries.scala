@@ -440,7 +440,7 @@ object TextOpsQueries {
           .select(col("doc_id"), col("tok"),
             (col("tf").cast("double") * col("n_docs").cast("double")
               / col("df").cast("double")).as("score"))
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select("doc_id", "rnk", "tok", "score")
           .orderBy(col("doc_id"), col("rnk"))

@@ -44,17 +44,57 @@ object TrainingDataQueries {
   val all: Seq[(String, Q)] = Seq(
 
     "dedup_semantic" -> Q(
-      "Semantic dedup (SemDeDup shape): embedding near-duplicates blocked by the deterministic hyperplane-LSH bucket — the ANN index partition IS the dedup block, so candidate generation never goes all-pairs — then connected-components cluster resolution with canonical min-id keep",
+      "Semantic dedup (SemDeDup shape): embedding near-duplicates blocked by an ADAPTIVE-width hyperplane-LSH bucket — plane count ∝ log(corpus size), so mean block occupancy is bounded and candidate generation stays O(n·TargetBlock) instead of O(n²/2^p) — then connected-components cluster resolution with canonical min-id keep",
       (s, dir) => {
-        // The block key is the same 4-plane bucket the ann_lsh_knn index
-        // partitions on: at 100 TB the corpus is already bucket-partitioned
-        // for retrieval, and dedup rides the same physical layout (the
-        // label-blocked dedup_embedding twin assumes labels exist; this is
-        // the self-supervised form). Pairs carry only ids past the
-        // verify filter; clusters resolve with the same CC operator the
-        // token-LSH pipeline uses.
+        // Block key = the first p sign bits of the MaxPlanes-wide bucket,
+        // where p is the smallest count with n/2^p ≤ TargetBlock (integer
+        // threshold sum — engine-exact, no float log2). The prefix
+        // property (plane i is independent of plane count) means the
+        // retrieval index's 4-plane bucket is always a prefix of this
+        // block key, so dedup still rides the ANN physical layout. The
+        // count→p aggregate broadcasts one row; no driver collect. Pairs
+        // carry only ids past the verify filter; clusters resolve with
+        // the same CC operator the token-LSH pipeline uses.
+        import VectorSearchQueries.{MaxPlanes, adaptivePlanesCol, bucketCol}
         val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
-          .withColumn("bucket", VectorSearchQueries.bucketCol(col("embedding")))
+          .withColumn("b_full", bucketCol(col("embedding"), MaxPlanes))
+        val np = emb.agg(adaptivePlanesCol(count(lit(1))).as("p"))
+        val blocked = emb.crossJoin(broadcast(np))
+          .select(col("vec_id"), col("embedding"),
+            col("b_full").substr(lit(1), col("p")).as("bucket"))
+        val a = blocked.select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("va"))
+        val b = blocked.select(col("vec_id").as("b_id"), col("bucket"), col("embedding").as("vb"))
+        val pairs = a.join(b, Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), cosineSim(col("va"), col("vb")).as("sim"))
+          .filter(col("sim") >= 0.35)
+          .select(col("a_id"), col("b_id"))
+        graft.operators.ConnectedComponents.resolve(pairs)
+          .select(col("doc_id").as("vec_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH RECURSIVE np AS (
+         |  SELECT ${VectorSearchQueries.adaptivePlanesSql("n")} AS p FROM (
+         |    SELECT COUNT(*) AS n FROM embeddings WHERE embedding IS NOT NULL)),
+         |bk AS (
+         |  SELECT vec_id, embedding,
+         |    substr(${VectorSearchQueries.bucketSql("embedding", VectorSearchQueries.MaxPlanes)}, 1, p) AS bucket
+         |  FROM embeddings, np WHERE embedding IS NOT NULL),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${VectorSearchQueries.cosSqlPublic("a.embedding", "b.embedding")} >= 0.35),
+         |${PipelineQueries.CcSqlCtes}
+         |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
+         |FROM comp ORDER BY vec_id""".stripMargin),
+
+    "dedup_semantic_p8" -> Q(
+      "Semantic dedup at a PINNED 8-plane block (256 buckets) — the oracle-checked witness that the parameterized bucket width is correct beyond the 4-plane default: same pipeline as dedup_semantic with p fixed at 8",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+          .withColumn("bucket",
+            VectorSearchQueries.bucketCol(col("embedding"), 8))
         val a = emb.select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("va"))
         val b = emb.select(col("vec_id").as("b_id"), col("bucket"), col("embedding").as("vb"))
         val pairs = a.join(b, Seq("bucket"))
@@ -69,7 +109,7 @@ object TrainingDataQueries {
       },
       s"""WITH RECURSIVE bk AS (
          |  SELECT vec_id, embedding,
-         |    ${VectorSearchQueries.bucketSql("embedding")} AS bucket
+         |    ${VectorSearchQueries.bucketSql("embedding", 8)} AS bucket
          |  FROM embeddings WHERE embedding IS NOT NULL),
          |pairs AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id

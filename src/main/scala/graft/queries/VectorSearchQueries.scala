@@ -40,12 +40,43 @@ object VectorSearchQueries {
       .digest(s"$plane|$dim".getBytes("UTF-8"))
     if ((d(0) & 1) == 1) 1.0 else -1.0
   }
-  private val NPlanes = 4
+  /** Retrieval bucket width. Small on purpose: multiprobe cost is 1+p
+    * buckets, so the RETRIEVAL index keeps p = 4 (16 buckets, recall-
+    * tunable by probing). Dedup blocking instead derives its width from
+    * corpus size — see [[adaptivePlanesCol]]. */
+  private[graft] val NPlanes = 4
+  /** Widest supported bucket. Plane i's weights depend only on i (md5 of
+    * "plane|dim"), so the k-plane bucket IS the first k chars of the
+    * MaxPlanes-plane bucket — the prefix property adaptive blocking
+    * rides on. */
+  private[graft] val MaxPlanes = 16
+  /** Target mean block occupancy for adaptive dedup blocking: pick the
+    * smallest p with n/2^p ≤ TargetBlock, so within-block pair counts
+    * stay O(n·TargetBlock) — linear in n — instead of O(n²/2^p) with a
+    * fixed p. */
+  private[graft] val TargetBlock = 64L
   private val Dims = 64
-  private def planes: Seq[Seq[Double]] =
-    (0 until NPlanes).map(p => (0 until Dims).map(i => planeWeight(p, i)))
+  private def planesN(n: Int): Seq[Seq[Double]] =
+    (0 until n).map(p => (0 until Dims).map(i => planeWeight(p, i)))
+  private def planes: Seq[Seq[Double]] = planesN(NPlanes)
   private def planeSqlLit(p: Seq[Double]): String =
     p.map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** Adaptive plane count as a COLUMN of the row count n: the smallest
+    * p in [NPlanes, MaxPlanes] with n/2^p ≤ TargetBlock, computed as an
+    * integer threshold sum (4 + Σⱼ [n > TargetBlock·2ʲ]) — exact in any
+    * engine, no float log2 edge cases. */
+  private[graft] def adaptivePlanesCol(n: Column): Column =
+    (NPlanes until MaxPlanes).foldLeft(lit(NPlanes)) { (acc, j) =>
+      acc + when(n > TargetBlock * (1L << j), lit(1)).otherwise(lit(0))
+    }
+
+  /** The identical threshold sum in DuckDB SQL, over a row-count
+    * expression `nExpr`. */
+  private[queries] def adaptivePlanesSql(nExpr: String): String =
+    s"($NPlanes" + (NPlanes until MaxPlanes).map { j =>
+      s" + (CASE WHEN $nExpr > ${TargetBlock * (1L << j)} THEN 1 ELSE 0 END)"
+    }.mkString + ")"
 
   /** LSH bucket of a vector column: sign bit per hyperplane, as a string
     * like "0110". Shared by the Spark plan and the oracle. The codegen'd
@@ -53,13 +84,17 @@ object VectorSearchQueries {
     * sequential fold as the declarative
     * `concat(planes.map(p => when(dot(v, lit(p)) > 0, "1").otherwise("0")))`
     * in one pass (VectorSearchSpec pins the equality). */
-  private[graft] def bucketCol(v: Column): Column =
+  private[graft] def bucketCol(v: Column): Column = bucketCol(v, NPlanes)
+
+  /** Parameterized bucket: the first `nPlanes` sign bits. */
+  private[graft] def bucketCol(v: Column, nPlanes: Int): Column =
     // null-vector parity with the declarative spec and the oracle: the
     // when/otherwise chain yields "000…" for a null vector (null dot > 0
     // is null → otherwise branch), while the null-intolerant expression
     // yields NULL — coalesce restores the all-zeros bucket.
-    coalesce(graft.functions.HyperplaneBucket.hyperplaneBucket(v, planes),
-      lit("0" * NPlanes))
+    coalesce(
+      graft.functions.HyperplaneBucket.hyperplaneBucket(v, planesN(nPlanes)),
+      lit("0" * nPlanes))
 
   /** The declarative spec bucketCol replaced (kept for the property test). */
   private[graft] def bucketColSpec(v: Column): Column =
@@ -68,8 +103,9 @@ object VectorSearchQueries {
     }: _*)
 
   private[graft] def planesPublic: Seq[Seq[Double]] = planes
-  private[queries] def bucketSql(v: String): String =
-    planes.map { p =>
+  private[queries] def bucketSql(v: String): String = bucketSql(v, NPlanes)
+  private[queries] def bucketSql(v: String, nPlanes: Int): String =
+    planesN(nPlanes).map { p =>
       s"(CASE WHEN list_sum(list_transform(range(1, len($v)+1), i -> $v[i]::DOUBLE * (${planeSqlLit(p)})[i])) > 0.0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 

@@ -90,6 +90,40 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic: identical clusters at the 4-plane default and the pinned 8-plane block") {
+    // Each group's members are POSITIVE scalar multiples of a shared base
+    // vector: cosine is exactly 1 and every hyperplane dot keeps its
+    // sign, so a group occupies one bucket at ANY plane count — the
+    // prefix-stable parameterization must therefore produce the same CC
+    // clusters whether the block key is 4 or 8+ planes wide. Distinct
+    // bases are md5-random ±1 vectors whose pairwise |sim| stays far
+    // below the 0.35 threshold (asserted below, deterministic fixture).
+    val dims = 64
+    def base(g: Int): Seq[Double] =
+      (0 until dims).map(i => graft.queries.VectorSearchQueries.planeWeight(100 + g, i))
+    val groups = 0 until 4
+    for (g1 <- groups; g2 <- groups if g1 < g2) {
+      val sim = base(g1).zip(base(g2)).map { case (x, y) => x * y }.sum / dims
+      assert(math.abs(sim) < 0.35, s"fixture bases $g1,$g2 too similar: $sim")
+    }
+    val dir = tmpDir("semfix")
+    val rows = for { g <- groups; j <- 0 until 3 } yield
+      (g * 10L + j,
+        base(g).map(x => (x * (1.0 + 0.05 * j)).toFloat).toArray,
+        g)
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def clusters(name: String): Map[Long, Long] =
+      SparkEntry.queries(name)(spark, dir)
+        .select($"vec_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    val adaptive = clusters("dedup_semantic") // n=12 → adaptive p = 4
+    val p8 = clusters("dedup_semantic_p8")
+    assert(adaptive == p8, "4-plane and 8-plane blocks must yield identical clusters")
+    val expected = (for { g <- groups; j <- 0 until 3 }
+      yield (g * 10L + j) -> g * 10L).toMap
+    assert(adaptive == expected, "each scalar-multiple group is one canonical cluster")
+  }
+
   test("dedup_substring: shared 8-token spans are detected, unique docs score zero") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
     val dir = docsFixture(Seq(
