@@ -306,6 +306,54 @@ object VectorSearchQueries {
          |WHERE bucket = qbucket AND vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
 
+    "ann_rule_multiprobe" -> Q(
+      "ANN via the optimizer rule at full Hamming-1 probing: same EXACT cosine top-k source text as ann_rule_knn, but with spark.graft.ann.probes=NPlanes the injected predicate becomes bucket IN (home + all flips) — result equals the hand-written ann_lsh_multiprobe (recall@10 0.8 vs 0.2 for the home-only rewrite)",
+      (s, dir) => {
+        import graft.plans.AnnBucketRewrite
+        AnnBucketRewrite.install(s)
+        val emb = T.embeddings(s, dir)
+        val q: Seq[Double] = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toSeq.map(_.toDouble)
+        val prevF = s.conf.getOption(AnnBucketRewrite.Flag)
+        val prevP = s.conf.getOption(AnnBucketRewrite.ProbesFlag)
+        s.conf.set(AnnBucketRewrite.Flag, "true")
+        s.conf.set(AnnBucketRewrite.ProbesFlag, NPlanes.toString)
+        try {
+          // flag scoping identical to ann_rule_knn: collect inside the
+          // window, restore after (single-threaded harness contract)
+          val df = emb
+            .filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
+            .select(col("vec_id"),
+              cosineSim(col("embedding"), typedlit(q)).as("sim"))
+            .orderBy(col("sim").desc, col("vec_id"))
+            .limit(10)
+          val rows = df.collect().toIndexedSeq
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows, 1), df.schema)
+        } finally {
+          def restore(k: String, v: Option[String]): Unit = v match {
+            case Some(x) => s.conf.set(k, x)
+            case None    => s.conf.unset(k)
+          }
+          restore(AnnBucketRewrite.Flag, prevF)
+          restore(AnnBucketRewrite.ProbesFlag, prevP)
+        }
+      },
+      // identical oracle to ann_lsh_multiprobe: the probed rewrite must
+      // reproduce the explicit multi-probe search exactly
+      {
+        val flipsSql = (0 until NPlanes).map { i =>
+          s"substr(qb, 1, $i) || (CASE WHEN substr(qb, ${i + 1}, 1) = '0' THEN '1' ELSE '0' END) || substr(qb, ${i + 2}, $NPlanes)"
+        }
+        s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+           |probes AS (SELECT qv, unnest([qb${flipsSql.map(f => ", " + f).mkString}]) AS probe FROM q)
+           |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+           |FROM b JOIN probes ON b.bucket = probes.probe
+           |WHERE vec_id <> 0
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
     "ann_rule_threshold" -> Q(
       "ANN threshold scan via the optimizer rule: the user writes the EXACT cosine-threshold filter; with spark.graft.ann.rewrite=true AnnBucketRewrite appends the hyperplane-bucket conjunct at optimization time — result equals the hand-written bucket + threshold query",
       (s, dir) => {

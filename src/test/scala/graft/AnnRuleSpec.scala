@@ -114,6 +114,56 @@ class AnnRuleSpec extends SparkSpec {
     }
   }
 
+  private def withProbes[A](n: Int)(f: => A): A = {
+    val prev = spark.conf.getOption(AnnBucketRewrite.ProbesFlag)
+    spark.conf.set(AnnBucketRewrite.ProbesFlag, n.toString)
+    try withFlag(on = true)(f)
+    finally prev match {
+      case Some(v) => spark.conf.set(AnnBucketRewrite.ProbesFlag, v)
+      case None    => spark.conf.unset(AnnBucketRewrite.ProbesFlag)
+    }
+  }
+
+  test("probes=N injects bucket IN (home + N Hamming-1 flips)") {
+    withProbes(4) {
+      val plan = exactKnn().queryExecution.optimizedPlan
+      val inSets = plan.collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case in: org.apache.spark.sql.catalyst.expressions.In
+              if in.value.isInstanceOf[graft.functions.HyperplaneBucket] => in.list
+        }
+      }.flatten
+      assert(inSets.nonEmpty, "expected an IN-probe bucket predicate")
+      val buckets = inSets.head.map(
+        _.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.toString)
+      assert(buckets.size == 5, s"home + 4 flips expected, got $buckets")
+      assert(buckets.distinct.size == 5, "probe buckets must be distinct")
+      val home = buckets.head
+      assert(buckets.tail.forall(b =>
+        b.zip(home).count { case (x, y) => x != y } == 1),
+        s"every probe must be Hamming-1 from home: $buckets")
+    }
+  }
+
+  test("probes=full ball: rewritten results equal the hand-written multiprobe query") {
+    val expected = SparkEntry.queries("ann_lsh_multiprobe")(spark, sf).collect().toSeq
+    val got = withProbes(4)(exactKnn().collect().toSeq)
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("probes malformed or zero: falls back to home-bucket equality") {
+    val prev = spark.conf.getOption(AnnBucketRewrite.ProbesFlag)
+    spark.conf.set(AnnBucketRewrite.ProbesFlag, "not-a-number")
+    try withFlag(on = true) {
+      val expected = SparkEntry.queries("ann_lsh_knn")(spark, sf).collect().toSeq
+      assert(exactKnn().collect().toSeq == expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(AnnBucketRewrite.ProbesFlag, v)
+      case None    => spark.conf.unset(AnnBucketRewrite.ProbesFlag)
+    }
+  }
+
   test("registry ann_rule_knn leaves the flag unset afterwards") {
     val before = spark.conf.getOption(AnnBucketRewrite.Flag)
     SparkEntry.queries("ann_rule_knn")(spark, sf).collect()
