@@ -28,15 +28,47 @@ final class EmailEtlApi(
   def emails: DataFrame = spark.read.parquet(emailsPath)
   private def search = new EmailSearch(emails)
 
-  /** `import full` (reference: main.py:163-207): normalize, merge (A4),
-    * write attachments/audit, render markdown archive, embed backlog (A9). */
-  def importFull(inboxDir: String): Map[String, Long] = {
+  /** `import full` (reference: main.py:163-207, src/etl_pipeline.py:32-91):
+    * normalize, merge (A4), write attachments/audit, render markdown
+    * archive, embed backlog (A9). Parameters mirror EmailImportRequest
+    * (reference: src/api/models.py:55-71): `startDate` is the `after:`
+    * date filter, `maxResults` caps the listing (newest-first, like the
+    * provider's recency-ordered message list; tie-broken by message_id
+    * for determinism), `generateEmbeddings` gates the A9 pass. Returned
+    * stats carry the full ImportStatus shape (models.py:224-233):
+    * total_found / processed / skipped / failed /
+    * attachments_processed / attachments_rejected, plus the engine's own
+    * embedded / total counters. */
+  def importFull(inboxDir: String,
+      maxResults: Option[Int] = None,
+      startDate: Option[java.sql.Timestamp] = None,
+      generateEmbeddings: Boolean = true): Map[String, Long] = {
     val raw = Normalize.readRaw(spark, inboxDir)
-    val incoming = Normalize.emails(raw).dropDuplicates("message_id")
+    // failed = raw lines the normalizer cannot attribute to a message
+    // (corrupt JSON parses as an all-null row; reference counts these in
+    // stats['failed'], etl_pipeline.py:100-103)
+    val failed = raw.filter(col("id").isNull).count()
+    val normalized = Normalize.emails(raw).dropDuplicates("message_id")
+    val dated = startDate
+      .map(d => normalized.filter(col("date") >= lit(d)))
+      .getOrElse(normalized)
+    val incoming = maxResults
+      .map(n => dated.orderBy(col("date").desc, col("message_id"))
+        .limit(math.max(0, n)))
+      .getOrElse(dated)
     val fs = new org.apache.hadoop.fs.Path(emailsPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    val storeExists = fs.exists(new org.apache.hadoop.fs.Path(emailsPath))
+    // skipped = already in the store (reference skips re-processing them,
+    // etl_pipeline.py:117-121; the merge still refreshes their row, which
+    // is the A4 upsert contract)
+    val skipped =
+      if (storeExists)
+        incoming.join(emails.select("message_id"), Seq("message_id"), "left_semi").count()
+      else 0L
+    val totalFound = incoming.count()
     val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(emailsPath)))
+      if (storeExists)
         Upsert.mergeByKey(emails, incoming, "message_id", "updated_at")
       else incoming
     val staging = s"${emailsPath}__staging"
@@ -44,16 +76,53 @@ final class EmailEtlApi(
     fs.delete(new org.apache.hadoop.fs.Path(emailsPath), true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(emailsPath))
 
-    Normalize.attachments(raw)
-      .write.mode("overwrite").parquet(s"$storeDir/attachments")
+    // attachments of THIS batch's emails (email_id = surrogate of the
+    // message_id); merged with any prior table so incremental imports
+    // never drop earlier attachments
+    val attPath = s"$storeDir/attachments"
+    val batchAtts = Normalize.attachments(raw)
+      .join(incoming.select(col("id").as("email_id")), Seq("email_id"), "left_semi")
+    val attsProcessed = batchAtts.filter(col("is_safe")).count()
+    val attsRejected = batchAtts.filter(!col("is_safe")).count()
+    val allAtts =
+      if (fs.exists(new org.apache.hadoop.fs.Path(attPath)))
+        spark.read.parquet(attPath).unionByName(batchAtts).dropDuplicates("id")
+      else batchAtts
+    val attStaging = s"${attPath}__staging"
+    allAtts.write.mode("overwrite").parquet(attStaging)
+    fs.delete(new org.apache.hadoop.fs.Path(attPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(attStaging), new org.apache.hadoop.fs.Path(attPath))
+
     Normalize.auditRows(incoming, "imported")
       .write.mode("append").parquet(s"$storeDir/audit")
     MarkdownSink.writeArchive(emails, s"$storeDir/markdown")
-    val embedded = embedBacklog()
+    val embedded = if (generateEmbeddings) embedBacklog() else 0L
     Map(
-      "processed" -> incoming.count(),
-      "total" -> emails.count(),
-      "embedded" -> embedded)
+      "total_found" -> totalFound,
+      "processed" -> (totalFound - skipped),
+      "skipped" -> skipped,
+      "failed" -> failed,
+      "attachments_processed" -> attsProcessed,
+      "attachments_rejected" -> attsRejected,
+      "embedded" -> embedded,
+      "total" -> emails.count())
+  }
+
+  /** Incremental sync (reference: src/etl_pipeline.py:233-245): import
+    * everything dated at or after the store's latest email — the `>=`
+    * is the reference's "small buffer to avoid missing emails"; boundary
+    * re-reads dedup into `skipped`. Empty or missing store falls back to
+    * a full import, exactly like the reference. */
+  def syncIncremental(inboxDir: String,
+      generateEmbeddings: Boolean = true): Map[String, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(emailsPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val latest: Option[java.sql.Timestamp] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(emailsPath)))
+        Option(emails.agg(max(col("date"))).collect()(0).getTimestamp(0))
+      else None
+    importFull(inboxDir, startDate = latest,
+      generateEmbeddings = generateEmbeddings)
   }
 
   /** Embedding pass: B4 backlog → H1 batched embed → A9 column upsert. */

@@ -21,6 +21,9 @@ import org.json4s.jackson.JsonMethods
   * Routes mirrored (names, defaults, clamps follow the reference):
   *  - GET  /health                 → {"status": "healthy"}
   *  - GET  /api/status             → totals + per-provider stats
+  *  - POST /api/emails/import      → ImportStatus (background task starts)
+  *  - POST /api/emails/sync        → ImportStatus (incremental, background)
+  *  - GET  /api/emails/import/{id} → ImportStatus of a running/done task
   *  - POST /api/search/emails      → {query, results: [EmailSummary], total_found}
   *  - POST /api/search/ask         → {question, answer, sources, context_email_count}
   *  - POST /api/analyze/categorize → [{...category rows}]
@@ -29,9 +32,19 @@ import org.json4s.jackson.JsonMethods
   *  - POST /mcp/call               → {tool, parameters} → {tool, result}
   * Errors return FastAPI's shape: {"detail": msg} with 400/404/405/500.
   *
-  * Out of scope (documented in COVERAGE.md): the import/sync background
-  * task routes (server.py:137-282) — batch ingest is the CLI/streaming
-  * surface here — and OAuth, which is environment-excluded.
+  * Import/sync follow the reference's background-task contract
+  * (server.py:137-282): POST returns immediately with a "running"
+  * ImportStatus, the work runs on a daemon thread over the same
+  * SparkSession (Spark schedules jobs from concurrent driver threads),
+  * and GET polls the in-memory status map. Request bodies take
+  * `inbox_dir` in place of the reference's Gmail `query` (the provider
+  * here is a directory of raw messages), plus the same `max_results` /
+  * `start_date` / `generate_embeddings`. One documented divergence: the
+  * reference's POST response is the bare ImportStatus with no id at all
+  * (server.py:168 — the id is unreachable by clients); ours adds
+  * `import_id` so the status route is actually usable.
+  *
+  * Out of scope: OAuth, which is environment-excluded.
   */
 object RestServer {
   implicit private val formats: Formats = DefaultFormats
@@ -51,6 +64,74 @@ object RestServer {
       JObject(
         "database" -> totals,
         "providers" -> JArray(dfJson(api.providerStats()).toList))
+    }
+
+    // ImportStatus shape (reference: src/api/models.py:224-233)
+    val importTasks = new java.util.concurrent.ConcurrentHashMap[String, JValue]()
+    val importSeq = new java.util.concurrent.atomic.AtomicLong(0)
+    def importStatus(status: String, s: Map[String, Long]): JObject = JObject(
+      ("status" -> JString(status)) ::
+        List("total_found", "processed", "failed", "skipped",
+          "attachments_processed", "attachments_rejected")
+          .map(k => k -> (JInt(BigInt(s.getOrElse(k, 0L))): JValue)))
+    def launchTask(prefix: String)(work: () => Map[String, Long]): JValue = {
+      val id = s"${prefix}_${System.currentTimeMillis()}_${importSeq.incrementAndGet()}"
+      importTasks.put(id, importStatus("running", Map.empty))
+      val t = new Thread(() => {
+        try importTasks.put(id, importStatus("completed", work()))
+        catch { case _: Throwable =>
+          importTasks.put(id, importStatus("failed", Map.empty))
+        }
+      }, s"graft-rest-$id")
+      t.setDaemon(true)
+      t.start()
+      JObject(("import_id" -> JString(id)) ::
+        importStatus("running", Map.empty).obj)
+    }
+    def importParams(body: JValue): (String, Option[Int], Option[java.sql.Timestamp], Boolean) = (
+      (body \ "inbox_dir").extractOpt[String]
+        .getOrElse(throw BadRequest("missing field: inbox_dir")),
+      (body \ "max_results").extractOpt[Int],
+      ts(body \ "start_date"),
+      (body \ "generate_embeddings").extractOpt[Boolean].getOrElse(true))
+
+    // POST /api/emails/import and GET /api/emails/import/{id} share a
+    // path prefix, so this context dispatches both itself (route()'s
+    // exact-path contract can't).
+    srv.createContext("/api/emails/import", (ex: HttpExchange) => {
+      try {
+        (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+          case ("POST", "/api/emails/import") =>
+            val raw = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+            val body = if (raw.isEmpty) JNothing else JsonMethods.parse(raw)
+            val (inbox, maxResults, startDate, genEmb) = importParams(body)
+            reply(ex, 200, launchTask("import")(() =>
+              api.importFull(inbox, maxResults, startDate, genEmb)))
+          case ("GET", p) if p.startsWith("/api/emails/import/") =>
+            val id = p.stripPrefix("/api/emails/import/")
+            Option(importTasks.get(id)) match {
+              case Some(st) => reply(ex, 200, st)
+              case None => reply(ex, 404,
+                JObject("detail" -> JString("Import task not found")))
+            }
+          case ("POST", _) =>
+            reply(ex, 404, JObject("detail" -> JString("Not Found")))
+          case _ =>
+            reply(ex, 405, JObject("detail" -> JString("Method Not Allowed")))
+        }
+      } catch {
+        case BadRequest(m) => reply(ex, 400, JObject("detail" -> JString(m)))
+        case e: Throwable =>
+          reply(ex, 500, JObject("detail" -> JString(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))
+      } finally ex.close()
+    })
+
+    route(srv, "/api/emails/sync", "POST") { body =>
+      val inbox = (body \ "inbox_dir").extractOpt[String]
+        .getOrElse(throw BadRequest("missing field: inbox_dir"))
+      val genEmb = (body \ "generate_embeddings").extractOpt[Boolean].getOrElse(true)
+      launchTask("sync")(() => api.syncIncremental(inbox, genEmb))
     }
 
     route(srv, "/api/search/emails", "POST") { body =>

@@ -32,8 +32,9 @@ class RestServerSpec extends SparkSpec {
   }
   private def base = s"http://127.0.0.1:${server.getAddress.getPort}"
 
-  private def http(method: String, path: String, body: Option[String] = None): (Int, JValue) = {
-    val conn = new java.net.URL(base + path).openConnection()
+  private def http(method: String, path: String, body: Option[String] = None,
+      root: String = base): (Int, JValue) = {
+    val conn = new java.net.URL(root + path).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod(method)
     body.foreach { b =>
@@ -168,6 +169,74 @@ class RestServerSpec extends SparkSpec {
     assert(c4 == 200)
     val body = ((j4 \ "results").extract[List[JValue]].head \ "body_plain")
     assert(body.extract[String].contains("broadcast"))
+  }
+
+  test("import/sync background routes: POST import → poll → searchable; sync skips existing") {
+    // Own server + store: the background import mutates state, so it must
+    // not share the lazy fixture server other tests assert counts on.
+    val inbox = tmpDir("rest-import-inbox")
+    java.nio.file.Files.write(java.nio.file.Paths.get(inbox, "batch.json"),
+      Seq(
+        rawMsg("i1", "kubernetes rollout", "Mon, 15 Jan 2024 10:00:00 +0000",
+          "the kubernetes rollout finished without errors"),
+        rawMsg("i2", "quarterly numbers", "Tue, 16 Jan 2024 10:00:00 +0000",
+          "revenue is up and costs are flat this quarter")
+      ).mkString("\n").getBytes("UTF-8"))
+    val api2 = new EmailEtlApi(spark, tmpDir("rest-import-store"))
+    val srv2 = RestServer.start(api2, port = 0)
+    try {
+      val b = s"http://127.0.0.1:${srv2.getAddress.getPort}"
+      def poll(id: String): JValue = {
+        val deadline = System.currentTimeMillis() + 120000
+        var st: JValue = JNothing
+        while ({
+          st = http("GET", s"/api/emails/import/$id", root = b)._2
+          (st \ "status").extract[String] == "running" &&
+            System.currentTimeMillis() < deadline
+        }) Thread.sleep(200)
+        st
+      }
+      // POST import: immediate "running" ImportStatus + usable import_id
+      val (c1, j1) = http("POST", "/api/emails/import",
+        Some(s"""{"inbox_dir": "$inbox"}"""), root = b)
+      assert(c1 == 200 && (j1 \ "status").extract[String] == "running")
+      val id = (j1 \ "import_id").extract[String]
+      assert(id.startsWith("import_"))
+      val done = poll(id)
+      assert((done \ "status").extract[String] == "completed")
+      assert((done \ "total_found").extract[Int] == 2)
+      assert((done \ "processed").extract[Int] == 2)
+      assert((done \ "skipped").extract[Int] == 0)
+      // imported rows are now visible through the search route
+      val (c2, j2) = http("POST", "/api/search/emails",
+        Some("""{"query": "kubernetes rollout", "limit": 2}"""), root = b)
+      assert(c2 == 200)
+      val hits = (j2 \ "results").extract[List[JValue]]
+      assert(hits.nonEmpty &&
+        (hits.head \ "message_id").extract[String] == "i1")
+      // sync against the same inbox: only the boundary (latest) email is
+      // re-read and it dedups into skipped — nothing newly processed
+      val (c3, j3) = http("POST", "/api/emails/sync",
+        Some(s"""{"inbox_dir": "$inbox"}"""), root = b)
+      assert(c3 == 200)
+      val sid = (j3 \ "import_id").extract[String]
+      assert(sid.startsWith("sync_"))
+      val synced = poll(sid)
+      assert((synced \ "status").extract[String] == "completed")
+      assert((synced \ "processed").extract[Int] == 0)
+      assert((synced \ "skipped").extract[Int] == 1)
+      // error contract
+      val (c4, _) = http("GET", "/api/emails/import/nope", root = b)
+      assert(c4 == 404)
+      val (c5, e5) = http("POST", "/api/emails/import", Some("{}"), root = b)
+      assert(c5 == 400 && (e5 \ "detail").extract[String].contains("inbox_dir"))
+      // a background failure is reported as status=failed, not a hang
+      val (c6, j6) = http("POST", "/api/emails/import",
+        Some("""{"inbox_dir": "/nonexistent/inbox/dir"}"""), root = b)
+      assert(c6 == 200)
+      val failed = poll((j6 \ "import_id").extract[String])
+      assert((failed \ "status").extract[String] == "failed")
+    } finally srv2.stop(0)
   }
 
   test("MCP enum validation: invalid group_by is a 400 tool error, not a 500") {
