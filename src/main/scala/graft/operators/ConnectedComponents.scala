@@ -93,18 +93,43 @@ object ConnectedComponents {
     val spark = pairs.sparkSession
     val decSum = (c: org.apache.spark.sql.Column) =>
       sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    // AQE is suspended for the duration of the loop: every round is the
+    // SAME fixed three-stage plan over (id, label) longs — there is
+    // nothing for runtime re-planning to discover, and AQE's
+    // stage-by-stage execution turns each round into several driver
+    // round-trip jobs (measured: most of the CC wall time at fixture
+    // scale is that fixed per-job floor, not data). Pregel-style loops
+    // are latency-bound per round; static planning is the right trade at
+    // every scale — skew lives in the EDGE list, which is handled by the
+    // pre-partitioned persisted exchange, not per-round re-planning.
+    val aqePrev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try resolveLoop(spark, pairs, maxIters, decSum)
+    finally aqePrev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  private def resolveLoop(
+      spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame,
+      maxIters: Int,
+      decSum: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     // The caller's pair stream is typically the EXPENSIVE end of a dedup
     // pipeline (LSH band join + verify, or a blocked cosine join). It is
-    // read once into the persisted symmetric edge list and never
-    // recomputed: without this persist the union's two branches, the
-    // node derivation, and the self-loop branch would re-execute the
-    // upstream pair plan ~4x (measured as the dominant cost of the CC
-    // registry queries before this fix).
-    val sym = pairs
+    // persisted DIRECTLY — not just the symmetric edge list derived from
+    // it — because the symmetrizing union and the self-loop branch
+    // reference the pair plan three times: with only the derived list
+    // cached, the upstream LSH/cosine chain still executed once per
+    // branch inside the first materialization (measured ~2x the verify
+    // cost per CC call; with this persist it runs exactly once and every
+    // derivation reads 16-byte cached pairs).
+    val symPairs = pairs
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
-      .union(pairs
-        .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = symPairs
+      .union(symPairs.select(col("dst").as("src"), col("src").as("dst")))
     val edges = sym
       .union(sym.select(col("src"), col("src").as("dst")).distinct())
       .repartition(col("dst"))
@@ -143,13 +168,23 @@ object ConnectedComponents {
       // node's own label a member of the aggregated set, and because the
       // edge list is symmetric every node occurs as `src`, so this single
       // join + agg covers the whole vertex set
-      val step1 = edges.join(labels, edges("dst") === labels("id"))
+      // Both per-round joins are hinted SHUFFLE_HASH: the label side is
+      // |V| rows, which AQE happily broadcasts at fixture scale — but a
+      // broadcast build is an extra driver round-trip job per join per
+      // round (measured: it's most of the CC wall time, ~3 extra jobs ×
+      // ~0.15 s scheduling floor × rounds), and at 100 TB broadcasting
+      // |V| labels is impossible anyway. The shuffle-hash join keeps each
+      // round ONE job whose label shuffle is |V| fixed-width rows — the
+      // same plan shape at every scale.
+      val step1 = edges.join(labels.hint("shuffle_hash"), edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("label"))
         .select(col("src").as("id"), col("label"))
       // step 2: pointer jumping — label values are always node ids (they
       // start as ids and min-propagation only moves existing ids), so the
-      // self-join always matches
-      val jump = step1.select(col("id").as("jid"), col("label").as("jlabel"))
+      // self-join always matches. (A double-jump variant — quartering
+      // chain depth per round — was measured SLOWER here: the extra |V|
+      // shuffle per round cost more than the saved rounds.)
+      val jump = step1.select(col("id").as("jid"), col("label").as("jlabel")).hint("shuffle_hash")
       val (next, nextRdd) = truncated(
         step1.join(jump, step1("label") === jump("jid"))
           .select(step1("id").as("id"), col("jlabel").as("label")))
@@ -166,7 +201,7 @@ object ConnectedComponents {
       sumPrev = sumNew
       iter += 1
     }
-    sym.unpersist(blocking = false)
+    symPairs.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     if (!converged) {
       labelsRdd.unpersist(blocking = false)

@@ -114,7 +114,7 @@ object TextOpsQueries {
     * generator over a computed array makes Catalyst infer a
     * `size(bands) > 0` filter and push the whole minhash expression
     * tree below the projections, recomputing it per row per band. */
-  private[queries] def lshStage(docsWithToks: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def lshStage(docsWithToks: DataFrame): (DataFrame, DataFrame) = {
     val staged = docsWithToks
       .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
       .select(col("doc_id"),
@@ -138,7 +138,7 @@ object TextOpsQueries {
 
   /** Candidate pairs with exact Jaccard ≥ `minJac` verified against the
     * staged token sets. */
-  private[queries] def lshVerifiedPairs(staged: DataFrame, cand: DataFrame,
+  private[graft] def lshVerifiedPairs(staged: DataFrame, cand: DataFrame,
       minJac: Double): DataFrame = {
     val tsets = staged.select(col("doc_id"), col("tset"))
     cand
