@@ -43,11 +43,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => CosineSimilarity(cs(0), cs(1)))
     // NULL-parity wrapper (same contract as minhash_signature below): the
     // raw expression is null-intolerant, but the engine's tsTokens spec
-    // treats NULL text as "" → empty token array
-    register("ts_tokens", classOf[TsTokens])(cs =>
-      Coalesce(Seq(TsTokens(cs(0)),
+    // treats NULL text as "" → empty token array. Optional second arg:
+    // ts_tokens(text, true) stems with the full Snowball/Porter2 instead
+    // of the SQL-expressible stem-lite spec.
+    register("ts_tokens", classOf[TsTokens])(cs => {
+      val snowball = cs.lift(1) match {
+        case None => false
+        case Some(Literal(b: Boolean, org.apache.spark.sql.types.BooleanType)) => b
+        case Some(other) => throw new IllegalArgumentException(
+          s"ts_tokens snowball flag must be a boolean literal, got $other")
+      }
+      Coalesce(Seq(TsTokens(cs(0), snowball),
         Literal.create(Seq.empty[String],
-          org.apache.spark.sql.types.ArrayType(StringType)))))
+          org.apache.spark.sql.types.ArrayType(StringType))))
+    })
     register("simhash16", classOf[SimHash16])(cs => SimHash16(cs(0)))
     // same NULL-input parity wrapper as TextFunctions.minhashSignature:
     // the raw expression is null-intolerant, the spec yields m nulls

@@ -92,12 +92,15 @@ object EmailFunctions {
       stemLite(_))
 
   /** F3: plainto_tsquery-equivalent — same normalization applied to the
-    * query string (reference: scripts/init_db.sql:126). */
-  def tsQueryTerms(queryText: String): Seq[String] = {
+    * query string (reference: scripts/init_db.sql:126). `snowball = true`
+    * runs the full Porter2 stemmer ([[Porter2]], the Postgres-fidelity
+    * mode the search surface uses); default stays the SQL-expressible
+    * stem-lite spec the oracle-checked registry rides. */
+  def tsQueryTerms(queryText: String, snowball: Boolean = false): Seq[String] = {
     val stop = Stopwords.toSet
     queryText.toLowerCase.split("[^a-z0-9]+").toSeq
       .filter(t => t.nonEmpty && !stop(t))
-      .map(stemLiteScala)
+      .map(t => if (snowball) Porter2.stem(t) else stemLiteScala(t))
   }
 
   /** Scala mirror of [[stemLite]] for driver-side query normalization. */
@@ -123,8 +126,9 @@ object EmailFunctions {
     * column here: `tfRank` references the tokens once per query term, and
     * lambda subtrees are not common-subexpression-eliminated, so an
     * unstaged call re-tokenizes the document per term. */
-  def tsRankOnTokens(toks: Column, queryText: String): Column = {
-    val terms = tsQueryTerms(queryText)
+  def tsRankOnTokens(toks: Column, queryText: String,
+      snowball: Boolean = false): Column = {
+    val terms = tsQueryTerms(queryText, snowball)
     if (terms.isEmpty) lit(0.0)
     else TextFunctions.tfRank(toks, terms)
   }

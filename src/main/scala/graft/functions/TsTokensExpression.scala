@@ -10,19 +10,30 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass implementation of the F2 tsvector token pipeline
-  * (lowercase → split on non-alphanumeric → stopword filter → stem-lite),
-  * byte-for-byte equal to the declarative
-  * [[EmailFunctions.tsTokens]] composition but ~4× faster: the
-  * higher-order-function form walks the token array once per nested
-  * lambda with boxed evaluation, while this expression makes one pass in
-  * plain JVM code invoked directly from generated code.
+  * (lowercase → split on non-alphanumeric → stopword filter → stem),
+  * ~4× faster than the equivalent higher-order-function composition: the
+  * HOF form walks the token array once per nested lambda with boxed
+  * evaluation, while this expression makes one pass in plain JVM code
+  * invoked directly from generated code.
   *
-  * The HOF composition stays as the cross-engine-reproducible spec (and
-  * the property test pins this expression to it); this is the hot-path
-  * engine. Same pattern as [[CosineSimilarity]]: spec first, codegen'd
-  * twin for scale.
+  * Two stemmer modes:
+  *  - `snowball = true` (the API/search default): the full English
+  *    Snowball ("Porter2") stemmer [[Porter2]] — what Postgres
+  *    `to_tsvector('english', …)` actually runs (reference:
+  *    scripts/init_db.sql:66-71), so ts_rank ordering matches the
+  *    reference on morphology-heavy corpora.
+  *  - `snowball = false`: the SQL-expressible
+  *    [[EmailFunctions.stemLite]] spec — kept as the DuckDB-oracle-
+  *    checkable normalization (Porter2 is not expressible in the
+  *    oracle's dialect; the fts extension is unavailable offline).
+  *
+  * The HOF composition stays as the cross-engine-reproducible spec for
+  * the stem-lite mode (the property test pins this expression to it);
+  * the snowball mode is pinned by Porter2Spec's golden vectors. Same
+  * pattern as [[CosineSimilarity]]: spec first, codegen'd twin for scale.
   */
-case class TsTokens(child: Expression) extends UnaryExpression {
+case class TsTokens(child: Expression, snowball: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -34,10 +45,10 @@ case class TsTokens(child: Expression) extends UnaryExpression {
   override def prettyName: String = "ts_tokens"
 
   override def nullSafeEval(input: Any): Any =
-    TsTokens.tokenize(input.asInstanceOf[UTF8String])
+    TsTokens.tokenize(input.asInstanceOf[UTF8String], snowball)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TsTokens.tokenize($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TsTokens.tokenize($c, $snowball)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -51,7 +62,7 @@ object TsTokens {
   }
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def tokenize(text: UTF8String): ArrayData = {
+  def tokenize(text: UTF8String, snowball: Boolean): ArrayData = {
     if (text == null) return new GenericArrayData(Array.empty[Any])
     // UTF8String.toLowerCase == Spark's lower(): Unicode, locale-independent
     // (String.toLowerCase would depend on the JVM default locale).
@@ -66,8 +77,12 @@ object TsTokens {
       while (i < n && isTokenChar(s.charAt(i))) i += 1
       if (i > start) {
         val tok = s.substring(start, i)
-        if (!stopwords.contains(tok))
-          out += UTF8String.fromString(EmailFunctions.stemLiteScala(tok))
+        if (!stopwords.contains(tok)) {
+          val stemmed =
+            if (snowball) Porter2.stem(tok)
+            else EmailFunctions.stemLiteScala(tok)
+          out += UTF8String.fromString(stemmed)
+        }
       }
     }
     new GenericArrayData(out.toArray)
@@ -78,7 +93,12 @@ object TsTokens {
 }
 
 object TsTokensFunctions {
-  /** Codegen'd single-pass F2 pipeline as a Column. */
+  /** Codegen'd single-pass F2 pipeline as a Column (stem-lite spec mode). */
   def tsTokensFast(text: Column): Column =
     SparkBridge.column(TsTokens(SparkBridge.expression(text)))
+
+  /** Codegen'd F2 pipeline with the full Snowball (Porter2) stemmer —
+    * the Postgres-fidelity mode the API/search surface uses. */
+  def tsTokensSnowball(text: Column): Column =
+    SparkBridge.column(TsTokens(SparkBridge.expression(text), snowball = true))
 }

@@ -711,6 +711,23 @@ object TextOpsQueries {
            |ORDER BY rank DESC, doc_id LIMIT 50""".stripMargin
       }),
 
+    "f2_f4_tsrank_snowball" -> Q(
+      "F2-F4 full-text pipeline with the REAL English Snowball (Porter2) stemmer — the Postgres-fidelity mode (to_tsvector('english', ...) runs exactly this stemmer); rows-only check by documented design: DuckDB's stem() lives in the non-downloadable fts extension, so Porter2 is not oracle-expressible — Porter2Spec pins the stemmer itself with the algorithm's golden vectors",
+      (s, dir) => {
+        import graft.functions.EmailFunctions
+        T.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.TsTokensFunctions
+              .tsTokensSnowball(coalesce(col("text"), lit(""))).as("tt"))
+          .select(col("doc_id"),
+            EmailFunctions.tsRankOnTokens(col("tt"),
+              "joins the running windows", snowball = true).as("rank"))
+          .filter(col("rank") > 0.0)
+          .orderBy(col("rank").desc, col("doc_id"))
+          .limit(50)
+      },
+      None),
+
     "multimodal_meta" -> Q(
       "Multimodal column plumbing: opaque binary payload + typed metadata (byte length, digest, magic prefix)",
       (s, dir) => {

@@ -141,16 +141,20 @@ class EmailSearch(emails: DataFrame) {
       .limit(k)
 
   /** D2: hybrid ranked search — 0.7·cosine + 0.3·tsRank over the F1 doc
-    * text, optional B6 filters (reference: scripts/migrate_providers.sql:63-118). */
+    * text, optional B6 filters (reference: scripts/migrate_providers.sql:63-118).
+    * Stemming is the full Snowball/Porter2 (what the reference's
+    * `to_tsvector('english', …)` runs — scripts/init_db.sql:66-71), so
+    * ranking agrees with Postgres on morphology the stem-lite spec
+    * misses; the oracle-checked registry twin stays on stem-lite. */
   def hybridSearch(queryVec: Seq[Float], queryText: String, k: Int = 10,
       filters: SearchFilters = SearchFilters()): DataFrame = {
     val base = applyFilters(emails.filter(col("embedding").isNotNull), filters)
     base
       .withColumn("similarity", cosineSim(col("embedding"), typedlit(queryVec)))
       .withColumn("__ts_toks",
-        graft.functions.TsTokensFunctions.tsTokensFast(
+        graft.functions.TsTokensFunctions.tsTokensSnowball(
           docText(col("subject"), col("body_plain"), col("sender_name"))))
-      .withColumn("rank", tsRankOnTokens(col("__ts_toks"), queryText))
+      .withColumn("rank", tsRankOnTokens(col("__ts_toks"), queryText, snowball = true))
       .withColumn("score",
         lit(Schemas.HybridVectorWeight) * col("similarity") +
           lit(Schemas.HybridTextWeight) * col("rank"))
