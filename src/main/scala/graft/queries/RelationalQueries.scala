@@ -421,10 +421,10 @@ object RelationalQueries {
       "Range join: events bucketed into half-open time intervals (broadcast small side; interval trees / bucket-pruning at scale)",
       (s, dir) => {
         val intervals = s.createDataFrame(Seq(
-          (1, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
-          (2, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
-          (3, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
-          (4, "2024-01-22 00:00:00", "2024-02-01 00:00:00")))
+          (1L, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+          (2L, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+          (3L, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+          (4L, "2024-01-22 00:00:00", "2024-02-01 00:00:00")))
           .toDF("interval_id", "lo", "hi")
           .select(col("interval_id"),
             to_timestamp(col("lo")).as("lo"), to_timestamp(col("hi")).as("hi"))
@@ -438,10 +438,10 @@ object RelationalQueries {
           .orderBy(col("interval_id"))
       },
       """WITH intervals(interval_id, lo, hi) AS (VALUES
-        |  (1, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
-        |  (2, TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
-        |  (3, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
-        |  (4, TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-02-01 00:00:00'))
+        |  (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+        |  (CAST(2 AS BIGINT), TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+        |  (CAST(3 AS BIGINT), TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
+        |  (CAST(4 AS BIGINT), TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-02-01 00:00:00'))
         |SELECT interval_id, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM events JOIN intervals
         |  ON date_trunc('second', ts) >= lo AND date_trunc('second', ts) < hi
