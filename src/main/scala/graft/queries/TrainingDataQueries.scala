@@ -119,6 +119,59 @@ object TrainingDataQueries {
          |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
          |FROM comp ORDER BY vec_id""".stripMargin),
 
+    "dedup_semantic_banded" -> Q(
+      "Semantic dedup with BANDED hyperplane LSH (OR-amplification): L=2 independent 8-plane tables, candidate = bucket match in ANY band, then exact cosine verify + CC — the recall path past the single-table plane clamp (recall 1-(1-s^b)^L vs 1-... single-table s^p; same AND-OR shape as the token MinHash banding)",
+      (s, dir) => {
+        // Bands use DISJOINT plane ranges (0-7, 8-15) of the same
+        // md5-seeded family, so each is an independent hash table. The
+        // per-band self-join carries only (band bucket, id, vec); the
+        // any-band union dedups id pairs BEFORE the cosine verify, so
+        // each surviving pair is verified once. At 100 TB: candidates
+        // O(L·n·occupancy) with occupancy n/2^b per table, recall dialed
+        // by L without coarsening blocks.
+        import VectorSearchQueries.bucketColBand
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val withBands = emb.select(col("vec_id"), col("embedding"),
+          bucketColBand(col("embedding"), 0, 8).as("b0"),
+          bucketColBand(col("embedding"), 1, 8).as("b1"))
+        def bandPairs(bcol: String) = {
+          val a = withBands.select(col("vec_id").as("a_id"), col(bcol))
+          val b = withBands.select(col("vec_id").as("b_id"), col(bcol))
+          a.join(b, Seq(bcol)).filter(col("a_id") < col("b_id"))
+            .select("a_id", "b_id")
+        }
+        val cand = bandPairs("b0").union(bandPairs("b1")).distinct()
+        val va = withBands.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+        val vb = withBands.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+        val pairs = cand.join(va, Seq("a_id")).join(vb, Seq("b_id"))
+          .filter(cosineSim(col("va"), col("vb")) >= 0.35)
+          .select("a_id", "b_id")
+        graft.operators.ConnectedComponents.resolve(pairs)
+          .select(col("doc_id").as("vec_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH RECURSIVE bk AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorSearchQueries.bucketSqlBand("embedding", 0, 8)} AS b0,
+         |    ${VectorSearchQueries.bucketSqlBand("embedding", 1, 8)} AS b1
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cand AS (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |    FROM bk a JOIN bk b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+         |    UNION ALL
+         |    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |    FROM bk a JOIN bk b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM cand
+         |  JOIN bk a ON a.vec_id = a_id
+         |  JOIN bk b ON b.vec_id = b_id
+         |  WHERE ${VectorSearchQueries.cosSqlPublic("a.embedding", "b.embedding")} >= 0.35),
+         |${PipelineQueries.CcSqlCtes}
+         |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
+         |FROM comp ORDER BY vec_id""".stripMargin),
+
     "ann_int8_knn" -> Q(
       "Quantized vector search: per-vector symmetric int8 codes (floor-rounded, scale = max|x|), cosine over the integer codes — 4x less scan bandwidth and an integer-dot hot loop at 100 TB; the estimate's fidelity vs float cosine is spec-pinned",
       (s, dir) => {

@@ -56,8 +56,9 @@ object VectorSearchQueries {
     * fixed p. */
   private[graft] val TargetBlock = 64L
   private val Dims = 64
-  private def planesN(n: Int): Seq[Seq[Double]] =
-    (0 until n).map(p => (0 until Dims).map(i => planeWeight(p, i)))
+  private def planesRange(from: Int, until: Int): Seq[Seq[Double]] =
+    (from until until).map(p => (0 until Dims).map(i => planeWeight(p, i)))
+  private def planesN(n: Int): Seq[Seq[Double]] = planesRange(0, n)
   private def planes: Seq[Seq[Double]] = planesN(NPlanes)
   private def planeSqlLit(p: Seq[Double]): String =
     p.map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ",", "]")
@@ -102,10 +103,22 @@ object VectorSearchQueries {
       when(dot(v, typedlit(p)) > 0.0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Bucket over plane range [band·width, (band+1)·width) — an
+    * INDEPENDENT hash table per band (planes are md5-seeded by index, so
+    * disjoint ranges are independent hashes). Band 0 at width NPlanes is
+    * exactly [[bucketCol]]. */
+  private[graft] def bucketColBand(v: Column, band: Int, width: Int): Column =
+    coalesce(
+      graft.functions.HyperplaneBucket.hyperplaneBucket(
+        v, planesRange(band * width, (band + 1) * width)),
+      lit("0" * width))
+
   private[graft] def planesPublic: Seq[Seq[Double]] = planes
   private[queries] def bucketSql(v: String): String = bucketSql(v, NPlanes)
   private[queries] def bucketSql(v: String, nPlanes: Int): String =
-    planesN(nPlanes).map { p =>
+    bucketSqlBand(v, 0, nPlanes)
+  private[queries] def bucketSqlBand(v: String, band: Int, width: Int): String =
+    planesRange(band * width, (band + 1) * width).map { p =>
       s"(CASE WHEN list_sum(list_transform(range(1, len($v)+1), i -> $v[i]::DOUBLE * (${planeSqlLit(p)})[i])) > 0.0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
