@@ -442,6 +442,20 @@ object VectorSearchQueries {
       },
       None),
 
+    "ann_pq_knn" -> Q(
+      "ANN: product quantization (M=8 subspaces × K=16 Lloyd-trained codes) — the compression rung: ADC scan reads only the M-byte code column (32× less scan bandwidth than float vectors), exact cosine reranks the top 50 — rows-only check (float-mean training is run-approximate by design; the lossless-regime PQ==brute-force anchor and lossy recall@10 are spec-asserted in PqIndexSpec)",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val m = graft.operators.PqIndex.train(emb, "vec_id", "embedding",
+          numSubspaces = 8, codebookSize = 16, iters = 2)
+        val encoded = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", m)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toSeq
+        graft.operators.PqIndex.search(encoded, "vec_id", "embedding", m, q,
+          topK = 10, rerank = 50)
+      },
+      None),
+
     "ann_recall" -> Q(
       "ANN recall instrumentation: recall@10 of the LSH-bucketed and IVF-pruned searches against the exact cosine top-10 — the measured number behind the documented speed/recall trade (all three searches are deterministic, so recall itself is oracle-checkable)",
       (s, dir) => {
