@@ -75,32 +75,14 @@ object PqIndex {
     if (n > 0.0) q.map(_ / n).toArray else Array.fill(q.length)(0.0)
   }
 
-  /** One codebook literal per expression (the IvfIndex single-literal
-    * rule: K per-centroid expressions would each serialize the whole
-    * codebook into the plan). */
-  private def codebookLit(m: Model): Column =
-    typedlit(m.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-
-  private def l2dist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
-
-  /** Nearest-centroid code in subspace `mIdx` (ties → lowest code, so
-    * duplicate centroids cannot make encoding nondeterministic). */
-  private def nearestCode(sv: Column, mIdx: Column, cb: Column, k: Int): Column = {
-    val scored = transform(sequence(lit(0), lit(k - 1)), c =>
-      struct(l2dist(sv, element_at(element_at(cb, mIdx + 1), c + 1)).as("d"),
-        c.cast("int").as("c")))
-    element_at(array_sort(scored,
-      (a, b) => when(a.getField("d") < b.getField("d"), -1)
-        .when(a.getField("d") > b.getField("d"), 1)
-        .otherwise(a.getField("c") - b.getField("c"))), 1).getField("c")
-  }
-
   /** Train M codebooks of K centroids with `iters` Lloyd rounds.
     * Deterministic: subspace m is seeded with the m-th subvectors of the
     * K lowest-id vectors; every round is one partial+final aggregation
     * (shuffle = one subDim-length buffer per (partition, subspace,
-    * cluster)); the K×D-double codebook updates driver-side. */
+    * cluster)); the K×D-double codebook updates driver-side. The
+    * normalize + assign pass per round is the codegen'd
+    * [[graft.functions.PqEncodeDetail]] expression — one flat
+    * M·K·(D/M)-multiply loop per row, not interpreted nested HOFs. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
       numSubspaces: Int, codebookSize: Int, iters: Int): Model = {
     val nonNull = emb.filter(col(vecCol).isNotNull)
@@ -119,13 +101,10 @@ object PqIndex {
     })
 
     for (_ <- 0 until iters) {
-      val cb = codebookLit(model)
-      val subbed = nonNull.select(
-        posexplode(transform(sequence(lit(0), lit(numSubspaces - 1)),
-          mi => slice(l2normalize(col(vecCol)), mi * sub + 1, lit(sub)))).as(Seq("m", "sv")))
-      val means = subbed
-        .select(col("m"), col("sv"),
-          nearestCode(col("sv"), col("m"), cb, codebookSize).as("cid"))
+      val means = nonNull
+        .select(posexplode(graft.functions.PqCodes.pqEncodeDetail(
+          col(vecCol), model.codebooks)).as(Seq("m", "d")))
+        .select(col("m"), col("d.sv").as("sv"), col("d.code").as("cid"))
         .groupBy(col("m"), col("cid"))
         .agg(graft.functions.VectorAvgAggregator.vectorAvg(sub, col("sv")).as("mean"))
         .collect()
@@ -139,16 +118,14 @@ object PqIndex {
     model
   }
 
-  /** Row-local encode: (id, vec, codes array<int> of length M). At scale
-    * (id, codes) is the persisted index — M bytes of payload per row. */
-  def encode(emb: DataFrame, idCol: String, vecCol: String, m: Model): DataFrame = {
-    val cb = codebookLit(m)
-    val sub = m.subDim
-    emb.select(col(idCol), col(vecCol),
-      transform(sequence(lit(0), lit(m.numSubspaces - 1)), mi =>
-        nearestCode(slice(l2normalize(col(vecCol)), mi * sub + 1, lit(sub)), mi, cb,
-          m.codebookSize)).as("codes"))
-  }
+  /** Row-local encode: appends `codes` (array<int> of length M) to the
+    * input columns — composes with [[IvfIndex.assign]]'s centroid_id for
+    * the IVF-PQ stack. At scale (id, centroid_id, codes) is the persisted
+    * index — M bytes of payload per row. The code assignment is the
+    * codegen'd [[graft.functions.PqCodes]] expression (scan-speed). */
+  def encode(emb: DataFrame, idCol: String, vecCol: String, m: Model): DataFrame =
+    emb.withColumn("codes",
+      graft.functions.PqCodes.pqCodes(col(vecCol), m.codebooks))
 
   /** ADC scan + exact rerank: score every row by M table lookups over its
     * codes (the float vector is untouched), keep the `rerank` best, then

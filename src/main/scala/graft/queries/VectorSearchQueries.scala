@@ -456,6 +456,26 @@ object VectorSearchQueries {
       },
       None),
 
+    "ann_ivfpq_knn" -> Q(
+      "ANN: the composed IVF-PQ stack (the FAISS-standard production shape) — coarse IVF partitions prune the scan to nprobe=2 of k=8, the PQ ADC codes score the rows inside the probed partitions, exact cosine reranks the top 50: scan FRACTION × scan BANDWIDTH cut multiply — rows-only check (both trainings are float-approximate by design; composition semantics spec-asserted in PqIndexSpec)",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val ivf = graft.operators.IvfIndex.train(emb, "vec_id", "embedding",
+          k = 8, iters = 2)
+        val pq = graft.operators.PqIndex.train(emb, "vec_id", "embedding",
+          numSubspaces = 8, codebookSize = 16, iters = 2)
+        val indexed = graft.operators.PqIndex.encode(
+          graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", ivf),
+          "vec_id", "embedding", pq)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toSeq
+        val probes = ivf.rank(q.map(_.toDouble)).take(2)
+        graft.operators.PqIndex.search(
+          indexed.filter(col("centroid_id").isin(probes: _*)),
+          "vec_id", "embedding", pq, q, topK = 10, rerank = 50)
+      },
+      None),
+
     "ann_recall" -> Q(
       "ANN recall instrumentation: recall@10 of the LSH-bucketed and IVF-pruned searches against the exact cosine top-10 — the measured number behind the documented speed/recall trade (all three searches are deterministic, so recall itself is oracle-checkable)",
       (s, dir) => {

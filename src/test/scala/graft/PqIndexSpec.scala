@@ -72,6 +72,35 @@ class PqIndexSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@10 = $recall")
   }
 
+  // IVF-PQ composition: encode preserves IVF's centroid_id, the probe
+  // filter bounds the candidate set to the probed partitions, and with
+  // every partition probed the stack degrades to plain PQ (the scan-
+  // fraction knob and the bandwidth knob are independent).
+  test("IVF-PQ stack: hits come from probed partitions; full probe == plain PQ") {
+    val ivf = graft.operators.IvfIndex.train(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val pq = PqIndex.train(emb, "vec_id", "embedding",
+      numSubspaces = 8, codebookSize = 16, iters = 2)
+    val indexed = PqIndex.encode(
+      graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", ivf),
+      "vec_id", "embedding", pq).cache()
+    val probes = ivf.rank(qvec.map(_.toDouble)).take(2)
+    val narrow = PqIndex.search(
+      indexed.filter(col("centroid_id").isin(probes: _*)),
+      "vec_id", "embedding", pq, qvec, topK = 10, rerank = 50)
+      .select("vec_id").as[Long].collect().toSeq
+    val allowed = indexed.filter(col("centroid_id").isin(probes: _*))
+      .select("vec_id").as[Long].collect().toSet
+    assert(narrow.toSet.subsetOf(allowed))
+    val fullProbe = PqIndex.search(indexed, "vec_id", "embedding", pq, qvec,
+      topK = 10, rerank = 50).select("vec_id").as[Long].collect().toSeq
+    val plainPq = PqIndex.search(
+      PqIndex.encode(emb, "vec_id", "embedding", pq),
+      "vec_id", "embedding", pq, qvec, topK = 10, rerank = 50)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(fullProbe == plainPq)
+  }
+
   test("zero-norm and null vectors neither crash encode nor surface in top-k") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 12L).map(i =>
