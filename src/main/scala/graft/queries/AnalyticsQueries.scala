@@ -246,6 +246,60 @@ object AnalyticsQueries {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
+    "layout_zorder" -> Q(
+      "Z-order (Morton) layout diagnostics: o_custkey × o_orderdate interleaved into a 32-bit z-value (operators.Scale.mortonScaled — magic-number bit spreading, whole-stage codegen), then per z-bucket count + 2-D bounding box. Every bucket bounds BOTH dimensions, so parquet row-group min/max stats prune scans filtered on EITHER column — the multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER shape) a lexicographic sort can't give. Integer arithmetic end to end, so the layout key itself is oracle-checked",
+      (s, dir) => {
+        // The z-bucket (top 8 of 32 bits) is the unit a 100 TB layout
+        // write would range-partition on; the spans ARE the data-skipping
+        // effectiveness report (Scale.zorder is the writer twin).
+        val base = T.orders(s, dir).select(
+          col("o_custkey"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast("long").as("day"))
+        graft.operators.Scale.mortonScaled(base, "o_custkey", "day")
+          .groupBy(shiftright(col("__z"), 24).as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_custkey")).as("min_cust"),
+            max(col("o_custkey")).as("max_cust"),
+            min(col("day")).as("min_day"),
+            max(col("day")).as("max_day"))
+          .withColumn("cust_span", col("max_cust") - col("min_cust"))
+          .withColumn("day_span", col("max_day") - col("min_day"))
+          .orderBy(col("zbucket"))
+      },
+      // Identical shift/mask cascade in DuckDB BIGINT operators; `//` is
+      // floor division (== Spark's `div` on these non-negative operands).
+      """WITH base AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS ck,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM orders
+        |), mm AS (
+        |  SELECT MIN(ck) AS minx, MAX(ck) AS maxx,
+        |         MIN(day) AS miny, MAX(day) AS maxy FROM base
+        |), scaled AS (
+        |  SELECT ck, day,
+        |    ((ck - minx) * 65535) // GREATEST(maxx - minx, 1) AS xs,
+        |    ((day - miny) * 65535) // GREATEST(maxy - miny, 1) AS ys
+        |  FROM base, mm
+        |), s1 AS (SELECT ck, day,
+        |    ((xs | (xs << 8)) & 16711935) AS x1,
+        |    ((ys | (ys << 8)) & 16711935) AS y1 FROM scaled
+        |), s2 AS (SELECT ck, day,
+        |    ((x1 | (x1 << 4)) & 252645135) AS x2,
+        |    ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1
+        |), s3 AS (SELECT ck, day,
+        |    ((x2 | (x2 << 2)) & 858993459) AS x3,
+        |    ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2
+        |), s4 AS (SELECT ck, day,
+        |    ((x3 | (x3 << 1)) & 1431655765) AS x4,
+        |    ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3
+        |), zed AS (SELECT ck, day, (x4 | (y4 << 1)) AS z FROM s4)
+        |SELECT z >> 24 AS zbucket, COUNT(*) AS n,
+        |  MIN(ck) AS min_cust, MAX(ck) AS max_cust,
+        |  MIN(day) AS min_day, MAX(day) AS max_day,
+        |  MAX(ck) - MIN(ck) AS cust_span, MAX(day) - MIN(day) AS day_span
+        |FROM zed GROUP BY zbucket ORDER BY zbucket""".stripMargin),
+
     "s1_setops" -> Q(
       "Set operations: customers ordering in 1996 INTERSECT 1997, EXCEPT, and UNION cardinalities",
       (s, dir) => {

@@ -84,6 +84,61 @@ class ScaleSpec extends SparkSpec {
     assert(small.rdd.getNumPartitions > big.rdd.getNumPartitions)
   }
 
+  test("mortonZ matches a bit-by-bit scalar Morton encode") {
+    def mortonRef(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(7)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(Scale.mortonZ(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pts.map { case (x, y) => mortonRef(x, y) })
+  }
+
+  test("z-order bounds BOTH dimensions per bucket; lex sort only one") {
+    // 64×64 grid: under z-order every 256-point bucket is a 16×16 tile
+    // (span 15 in x AND y); under an x-major lex sort the same-size
+    // bucket is 4 full columns (y span 63). This span gap is exactly the
+    // parquet row-group min/max pruning a 100 TB scan filtered on y
+    // gets from the z layout and not from the lex layout.
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val spans = grid
+      .withColumn("__z", Scale.mortonZ(col("x"), col("y")))
+      .groupBy((col("__z") / 256).cast("long").as("b"))
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .select(max("xs"), max("ys")).as[(Long, Long)].collect()(0)
+    assert(spans == ((15L, 15L)), s"z-order tile spans: $spans")
+    val lexSpans = grid
+      .withColumn("b", expr("(x * 64 + y) div 256"))
+      .groupBy("b")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .select(max("xs"), max("ys")).as[(Long, Long)].collect()(0)
+    assert(lexSpans == ((3L, 63L)), s"lex bucket spans: $lexSpans")
+  }
+
+  test("zorder writer: partitions are contiguous disjoint z-ranges") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(4000)((rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong))
+      .toDF("x", "y")
+    val laid = Scale.zorder(pts, "x", "y", partitions = 8)
+    assert(laid.columns.toSeq == Seq("x", "y"))
+    assert(laid.count() == 4000)
+    // recompute z per partition: ranges must not overlap across partitions
+    val ranges = Scale.mortonScaled(laid, "x", "y")
+      .select(spark_partition_id().as("p"), col("__z"))
+      .groupBy("p").agg(min("__z").as("lo"), max("__z").as("hi"))
+      .orderBy("p")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(ranges.size > 1)
+    ranges.sliding(2).foreach { case Seq((_, _, hi1), (_, lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping z-ranges: $ranges")
+    }
+  }
+
   test("Dataset[Email] typed path over normalized rows") {
     val dir = tmpDir("typed")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "m.json"),
