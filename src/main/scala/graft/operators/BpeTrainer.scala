@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training over a document corpus — the
+  * tokenizer-training step of a training-data pipeline, distributed the
+  * way the data sizes demand at 100 TB:
+  *
+  *   - The corpus-sized pass is ONE scan: split every document into
+  *     lowercase word tokens and aggregate `(word, count)`. Everything
+  *     downstream operates on the word-frequency table, whose size is
+  *     the number of DISTINCT words (bounded by vocabulary growth, not
+  *     corpus size — a few million rows at web scale), so the merge loop
+  *     never touches the corpus again. This is the same two-tier shape
+  *     every production BPE trainer uses (word counts, then merges),
+  *     with the count pass distributed.
+  *   - Each merge round is two small shuffles over the word table: an
+  *     adjacent-pair count (explode + groupBy + sum of word counts) and
+  *     the merge application. The winning pair per round is a 1-row
+  *     driver fetch — the same legitimate driver boundary as
+  *     [[IvfIndex]]'s centroid update (O(numMerges) rows total).
+  *   - Fully deterministic: exact integer counts, ties broken by
+  *     (count desc, left asc, right asc) — so the merge table is
+  *     reproducible on any cluster size.
+  *
+  * The per-word merge application is a Scala UDF over the symbol array.
+  * That is a deliberate exception to the no-UDF rule: it runs on the
+  * word TABLE (vocab-bounded), not the corpus, and adjacent-pair
+  * rewriting is inherently sequential within a word — no composition of
+  * built-in higher-order functions expresses "merge each non-overlapping
+  * adjacent (a,b) left to right" without quadratic re-scans.
+  */
+object BpeTrainer {
+
+  /** One learned merge: rank order, the pair, and its count when won. */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  final case class Model(merges: Seq[Merge], wordCounts: DataFrame)
+
+  /** The end-of-word marker: distinguishes "low</w>" (word-final) from
+    * "low" mid-word — standard BPE (Sennrich et al. 2016) behavior. */
+  val EndMark = "</w>"
+
+  private val mergePair = udf { (syms: Seq[String], a: String, b: String) =>
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Lowercase word tokens of `textCol` — the one corpus-sized pass. */
+  def wordCounts(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(split(lower(col(textCol)), "[^\\p{L}]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbol sequence: characters, last one carrying [[EndMark]]. */
+  private def initialSymbols(word: Column): Column = {
+    val chars = split(word, "")
+    val n = size(chars)
+    transform(chars, (c, i) =>
+      when(i === n - 1, concat(c, lit(EndMark))).otherwise(c))
+  }
+
+  /** Learn `numMerges` merges from the corpus. `minCount` drops hapax
+    * noise from the word table before the loop (standard practice; keeps
+    * the iterated table small even on OCR-dirty corpora). */
+  def train(corpus: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 1L): Model = {
+    val base = wordCounts(corpus, textCol)
+      .filter(col("cnt") >= minCount)
+      .withColumn("syms", initialSymbols(col("word")))
+      .persist()
+    // ONE materialization total: each round's pair-count job re-applies
+    // the accumulated merge chain to the cached base lazily (round r does
+    // r vocab-local UDF passes — O(k²·|vocab|) trivial CPU) instead of
+    // persist()+count()-ing a new table per round, which costs a second
+    // job and a full shuffle barrier every merge. One job per round.
+    base.count()
+    var words = base
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    for (rank <- 0 until numMerges if !exhausted) {
+      // adjacent pairs weighted by word count; slice drops the final
+      // position (no right neighbor)
+      val top = words
+        .select(col("cnt"), col("syms"), posexplode(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))))
+          .as(Seq("i", "a")))
+        .withColumn("b", element_at(col("syms"), col("i") + 2))
+        .groupBy("a", "b").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      // a top pair of count 1 can never help a tokenizer — stop early
+      if (top.isEmpty || top(0).getLong(2) <= 1) { exhausted = true }
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        val n = top(0).getLong(2)
+        merges += Merge(rank, a, b, n)
+        words = words.withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
+      }
+    }
+    Model(merges.toSeq, words)
+  }
+
+  /** The learned subword vocabulary: every symbol surviving in the merged
+    * word table, with its corpus frequency. */
+  def vocab(m: Model): DataFrame =
+    m.wordCounts
+      .select(col("cnt"), explode(col("syms")).as("token"))
+      .groupBy("token").agg(sum(col("cnt")).as("freq"))
+}

@@ -447,5 +447,19 @@ object TrainingDataQueries {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |  FROM documents)
         |GROUP BY shard ORDER BY shard""".stripMargin),
+
+    "bpe_train" -> Q(
+      "BPE tokenizer-vocabulary training (operators.BpeTrainer): ONE corpus-sized pass aggregates (word, count); 12 merge rounds then iterate the vocab-bounded word table only — two small shuffles each, winning pair a 1-row driver fetch (the IvfIndex centroid boundary). Exact counts + (count desc, pair asc) tie-break make the merge table reproducible at any cluster size — rows-only check (iterative data-dependent training is not ANSI-SQL-expressible; BpeTrainerSpec pins the merge sequence against a scalar reference implementation)",
+      (s, dir) => {
+        val m = graft.operators.BpeTrainer.train(
+          T.documentsSpread(s, dir), "text", numMerges = 12, minCount = 2L)
+        val rows = m.merges.map(g =>
+          (g.rank, g.left, g.right, g.left + g.right, g.pairCount))
+        val s0 = s
+        import s0.implicits._
+        rows.toDF("rank", "left", "right", "merged", "pair_count")
+          .orderBy(col("rank"))
+      },
+      None),
   )
 }

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.BpeTrainer
+import org.apache.spark.sql.functions._
+
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scalar reference BPE (Sennrich et al. 2016 shape): per-position
+    * adjacent-pair counts weighted by word frequency, left-to-right
+    * non-overlapping merge application, (count desc, pair asc) tie-break,
+    * stop when the best pair's count is <= 1. */
+  private def refBpe(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+    var tbl: Map[Vector[String], Long] = words.map { case (w, c) =>
+      val chars = w.map(_.toString).toVector
+      (chars.init :+ (chars.last + BpeTrainer.EndMark)) -> c
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 0 until k if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      tbl.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((a, b), n)) if n > 1 =>
+          out += ((a, b, n))
+          tbl = tbl.map { case (syms, c) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += (a + b); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toVector -> c
+          }
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  // the Sennrich toy corpus: "est</w>" then "lo" emerge as early merges
+  private val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+    Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+
+  test("merge sequence == scalar reference BPE on the Sennrich corpus") {
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val m = BpeTrainer.train(df, "text", numMerges = 10, minCount = 1L)
+    val wordFreq = corpus.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val expected = refBpe(wordFreq, 10)
+    assert(m.merges.map(g => (g.left, g.right, g.pairCount)) == expected)
+    assert(m.merges.map(_.rank) == m.merges.indices)
+  }
+
+  test("repeated symbols merge left-to-right non-overlapping") {
+    // "aaaa" x3 = [a,a,a,a</w>]: (a,a) counts once per adjacent position
+    // (2 per word) and must merge left-to-right non-overlapping — the
+    // degenerate case where greedy re-matching or position-set counting
+    // would diverge. The scalar reference IS the semantics.
+    val df = Seq((0L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val m = BpeTrainer.train(df, "text", numMerges = 4, minCount = 1L)
+    val expected = refBpe(Map("aaaa" -> 3L), 4)
+    assert(m.merges.map(g => (g.left, g.right, g.pairCount)) == expected)
+  }
+
+  test("training is deterministic and count-exhaustion stops early") {
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val m1 = BpeTrainer.train(df, "text", numMerges = 50, minCount = 1L)
+    val m2 = BpeTrainer.train(df, "text", numMerges = 50, minCount = 1L)
+    assert(m1.merges == m2.merges)
+    // 50 rounds over a 4-word corpus must exhaust (every surviving pair
+    // unique) well before the cap
+    assert(m1.merges.size < 50)
+    m1.merges.foreach(g => assert(g.pairCount > 1))
+  }
+
+  test("vocab: the dominant word collapses toward a single token") {
+    val df = (Seq.fill(20)("alpha") ++ Seq.fill(2)("beta"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val m = BpeTrainer.train(df, "text", numMerges = 8, minCount = 1L)
+    val v = BpeTrainer.vocab(m).as[(String, Long)].collect().toMap
+    assert(v.contains("alpha" + BpeTrainer.EndMark), s"vocab was: $v")
+    assert(v("alpha" + BpeTrainer.EndMark) == 20L)
+  }
+
+  test("registry query returns the ranked merge table on the fixture") {
+    val df = SparkEntry.queries("bpe_train")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).toSeq == rows.indices)
+    rows.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 1L)
+    }
+  }
+}
