@@ -116,4 +116,51 @@ object BpeTrainer {
     m.wordCounts
       .select(col("cnt"), explode(col("syms")).as("token"))
       .groupBy("token").agg(sum(col("cnt")).as("freq"))
+
+  /** Tokenize `textCol` with a learned merge list: per word, repeatedly
+    * merge all occurrences of the LOWEST-RANK pair present (the GPT-2
+    * encode loop), until no pair is in the merge table. Row-local and
+    * corpus-sized — the merge list (a few 10k pairs at real vocab sizes)
+    * ships to executors inside the UDF closure, i.e. a broadcast-sized
+    * model against a streaming corpus. Rank-order application reproduces
+    * the training segmentation exactly for in-corpus words
+    * (BpeTrainerSpec pins encode == trainer table on every word). */
+  def encode(corpus: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val pairRank: Map[(String, String), Int] =
+      merges.map(g => (g.left, g.right) -> g.rank).toMap
+    val byRank: Map[Int, (String, String)] =
+      merges.map(g => g.rank -> (g.left, g.right)).toMap
+    val tokenize = udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty)
+        .flatMap { w =>
+          val chars = w.map(_.toString).toVector
+          var syms = chars.init :+ (chars.last + EndMark)
+          var continue = true
+          while (continue && syms.length > 1) {
+            var best = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              pairRank.get((syms(i), syms(i + 1)))
+                .foreach(r => if (r < best) best = r)
+              i += 1
+            }
+            if (best == Int.MaxValue) continue = false
+            else {
+              val (a, b) = byRank(best)
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                  out += (a + b); j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              syms = out.toVector
+            }
+          }
+          syms
+        }.toSeq
+    }
+    corpus.withColumn("tokens", tokenize(col(textCol)))
+  }
 }

@@ -461,5 +461,19 @@ object TrainingDataQueries {
           .orderBy(col("rank"))
       },
       None),
+
+    "bpe_encode" -> Q(
+      "BPE tokenization of the corpus with the trained merges (operators.BpeTrainer.encode — the GPT-2 lowest-rank-first merge loop, row-local, merge table broadcast-sized): top-20 subword tokens by corpus frequency — rows-only check (the vocabulary comes from the non-SQL-expressible trainer; encode == training segmentation is spec-pinned on every training word)",
+      (s, dir) => {
+        val docs = T.documentsSpread(s, dir)
+        val m = graft.operators.BpeTrainer.train(
+          docs, "text", numMerges = 12, minCount = 2L)
+        graft.operators.BpeTrainer.encode(docs, "text", m.merges)
+          .select(explode(col("tokens")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(20)
+      },
+      None),
   )
 }

@@ -90,6 +90,35 @@ class BpeTrainerSpec extends SparkSpec {
     assert(v("alpha" + BpeTrainer.EndMark) == 20L)
   }
 
+  test("encode reproduces the training segmentation on every training word") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = BpeTrainer.train(docs, "text", numMerges = 12, minCount = 2L)
+    assert(m.merges.nonEmpty)
+    // every word the trainer saw, re-tokenized through the rank-order
+    // encode loop, must land on exactly the trainer's final symbols
+    val fromTrainer = m.wordCounts.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    val encoded = BpeTrainer
+      .encode(fromTrainer.keys.toSeq.toDF("text"), "text", m.merges)
+      .select("text", "tokens").as[(String, Seq[String])].collect()
+    assert(encoded.nonEmpty)
+    encoded.foreach { case (w, toks) =>
+      assert(toks == fromTrainer(w), s"word '$w': $toks != ${fromTrainer(w)}")
+    }
+  }
+
+  test("encode handles nulls, unknown characters, and empty text") {
+    val m = BpeTrainer.train(
+      Seq((0L, "hello hello world")).toDF("doc_id", "text"), "text", 4)
+    val out = BpeTrainer.encode(
+      Seq((0L, null.asInstanceOf[String]), (1L, "..!!.."), (2L, ""),
+        (3L, "hello zzz")).toDF("doc_id", "text"), "text", m.merges)
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(out(0L).isEmpty && out(1L).isEmpty && out(2L).isEmpty)
+    // unknown word falls back to (partially merged) characters, never drops
+    assert(out(3L).mkString.replace(BpeTrainer.EndMark, "") == "hellozzz")
+  }
+
   test("registry query returns the ranked merge table on the fixture") {
     val df = SparkEntry.queries("bpe_train")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
