@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PageRank-style graph centrality by fixed-iteration power
+  * iteration — the source/domain-ranking signal large-scale curation
+  * pipelines attach to every document (CommonCrawl publishes exactly this:
+  * a fixed-iteration PageRank over the host graph, joined onto the corpus
+  * as a per-domain quality prior; CCNet-style pipelines consume it as a
+  * keep-rate weight).
+  *
+  * Determinism contract — the whole computation is FIXED-POINT INTEGER
+  * arithmetic, so the result is bit-identical at any cluster size and in
+  * any engine (the basis of the DuckDB oracle for `graph_pagerank`):
+  * ranks are BIGINT micro-masses summing to ~`scale`, every division is
+  * floor division on non-negative operands, and integer sums are exact
+  * and order-independent (a float PageRank would be summation-order
+  * dependent and unhashable). With total mass `scale` = 1e12 the largest
+  * intermediate (85 × per-node incoming mass) is bounded by 8.5e13 —
+  * nowhere near Long overflow, at ANY graph size, because mass is
+  * conserved: per-node incoming mass can never exceed the fixed total.
+  *
+  * Per-round shape (the CC round shape, applied K fixed times instead of
+  * to a fixpoint): contributions = edges ⋈ ranks on `src` (the edge side
+  * pre-partitioned on `src` and persisted once, so every round reuses the
+  * cached exchange; the rank side is |V| fixed-width rows, shuffle-hash
+  * joined for the same reason as ConnectedComponents — broadcasting |V|
+  * is impossible at scale), then one `sum` aggregation shuffling on
+  * `dst`. Map-side partial aggregation absorbs in-degree skew (a hot
+  * node's incoming contributions combine per-partition before the
+  * shuffle). Shuffle volume per round is |E|+|V| fixed-width longs; K is
+  * a constant — at 100 TB this is K scan-sized shuffles, no more.
+  *
+  * Reference analog: none — this extends the engine beyond the reference
+  * (src/ has no graph surface). Literature: Page et al. 1999; the
+  * integer-mass formulation follows the classic MapReduce PageRank with
+  * conserved integral mass.
+  */
+object GraphRank {
+
+  /** Run `iters` power-iteration rounds over a directed edge list
+    * `(src: long, dst: long)` in which every node has at least one
+    * out-edge and one in-edge (any symmetrized undirected graph
+    * qualifies). Returns `(id, rank)` with BIGINT ranks on the
+    * fixed-point scale:
+    *
+    *   r0(v)   = scale div N
+    *   r_k+1(v) = (15·(scale div N)) div 100
+    *              + (85·Σ_{(u,v)∈E} (r_k(u) div outdeg(u))) div 100
+    *
+    * i.e. damping 0.85 with the classic (1−d)/N teleport, all floor
+    * arithmetic. Dangling mass is structurally absent (outdeg ≥ 1).
+    */
+  def powerIteration(
+      edges: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    // One join attaches outdeg to every edge for the round loop; cached
+    // pre-partitioned on the per-round join key so each of the K rounds
+    // reuses this exchange instead of re-shuffling |E| rows.
+    val edgesD = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(shufflePartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // |V| is the one driver-side scalar (the IvfIndex-centroid boundary):
+    // the teleport terms are global constants of the graph.
+    val n = deg.count()
+    require(n > 0, "empty edge list")
+    val rInit = scale / n
+    val base = (15L * rInit) / 100L
+
+    var ranks = deg.select(col("src").as("id"), lit(rInit).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = edgesD
+        .join(ranks.hint("shuffle_hash"), edgesD("src") === ranks("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank div outdeg")).as("m"))
+        .select(col("dst").as("id"),
+          (lit(base) + expr("(85 * m) div 100")).as("rank"))
+    }
+    ranks
+  }
+}

@@ -928,5 +928,56 @@ object AnalyticsQueries {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > cust_avg
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    "graph_pagerank" -> Q(
+      "PageRank-style graph centrality (operators.GraphRank): 5 fixed power-iteration rounds over the part co-purchase graph in exact fixed-point BIGINT arithmetic — the CommonCrawl/CCNet domain-ranking shape a curation pipeline joins onto its corpus as a per-source quality prior; integer mass makes the result bit-identical at any cluster size (and DuckDB-oracle-checkable, iterations unrolled as chained CTEs)",
+      (s, dir) => {
+        // Undirected co-purchase graph: parts sharing an order, both
+        // directions. Per-order pair fanout is k² with k ≤ ~7 lineitems
+        // per order — bounded, scan-shaped at any scale.
+        val op = T.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .distinct()
+        graft.operators.GraphRank.powerIteration(e, iters = 5)
+          .orderBy(col("rank").desc, col("id"))
+          .limit(25)
+          .select(col("id").as("part_id"), col("rank"))
+      },
+      PageRankOracleSql)
   )
+
+  /** DuckDB oracle for `graph_pagerank`: the 5 power-iteration rounds
+    * unrolled as chained CTEs, floor-division (`//`) fixed-point BIGINT
+    * arithmetic identical to [[graft.operators.GraphRank]] — SUM(BIGINT)
+    * widens to HUGEINT in DuckDB, cast back before the damping multiply
+    * so both engines do the same 64-bit math. */
+  private lazy val PageRankOracleSql: String = {
+    def iter(k: Int, prev: String): String =
+      s"""it$k AS (
+         |  SELECT e.dst AS id,
+         |    (15 * (1000000000000 // nn.n)) // 100
+         |      + (85 * CAST(SUM(r.rank // d.outdeg) AS BIGINT)) // 100 AS rank
+         |  FROM e
+         |  JOIN $prev r ON e.src = r.id
+         |  JOIN deg d ON e.src = d.id
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    val iters = (1 to 5).map(k => iter(k, if (k == 1) "r0" else s"it${k - 1}"))
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
+       |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |        FROM e GROUP BY src),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT id, 1000000000000 // n AS rank FROM deg CROSS JOIN nn),
+       |${iters.mkString(",\n")}
+       |SELECT id AS part_id, CAST(rank AS BIGINT) AS rank FROM it5
+       |ORDER BY rank DESC, part_id LIMIT 25""".stripMargin
+  }
 }

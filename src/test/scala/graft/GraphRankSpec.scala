@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.GraphRank
+import org.apache.spark.sql.functions._
+
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scalar reference of the fixed-point power iteration: same floor
+    * arithmetic as GraphRank.powerIteration, computed single-threaded. */
+  private def refRank(
+      edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = outdeg.size.toLong
+    val rInit = scale / n
+    val base = (15L * rInit) / 100L
+    var r: Map[Long, Long] = outdeg.map { case (id, _) => id -> rInit }
+    for (_ <- 1 to iters) {
+      val incoming = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / outdeg(src) }.sum
+      }
+      r = incoming.map { case (id, m) => id -> (base + (85L * m) / 100L) }
+    }
+    r
+  }
+
+  // path graph 1–2–3 plus a triangle 4–5–6, symmetrized
+  private val und = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+  private val sym = und ++ und.map(_.swap)
+
+  test("matches the scalar fixed-point reference on a hand graph") {
+    val got = GraphRank.powerIteration(sym.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val want = refRank(sym, 5)
+    assert(got == want)
+    // centre of the path outranks its endpoints; triangle is symmetric
+    assert(got(2L) > got(1L) && got(1L) == got(3L))
+    assert(got(4L) == got(5L) && got(5L) == got(6L))
+  }
+
+  test("result is invariant to input partitioning") {
+    val a = GraphRank.powerIteration(sym.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = GraphRank.powerIteration(
+      sym.toDF("src", "dst").repartition(7), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("mass is conserved up to floor-rounding loss") {
+    val scale = 1000000000000L
+    val r = refRank(sym, 5, scale)
+    val total = GraphRank.powerIteration(sym.toDF("src", "dst"), iters = 5)
+      .agg(sum(col("rank"))).as[Long].head()
+    assert(total == r.values.sum)
+    // every round floors at most (15+85)/100 per node twice; stay within
+    // N * iters units of the nominal mass, and never exceed it
+    assert(total <= scale)
+    assert(total >= scale - 6L * 5L * 100L)
+    r.values.foreach(v => assert(v > 0L))
+  }
+
+  test("registry query returns the ranked top-25 on the fixture") {
+    val rows = SparkEntry.queries("graph_pagerank")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 25)
+    val ranks = rows.map(_.getLong(1))
+    assert(ranks.sameElements(ranks.sortBy(-_)))
+    assert(ranks.forall(_ > 0L))
+  }
+}
