@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the full 121-query registry pass (Bench: 3 timed runs
+  // each, one long-lived JVM, 32 executor threads) at 8g ran its tail
+  // queries against a full old-gen — measured 15x inflation with ~5s of
+  // GC per run on queries that take 1.6s in isolation. The box has
+  // 128 GiB; 24g keeps execution+storage memory per thread reasonable
+  // and the inflation within noise.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -114,4 +114,29 @@ object TextFunctions {
   def simhashNibbleWeight(tokenMd5: Column, bit: Column): Column =
     when(instr(lit("13579bdf"), tokenMd5.substr(bit + lit(1), lit(1))) > 0, lit(1L))
       .otherwise(lit(-1L))
+
+  /** Hashed-feature bucket for linear classifier inference: first 3 md5
+    * hex chars = a 4096-way feature space (the fastText/VW hashing-trick
+    * featurizer, md5-based so the bucket is identical in any engine). */
+  def featureBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 3), 16, 10).cast("long")
+
+  /** Deterministic integer weight in [-8, 8] for a feature bucket — the
+    * stand-in weight table of the quality classifier (the repo's stub-model
+    * convention, like HashEmbedder: a REAL trained fastText weight vector
+    * is a few-MB dense array that ships to executors the same way; the
+    * serving plumbing — featurize, look up, sum — is what's exercised).
+    * Integer weights keep the score exact-BIGINT and oracle-portable. */
+  def featureWeight(bucket: Column): Column =
+    conv(substring(md5(concat(lit("w|"), bucket.cast("string"))), 1, 2), 16, 10)
+      .cast("long") % 17 - 8
+
+  /** fastText-style linear quality-classifier inference over a token
+    * array: Σ_tokens w(bucket(token)), exact BIGINT, entirely row-local
+    * (higher-order functions, no explode, no shuffle, whole-stage
+    * codegen). The scale path for classifier-based curation filters:
+    * score 100 TB with a scan. */
+  def linearQualityScore(toks: Column): Column =
+    aggregate(transform(toks, t => featureWeight(featureBucket(t))),
+      lit(0L), (acc, x) => acc + x)
 }

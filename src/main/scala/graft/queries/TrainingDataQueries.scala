@@ -475,5 +475,53 @@ object TrainingDataQueries {
           .limit(20)
       },
       None),
+
+    "quality_classifier" -> Q(
+      "fastText-style linear quality-classifier inference (functions.linearQualityScore): hashing-trick featurizer (4096-way md5 buckets) + integer weight table, scored entirely row-local with higher-order functions — zero shuffle, whole-stage codegen; the classifier-based curation filter (wiki-like vs not) every modern pretraining pipeline runs over its full corpus",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        T.documentsSpread(s, dir)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            linearQualityScore(toks).as("score"))
+          .select(col("doc_id"), col("n_tokens"), col("score"),
+            (col("score").cast("double") / col("n_tokens").cast("double"))
+              .as("score_per_token"),
+            (col("score") > 0L).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform($ToksSql, t ->
+         |      (CAST(('0x' || substr(md5('w|' ||
+         |         CAST(CAST(('0x' || substr(md5(t), 1, 3)) AS BIGINT) AS VARCHAR)
+         |       ), 1, 2)) AS BIGINT) % 17) - 8)) AS BIGINT) AS score
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, score,
+         |  CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score_per_token,
+         |  score > 0 AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin),
+
+    "chunk_windows" -> Q(
+      "Context-window chunking with stride (the pretraining prep that slices documents into fixed-size token windows, 128 tokens at stride 96 → 32-token overlap): per-window manifest rows, generated row-locally (sequence + explode — the generator runs inside the scan, no join, no pre-shuffle; window count per doc is n/stride so output is corpus-sized, never quadratic)",
+      (s, dir) => {
+        val S = 96L; val W = 128L
+        T.documentsSpread(s, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+          .select(col("doc_id"), col("n"),
+            explode(sequence(lit(0L), col("n") - 1L, lit(S))).as("start_tok"))
+          .select(col("doc_id"),
+            expr(s"start_tok div $S").as("win_id"),
+            col("start_tok"),
+            least(lit(W), col("n") - col("start_tok")).as("win_tokens"))
+          .orderBy(col("doc_id"), col("win_id"))
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n FROM documents),
+         |w AS (SELECT doc_id, n, unnest(range(0, n, 96)) AS start_tok FROM d)
+         |SELECT doc_id, start_tok // 96 AS win_id, start_tok,
+         |  CAST(least(128, n - start_tok) AS BIGINT) AS win_tokens
+         |FROM w ORDER BY doc_id, win_id""".stripMargin),
   )
 }

@@ -211,4 +211,41 @@ class TrainingDataSpec extends SparkSpec {
     val totalDocs = out.map(_._2).sum
     assert(totalDocs == Tables.documents(spark, sf).count())
   }
+
+  test("quality_classifier: score matches the scalar md5 weight-table reference") {
+    def md5hex(s: String): String =
+      graft.functions.Digests.md5.get().digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def refScore(text: String): Long =
+      text.split(" ", -1).map { t =>
+        val bucket = java.lang.Long.parseLong(md5hex(t).substring(0, 3), 16)
+        java.lang.Long.parseLong(md5hex(s"w|$bucket").substring(0, 2), 16) % 17 - 8
+      }.sum
+    val dir = docsFixture(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "lorem ipsum dolor sit amet"),
+      (3L, "a")))
+    val out = SparkEntry.queries("quality_classifier")(spark, dir)
+      .select($"doc_id", $"n_tokens", $"score", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 9L, refScore("the quick brown fox jumps over the lazy dog"),
+      refScore("the quick brown fox jumps over the lazy dog") > 0)))
+    assert(out(1)._3 == refScore("lorem ipsum dolor sit amet"))
+    assert(out(2)._3 == refScore("a"))
+  }
+
+  test("chunk_windows: stride-96 windows tile every document, last one truncated") {
+    val twoHundred = (1 to 200).map(i => s"t$i").mkString(" ")
+    val dir = docsFixture(Seq((1L, twoHundred), (2L, "only three tokens")))
+    val out = SparkEntry.queries("chunk_windows")(spark, dir)
+      .select($"doc_id", $"win_id", $"start_tok", $"win_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 0L, 128L), (1L, 1L, 96L, 104L), (1L, 2L, 192L, 8L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L)))
+    // tiling: every token index is covered by >= 1 window
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered == (0L until 200L).toSet)
+  }
 }
