@@ -234,6 +234,55 @@ object TextOpsQueries {
       s"""WITH $LshPairsSqlCtes
          |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin),
 
+    "dedup_incremental" -> Q(
+      "Incremental near-dup: the new-crawl delta banded against the existing corpus signature index — per-increment cost is O(|delta| x bands), the base x base pair space is never revisited (reference analog: G1 incremental sync src/etl.py:169-204 applied to the dedup surface)",
+      (s, dir) => {
+        // The crawl boundary: ids at or below half the id space are the
+        // already-curated corpus; the rest is the incoming increment. In
+        // production the base side of every join below is the PERSISTED
+        // signature/band index written by the previous increment (tiny:
+        // id + 4 longs + 2 band strings + distinct tokens per doc), so an
+        // increment never re-shingles or re-pairs the 100 TB base — the
+        // one-sided band join is what makes monthly-crawl dedup feasible.
+        // The 1-row max() fetch is a driver-side scalar boundary (same
+        // pattern as the sync cursor in IncrementalSync).
+        val split = T.documents(s, dir)
+          .agg(max(col("doc_id"))).head.getLong(0) / 2
+        val (staged, _) = lshStage(T.documentsSpread(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks")))
+        val bandRows = staged
+          .select(col("doc_id"), col("bands"),
+            explode(array(lit(0), lit(1))).as("band_idx"))
+          .select(col("doc_id"), col("band_idx"),
+            element_at(col("bands"), col("band_idx") + 1).as("band_val"))
+        // One-sided candidate join: delta bands probe ALL bands (base +
+        // earlier delta), ordered a_id < b_id so each delta doc dedups
+        // against the corpus AND against earlier arrivals in its own batch
+        // — the same keep-first rule the full pipeline applies, at
+        // delta-sized cost.
+        val delta = bandRows.filter(col("doc_id") > split)
+          .select(col("doc_id").as("b_id"), col("band_idx"), col("band_val"))
+        val cand = bandRows
+          .select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"))
+          .join(delta, Seq("band_idx", "band_val"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val dupIds = lshVerifiedPairs(staged, cand, 0.8)
+          .select(col("b_id").as("doc_id")).distinct()
+        staged.select("doc_id").filter(col("doc_id") > split)
+          .join(dupIds.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      s"""WITH $LshPairsSqlCtes,
+         |split AS (SELECT MAX(doc_id) // 2 AS s FROM documents)
+         |SELECT d.doc_id,
+         |  EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = d.doc_id) AS is_dup
+         |FROM documents d, split
+         |WHERE d.doc_id > split.s
+         |ORDER BY doc_id""".stripMargin),
+
     "dedup_ngram_jaccard" -> Q(
       "n-gram Jaccard near-dup: source-blocked pairwise 2-gram shingle-set similarity",
       (s, dir) => {

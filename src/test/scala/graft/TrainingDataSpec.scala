@@ -124,6 +124,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(adaptive == expected, "each scalar-multiple group is one canonical cluster")
   }
 
+  test("dedup_incremental: delta decisions equal the global keep-first rule restricted to the delta") {
+    // The operator's contract: running dedup incrementally (delta probes
+    // the base index one-sidedly) must produce EXACTLY the decisions the
+    // full batch pipeline would have made for those docs — otherwise the
+    // cheap path silently changes the corpus.
+    val split = Tables.documents(spark, sf).agg(max($"doc_id")).head.getLong(0) / 2
+    val res = q("dedup_incremental").collect()
+    val deltaIds = res.map(_.getLong(0))
+    assert(deltaIds.distinct.length == deltaIds.length && deltaIds.forall(_ > split))
+    val gotDups = res.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val globalDups = q("dedup_minhash_lsh").select($"b_id").distinct()
+      .filter($"b_id" > split).as[Long].collect().toSet
+    assert(gotDups == globalDups,
+      s"incremental flagged $gotDups but the batch rule says $globalDups")
+  }
+
+  test("dedup_incremental: flags dups vs base and within-batch, keeps first arrival") {
+    val dir = docsFixture(Seq(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "one two three four five six",
+      10L -> "alpha beta gamma delta epsilon zeta", // dup of base doc 0
+      11L -> "unique words here totally fresh tokens",
+      12L -> "red green blue cyan magenta yellow", // first arrival: kept
+      13L -> "red green blue cyan magenta yellow")) // within-batch dup of 12
+    val got = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(10L -> true, 11L -> false, 12L -> false, 13L -> true))
+  }
+
   test("dedup_substring: shared 8-token spans are detected, unique docs score zero") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
     val dir = docsFixture(Seq(
