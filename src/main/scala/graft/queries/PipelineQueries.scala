@@ -50,6 +50,37 @@ object PipelineQueries {
          |SELECT id AS doc_id, cluster_id, (id = cluster_id) AS keep
          |FROM comp ORDER BY doc_id""".stripMargin),
 
+    "split_leakage_safe" -> Q(
+      "Leakage-safe train/eval split: every near-dup cluster is assigned atomically by md5 of its canonical id (singleton docs are their own cluster), so no verified near-dup pair ever straddles train/eval — the train-test contamination guard that doc-level hash splitting (samp2_split) cannot give; eval = top ~10% of the 256 hash buckets",
+      (s, dir) => {
+        // The cluster table is pairs-docs only — at corpus scale a tiny
+        // fraction of rows — so the left join attaches it cheaply and
+        // every singleton falls through row-locally via coalesce. The
+        // split decision hashes the CLUSTER id, so all members land
+        // together by construction; no second pass, no group-by.
+        val cc = ConnectedComponents
+          .resolve(TextOpsQueries.lshNearDupPairs(s, dir))
+        val assigned = T.documents(s, dir).select(col("doc_id"))
+          .join(cc.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        val bucket = conv(
+          substring(md5(col("cluster_id").cast("string")), 1, 2), 16, 10)
+          .cast("long")
+        assigned
+          .withColumn("split", when(bucket < 230L, "train").otherwise("eval"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE ${TextOpsQueries.LshPairsSqlCtes},
+         |$CcSqlCtes,
+         |assigned AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2)) AS BIGINT) < 230
+         |    THEN 'train' ELSE 'eval' END AS split
+         |FROM assigned ORDER BY doc_id""".stripMargin),
+
     "dedup_cluster_stats" -> Q(
       "Near-dup cluster summary: member count and id span per resolved cluster — the dedup report a curation run emits",
       (s, dir) => ConnectedComponents

@@ -153,6 +153,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(got == Map(10L -> true, 11L -> false, 12L -> false, 13L -> true))
   }
 
+  test("split_leakage_safe: no verified near-dup pair straddles train/eval") {
+    // Fixture guarantees near-dup pairs exist (identical texts), so the
+    // invariant is exercised, not vacuous: every pair's two docs must land
+    // in the SAME split, and every document must be assigned exactly once.
+    val dir = docsFixture(Seq(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six",
+      3L -> "one two three four five six",
+      4L -> "unique words here totally fresh tokens",
+      5L -> "red green blue cyan magenta yellow"))
+    val res = SparkEntry.queries("split_leakage_safe")(spark, dir)
+      .as[(Long, Long, String)].collect()
+    assert(res.map(_._1).toSeq == (0L to 5L))
+    val splitOf = res.map(r => r._1 -> r._3).toMap
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must produce near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b),
+        s"near-dup pair ($a,$b) straddles ${splitOf(a)}/${splitOf(b)}")
+    }
+    // members of one cluster share the cluster id (same assignment input)
+    val clusterOf = res.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) => assert(clusterOf(a) == clusterOf(b)) }
+  }
+
   test("dedup_substring: shared 8-token spans are detected, unique docs score zero") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
     val dir = docsFixture(Seq(
