@@ -1,0 +1,268 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import graft.functions.TextFunctions.{shingles, tokens}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based data SELECTION — the step between "clean corpus" and "the
+  * subset worth training on". Two literature-anchored shapes:
+  *
+  *  - DSIR importance resampling (Xie et al. 2023, "Data Selection for
+  *    Language Models via Importance Resampling"): hashed-bigram LMs of a
+  *    small TARGET corpus vs the RAW pool give each document an importance
+  *    weight p_target/p_raw; documents are kept by a weight-proportional
+  *    deterministic draw. This is how a 100 TB crawl gets tilted toward
+  *    "looks like Wikipedia" without a neural scorer.
+  *  - Naive-Bayes quality-classifier TRAINING + scoring (the
+  *    classifier-filter loop of GPT-3/CCNet-era pipelines; the repo's
+  *    `quality_classifier` query is the fixed-weight INFERENCE half — this
+  *    pair learns the weights from labeled data instead).
+  *
+  * Reference analog: none (the reference curates per-message; these are
+  * corpus-level curation extensions). Scale design: every model here is a
+  * FIXED-SIZE hashed table (256 bigram buckets / 4096 token buckets) built
+  * by one conditional-aggregation pass over the corpus — the shuffle is
+  * bucket-count-bounded, the table collects to the driver like the IVF
+  * centroids do (a few KB regardless of corpus size), and scoring is
+  * row-local whole-stage-codegen arithmetic over a broadcast literal
+  * array. No per-row joins, no driver-side loops over data rows.
+  *
+  * Parity policy (same as the rest of the registry): counts are exact
+  * integers; probabilities/ratios are IEEE-754 doubles derived from those
+  * integers by identical operation sequences on both engines; per-document
+  * scores are SEQUENTIAL left-to-right product folds over the document's
+  * own (order-pinned, capped) feature list — Spark `aggregate` and DuckDB
+  * `list_reduce(list_prepend(init, …))` execute the same fold, so raw
+  * doubles hash-match. Transcendentals (log/exp/pow) are avoided entirely:
+  * they are NOT bit-portable across libm implementations.
+  */
+object SelectionQueries {
+  import TextOpsQueries.{ToksSql, shinglesSql}
+
+  /** Hashed-bigram LM bucket count (DSIR). Small on purpose: DSIR's
+    * published configuration hashes into 10k buckets at web scale; the
+    * fixture-scale statistics need denser occupancy for the ratios to
+    * carry signal. */
+  private val BigramBuckets = 256
+  /** Hashed unigram vocabulary for the NB classifier — same 4096-way md5
+    * bucketing as the `quality_classifier` inference featurizer. */
+  private val TokenBuckets = 4096
+  /** Per-document feature cap: the score folds over the FIRST `FeatCap`
+    * features only, bounding both the fold length and the product's
+    * dynamic range (ratio bounds ^ 48 stays far inside double range). */
+  private val FeatCap = 48
+
+  private def bigramBucket(g: Column): Column =
+    conv(substring(md5(g), 1, 2), 16, 10).cast("long")
+  private def tokenBucket(t: Column): Column =
+    conv(substring(md5(t), 1, 3), 16, 10).cast("long")
+  private val bigramBucketSql = (g: String) =>
+    s"CAST(('0x' || substr(md5($g), 1, 2)) AS BIGINT)"
+  private val tokenBucketSql = (t: String) =>
+    s"CAST(('0x' || substr(md5($t), 1, 3)) AS BIGINT)"
+
+  /** Valid 2-shingles of a document, order preserved, capped at FeatCap.
+    * (shingles() emits the whole doc as one "shingle" for 1-token docs;
+    * the length filter drops it, matching the bigram-LM queries.) */
+  private def bigramsCapped(text: Column): Column =
+    slice(filter(shingles(tokens(text), 2),
+      g => size(split(g, " ")) === 2), 1, FeatCap)
+  private def bigramsCappedSql: String =
+    s"list_filter(${shinglesSql(ToksSql, 2)}, x -> len(string_split(x, ' ')) = 2)[1:$FeatCap]"
+
+  /** Deterministic uniform draw in [0,1): the top 52 bits of
+    * md5("dsir|"+doc_id) over 2^52 — exact in a double, no RNG state. */
+  private def uniformDraw(id: Column): Column =
+    conv(substring(md5(concat(lit("dsir|"), id.cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+  private val uniformDrawSql =
+    "CAST(CAST(('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0"
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "select_dsir" -> Q(
+      "DSIR importance resampling (Xie et al. 2023): hashed-bigram LMs of the target slice (source=src0) vs the raw pool give each doc weight p_tgt/p_raw (sequential product fold over its first 48 bigrams, Laplace-smoothed 256-bucket tables); docs kept by the deterministic weight-proportional draw u·max_w < w — one conditional-agg pass builds both LMs, the ratio table broadcasts as a literal, scoring is row-local",
+      (s, dir) => {
+        val docs = T.documentsSpread(s, dir)
+        // ONE corpus pass builds both LMs: raw counts every valid bigram,
+        // target counts the source='src0' slice via conditional agg. The
+        // result is ≤256 rows — a driver boundary identical in kind to
+        // the IVF centroid collect (fixed size, corpus-independent).
+        val counts = docs
+          .select(col("source"), explode(filter(shingles(tokens(col("text")), 2),
+            g => size(split(g, " ")) === 2)).as("g"))
+          .groupBy(bigramBucket(col("g")).as("bucket"))
+          .agg(count(lit(1)).as("c_raw"),
+            sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c_tgt"))
+          .collect()
+        val cRaw = new Array[Long](BigramBuckets)
+        val cTgt = new Array[Long](BigramBuckets)
+        counts.foreach { r =>
+          val b = r.getLong(0).toInt
+          cRaw(b) = r.getLong(1); cTgt(b) = r.getLong(2)
+        }
+        val tRaw = cRaw.sum; val tTgt = cTgt.sum
+        // Laplace-smoothed ratio per bucket — the exact op sequence the
+        // oracle repeats: ((c+1)/(t+B)) / ((c+1)/(t+B)), all binary64.
+        val ratios: Seq[Double] = (0 until BigramBuckets).map { b =>
+          ((cTgt(b) + 1).toDouble / (tTgt + BigramBuckets).toDouble) /
+            ((cRaw(b) + 1).toDouble / (tRaw + BigramBuckets).toDouble)
+        }
+        val ratioLit = typedlit(ratios)
+        val weighted = docs.select(col("doc_id"), col("source"),
+          aggregate(
+            transform(bigramsCapped(col("text")),
+              g => element_at(ratioLit, (bigramBucket(g) + lit(1L)).cast("int"))),
+            lit(1.0), (acc, x) => acc * x).as("weight"),
+          uniformDraw(col("doc_id")).as("u"))
+        // Exact global max = one scalar-aggregate branch (row-local
+        // recompute, no persist needed — the weight pipeline is a scan);
+        // keep-rule u·max_w < w is rejection sampling ∝ weight with zero
+        // sampler state. Multiplication, not division: same exact-ops rule.
+        val maxW = weighted.agg(max(col("weight")).as("max_w"))
+        // Two selection surfaces from one weight column:
+        //  - keep: rejection draw u·max_w < w — sampling ∝ w with zero
+        //    sampler state (MAX is the one order-independent cross-row
+        //    double reduction, so the rule stays bit-portable; a heavy
+        //    weight tail makes this sparse by construction);
+        //  - keep_topk: rank ≤ 5 within SOURCE by weight — the balanced
+        //    per-domain selection DSIR deployments actually ship, and a
+        //    bounded-partition window (same scale shape as
+        //    select_token_budget: partitions = sources, never global).
+        val wSrc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("weight").desc, col("doc_id"))
+        weighted.crossJoin(broadcast(maxW))
+          .withColumn("src_rank", row_number().over(wSrc).cast("long"))
+          .select(col("doc_id"), col("weight"),
+            (col("u") * col("max_w") < col("weight")).as("keep"),
+            col("src_rank"), (col("src_rank") <= 5L).as("keep_topk"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH grams AS (
+         |  SELECT source, ${bigramBucketSql("g")} AS bucket
+         |  FROM (SELECT source, unnest(${shinglesSql(ToksSql, 2)}) AS g FROM documents)
+         |  WHERE len(string_split(g, ' ')) = 2),
+         |cnt AS (
+         |  SELECT bucket, COUNT(*) AS c_raw,
+         |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_tgt
+         |  FROM grams GROUP BY bucket),
+         |tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM cnt),
+         |ratios AS (
+         |  SELECT list(
+         |      ((COALESCE(c.c_tgt, 0) + 1)::DOUBLE / (t.t_tgt + $BigramBuckets)::DOUBLE)
+         |      / ((COALESCE(c.c_raw, 0) + 1)::DOUBLE / (t.t_raw + $BigramBuckets)::DOUBLE)
+         |      ORDER BY r.range) AS rl
+         |  FROM range($BigramBuckets) r LEFT JOIN cnt c ON c.bucket = r.range, tot t),
+         |w AS (
+         |  SELECT doc_id, source,
+         |    list_reduce(list_prepend(1.0::DOUBLE,
+         |      list_transform(
+         |        list_transform($bigramsCappedSql, g -> ${bigramBucketSql("g")}),
+         |        bb -> rl[CAST(bb + 1 AS INT)])), (a, b) -> a * b) AS weight,
+         |    $uniformDrawSql AS u
+         |  FROM documents, ratios),
+         |m AS (SELECT MAX(weight) AS max_w FROM w),
+         |r2 AS (
+         |  SELECT doc_id, weight, u,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY weight DESC, doc_id) AS BIGINT) AS src_rank
+         |  FROM w)
+         |SELECT doc_id, weight, (u * max_w < weight) AS keep,
+         |  src_rank, (src_rank <= 5) AS keep_topk
+         |FROM r2, m ORDER BY doc_id""".stripMargin),
+
+    "classifier_nb_train" -> Q(
+      "Naive-Bayes quality-classifier TRAINING (the learn half of the quality_classifier inference featurizer): one conditional-agg pass over the token stream counts each 4096-way md5 bucket under lang=en vs rest; emitted model row = bucket, class counts, Laplace-smoothed likelihood ratio — the trained filter table a curation pipeline broadcasts to every executor",
+      (s, dir) => {
+        val docs = T.documentsSpread(s, dir)
+        val counts = docs
+          .select(col("lang"), explode(tokens(col("text"))).as("t"))
+          .groupBy(tokenBucket(col("t")).as("bucket"))
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_pos"),
+            sum(when(col("lang") === "en", 0L).otherwise(1L)).as("c_neg"))
+        val tots = counts.agg(sum(col("c_pos")).as("t_pos"),
+          sum(col("c_neg")).as("t_neg"))
+        counts.crossJoin(broadcast(tots))
+          .select(col("bucket"), col("c_pos"), col("c_neg"),
+            (((col("c_pos") + 1L).cast("double") / (col("t_pos") + lit(TokenBuckets.toLong)).cast("double"))
+              / ((col("c_neg") + 1L).cast("double") / (col("t_neg") + lit(TokenBuckets.toLong)).cast("double")))
+              .as("ratio"))
+          .orderBy(col("bucket"))
+      },
+      s"""WITH cnt AS (
+         |  SELECT ${tokenBucketSql("t")} AS bucket,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_pos,
+         |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS c_neg
+         |  FROM (SELECT lang, unnest($ToksSql) AS t FROM documents)
+         |  GROUP BY bucket),
+         |tot AS (SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg FROM cnt)
+         |SELECT bucket, CAST(c_pos AS BIGINT) AS c_pos, CAST(c_neg AS BIGINT) AS c_neg,
+         |  ((c_pos + 1)::DOUBLE / (t_pos + $TokenBuckets)::DOUBLE)
+         |    / ((c_neg + 1)::DOUBLE / (t_neg + $TokenBuckets)::DOUBLE) AS ratio
+         |FROM cnt, tot ORDER BY bucket""".stripMargin),
+
+    "classifier_nb_score" -> Q(
+      "Naive-Bayes classifier train→score composite: the trained 4096-bucket likelihood-ratio table (built by the classifier_nb_train pass, collected like the IVF centroids and broadcast as a literal array) scores every document row-locally — doc-count prior × sequential ratio product over its first 48 tokens; predicted = score > 1. The full classifier-curation loop with zero per-row joins",
+      (s, dir) => {
+        val docs = T.documentsSpread(s, dir)
+        val counts = docs
+          .select(col("lang"), explode(tokens(col("text"))).as("t"))
+          .groupBy(tokenBucket(col("t")).as("bucket"))
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_pos"),
+            sum(when(col("lang") === "en", 0L).otherwise(1L)).as("c_neg"))
+          .collect()
+        val cPos = new Array[Long](TokenBuckets)
+        val cNeg = new Array[Long](TokenBuckets)
+        counts.foreach { r =>
+          val b = r.getLong(0).toInt
+          cPos(b) = r.getLong(1); cNeg(b) = r.getLong(2)
+        }
+        val tPos = cPos.sum; val tNeg = cNeg.sum
+        val ratios: Seq[Double] = (0 until TokenBuckets).map { b =>
+          ((cPos(b) + 1).toDouble / (tPos + TokenBuckets).toDouble) /
+            ((cNeg(b) + 1).toDouble / (tNeg + TokenBuckets).toDouble)
+        }
+        val nd = docs.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nd_pos"),
+          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nd_neg"))
+          .head()
+        val prior = (nd.getLong(0) + 1).toDouble / (nd.getLong(1) + 1).toDouble
+        val ratioLit = typedlit(ratios)
+        docs.select(col("doc_id"),
+          aggregate(
+            transform(slice(tokens(col("text")), 1, FeatCap),
+              t => element_at(ratioLit, (tokenBucket(t) + lit(1L)).cast("int"))),
+            lit(prior), (acc, x) => acc * x).as("score"),
+          (col("lang") === "en").as("actual"))
+          .withColumn("predicted", col("score") > 1.0)
+          .select("doc_id", "score", "predicted", "actual")
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH cnt AS (
+         |  SELECT ${tokenBucketSql("t")} AS bucket,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_pos,
+         |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS c_neg
+         |  FROM (SELECT lang, unnest($ToksSql) AS t FROM documents)
+         |  GROUP BY bucket),
+         |tot AS (SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg FROM cnt),
+         |ratios AS (
+         |  SELECT list(
+         |      ((COALESCE(c.c_pos, 0) + 1)::DOUBLE / (t.t_pos + $TokenBuckets)::DOUBLE)
+         |      / ((COALESCE(c.c_neg, 0) + 1)::DOUBLE / (t.t_neg + $TokenBuckets)::DOUBLE)
+         |      ORDER BY r.range) AS rl
+         |  FROM range($TokenBuckets) r LEFT JOIN cnt c ON c.bucket = r.range, tot t),
+         |prior AS (
+         |  SELECT (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)::DOUBLE
+         |       / (SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1)::DOUBLE AS p
+         |  FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(p,
+         |    list_transform($ToksSql[1:$FeatCap],
+         |      t -> rl[CAST(${tokenBucketSql("t")} + 1 AS INT)])), (a, b) -> a * b) AS score,
+         |  list_reduce(list_prepend(p,
+         |    list_transform($ToksSql[1:$FeatCap],
+         |      t -> rl[CAST(${tokenBucketSql("t")} + 1 AS INT)])), (a, b) -> a * b) > 1.0 AS predicted,
+         |  (lang = 'en') AS actual
+         |FROM documents, ratios, prior ORDER BY doc_id""".stripMargin),
+  )
+}

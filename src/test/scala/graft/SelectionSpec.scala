@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Model-based data selection: DSIR importance weighting and the
+  * Naive-Bayes classifier train/score loop (SelectionQueries). The oracle
+  * pins bit-level parity; these specs pin the SEMANTICS — that the learned
+  * models actually separate what they were trained to separate. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsFixture(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = tmpDir("selection")
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def q(name: String)(dir: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("classifier_nb_score: disjoint-vocabulary classes separate perfectly") {
+    // en docs speak vocabulary A, zh docs vocabulary B — a Naive-Bayes
+    // model trained on the token stream must classify every doc correctly.
+    val en = "spark shuffle partition broadcast catalyst tungsten codegen"
+    val zh = "uno dos tres cuatro cinco seis siete ocho"
+    val dir = docsFixture(Seq(
+      (0L, en, "en", "s0"), (1L, en + " spark catalyst", "en", "s0"),
+      (2L, "broadcast codegen tungsten shuffle spark", "en", "s1"),
+      (3L, zh, "zh", "s1"), (4L, zh + " uno dos", "zh", "s2"),
+      (5L, "siete ocho cinco tres uno", "zh", "s2")))
+    val res = q("classifier_nb_score")(dir)
+      .select($"doc_id", $"predicted", $"actual")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(res.length == 6)
+    res.foreach { case (id, p, a) =>
+      assert(p == a, s"doc $id predicted $p but actual $a")
+    }
+  }
+
+  test("classifier_nb_train: learned ratios favor the class that owns the token") {
+    val dir = docsFixture(Seq(
+      (0L, "alpha alpha alpha", "en", "s0"),
+      (1L, "beta beta beta", "zh", "s0")))
+    val rows = q("classifier_nb_train")(dir)
+      .select($"bucket", $"c_pos", $"c_neg", $"ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    // two occupied buckets: alpha's (en-only) and beta's (zh-only)
+    assert(rows.length == 2)
+    val byPos = rows.map(r => (r._2 > 0) -> r._4).toMap
+    assert(byPos(true) > 1.0, "en-owned token must have ratio > 1")
+    assert(byPos(false) < 1.0, "zh-owned token must have ratio < 1")
+  }
+
+  test("select_dsir: target-like documents outweigh dissimilar ones; top-k is per-source") {
+    // src0 is the target slice. doc 10 (not in src0) shares the target's
+    // bigrams; doc 11 speaks a disjoint language — its weight must be lower.
+    val tgt = "quality filtered curated deduplicated tokenized corpus ready"
+    val other = "noise spam boilerplate junk repeated repeated repeated garbage"
+    val dir = docsFixture(Seq(
+      (0L, tgt, "en", "src0"), (1L, tgt + " quality filtered", "en", "src0"),
+      (10L, "curated deduplicated tokenized corpus quality filtered", "en", "srcA"),
+      (11L, other, "en", "srcA"),
+      (12L, other + " junk noise", "en", "srcA"),
+      (13L, "filtered curated corpus tokenized", "en", "srcB")))
+    val res = q("select_dsir")(dir)
+      .select($"doc_id", $"weight", $"keep_topk", $"src_rank")
+      .as[(Long, Double, Boolean, Long)].collect()
+    val w = res.map(r => r._1 -> r._2).toMap
+    assert(w(10L) > w(11L),
+      s"target-like doc weight ${w(10L)} must exceed dissimilar ${w(11L)}")
+    assert(w(10L) > w(12L))
+    // every source keeps min(5, |source|) docs under keep_topk
+    val kept = res.filter(_._3).map(_._1).toSet
+    assert(Set(0L, 1L, 13L).subsetOf(kept), "small sources keep everything")
+    assert(kept.intersect(Set(10L, 11L, 12L)).size == 3, "srcA has 3 <= 5 docs")
+    // ranks within a source are a permutation of 1..n
+    assert(res.filter(r => Set(10L, 11L, 12L)(r._1)).map(_._4).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
+  test("select_dsir and classifier_nb_score are deterministic across runs") {
+    val dir = docsFixture(Seq(
+      (0L, "alpha beta gamma delta", "en", "src0"),
+      (1L, "beta gamma delta epsilon", "zh", "s1"),
+      (2L, "zeta eta theta iota", "en", "s2")))
+    def snap(name: String) = q(name)(dir).collect().toSeq
+    assert(snap("select_dsir") == snap("select_dsir"))
+    assert(snap("classifier_nb_score") == snap("classifier_nb_score"))
+  }
+}
