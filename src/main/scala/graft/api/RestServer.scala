@@ -20,6 +20,11 @@ import org.json4s.jackson.JsonMethods
   *
   * Routes mirrored (names, defaults, clamps follow the reference):
   *  - GET  /health                 → {"status": "healthy"}
+  *  - GET  /metrics                → Prometheus exposition (request counters,
+  *                                   tasks launched, uptime — the reference
+  *                                   stubs this behind an external ASGI app,
+  *                                   server.py:129-133; here it is served
+  *                                   directly)
   *  - GET  /api/status             → totals + per-provider stats
   *  - POST /api/emails/import      → ImportStatus (background task starts)
   *  - POST /api/emails/sync        → ImportStatus (incremental, background)
@@ -55,11 +60,45 @@ object RestServer {
   def start(api: EmailEtlApi, port: Int = 8000): HttpServer = {
     val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
 
-    route(srv, "/health", "GET") { _ =>
+    // Per-instance request counters behind GET /metrics. The reference
+    // stubs this route behind an external Prometheus ASGI app
+    // (server.py:129-133 returns a pointer message); here the exposition
+    // is served directly — counter per route, tasks-launched counter,
+    // uptime gauge — so the daily-ops surface works with zero sidecars.
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val tasksLaunched = new java.util.concurrent.atomic.AtomicLong(0)
+    val startedAtNanos = System.nanoTime()
+    def count(route: String): Unit =
+      hits.computeIfAbsent(route, _ => new java.util.concurrent.atomic.AtomicLong(0))
+        .incrementAndGet()
+    srv.createContext("/metrics", (ex: HttpExchange) => {
+      try {
+        count("/metrics")
+        import scala.jdk.CollectionConverters._
+        val sb = new StringBuilder
+        sb.append("# HELP graft_http_requests_total Requests served per route\n")
+        sb.append("# TYPE graft_http_requests_total counter\n")
+        hits.asScala.toSeq.sortBy(_._1).foreach { case (r, n) =>
+          sb.append(s"""graft_http_requests_total{route="$r"} ${n.get()}""").append('\n')
+        }
+        sb.append("# HELP graft_import_tasks_total Background import/sync tasks launched\n")
+        sb.append("# TYPE graft_import_tasks_total counter\n")
+        sb.append(s"graft_import_tasks_total ${tasksLaunched.get()}\n")
+        sb.append("# HELP graft_uptime_seconds Seconds since server start\n")
+        sb.append("# TYPE graft_uptime_seconds gauge\n")
+        sb.append(s"graft_uptime_seconds ${(System.nanoTime() - startedAtNanos) / 1e9}\n")
+        val bytes = sb.toString.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
+
+    route(srv, "/health", "GET", count) { _ =>
       JObject("status" -> JString("healthy"))
     }
 
-    route(srv, "/api/status", "GET") { _ =>
+    route(srv, "/api/status", "GET", count) { _ =>
       val totals = dfJson(api.status()).headOption.getOrElse(JObject())
       JObject(
         "database" -> totals,
@@ -75,6 +114,7 @@ object RestServer {
           "attachments_processed", "attachments_rejected")
           .map(k => k -> (JInt(BigInt(s.getOrElse(k, 0L))): JValue)))
     def launchTask(prefix: String)(work: () => Map[String, Long]): JValue = {
+      tasksLaunched.incrementAndGet()
       val id = s"${prefix}_${System.currentTimeMillis()}_${importSeq.incrementAndGet()}"
       importTasks.put(id, importStatus("running", Map.empty))
       val t = new Thread(() => {
@@ -100,6 +140,7 @@ object RestServer {
     // exact-path contract can't).
     srv.createContext("/api/emails/import", (ex: HttpExchange) => {
       try {
+        count("/api/emails/import")
         (ex.getRequestMethod, ex.getRequestURI.getPath) match {
           case ("POST", "/api/emails/import") =>
             val raw = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
@@ -127,14 +168,14 @@ object RestServer {
       } finally ex.close()
     })
 
-    route(srv, "/api/emails/sync", "POST") { body =>
+    route(srv, "/api/emails/sync", "POST", count) { body =>
       val inbox = (body \ "inbox_dir").extractOpt[String]
         .getOrElse(throw BadRequest("missing field: inbox_dir"))
       val genEmb = (body \ "generate_embeddings").extractOpt[Boolean].getOrElse(true)
       launchTask("sync")(() => api.syncIncremental(inbox, genEmb))
     }
 
-    route(srv, "/api/search/emails", "POST") { body =>
+    route(srv, "/api/search/emails", "POST", count) { body =>
       val query = (body \ "query").extractOpt[String]
         .getOrElse(throw BadRequest("missing field: query"))
       val limit = (body \ "limit").extractOpt[Int].getOrElse(10)
@@ -163,7 +204,7 @@ object RestServer {
         "total_found" -> JInt(rows.size))
     }
 
-    route(srv, "/api/search/ask", "POST") { body =>
+    route(srv, "/api/search/ask", "POST", count) { body =>
       val question = (body \ "question").extractOpt[String]
         .getOrElse(throw BadRequest("missing field: question"))
       val k = (body \ "context_limit").extractOpt[Int].getOrElse(5)
@@ -181,20 +222,20 @@ object RestServer {
         "context_email_count" -> JInt(sourceIds.size))
     }
 
-    route(srv, "/api/analyze/categorize", "POST") { body =>
+    route(srv, "/api/analyze/categorize", "POST", count) { body =>
       val limit = (body \ "limit").extractOpt[Int].getOrElse(10)
       JArray(dfJson(api.categorize(limit)).toList)
     }
 
-    route(srv, "/api/analyze/actions", "POST") { body =>
+    route(srv, "/api/analyze/actions", "POST", count) { body =>
       val days = (body \ "days").extractOpt[Int].getOrElse(7)
       val limit = (body \ "limit").extractOpt[Int].getOrElse(50)
       JArray(dfJson(api.extractActions(days, limit)).toList)
     }
 
-    route(srv, "/mcp/tools", "GET") { _ => McpTools.definitions }
+    route(srv, "/mcp/tools", "GET", count) { _ => McpTools.definitions }
 
-    route(srv, "/mcp/call", "POST") { body =>
+    route(srv, "/mcp/call", "POST", count) { body =>
       val tool = (body \ "tool").extractOpt[String]
         .getOrElse(throw BadRequest("missing field: tool"))
       try JObject("tool" -> JString(tool),
@@ -215,10 +256,12 @@ object RestServer {
     try Json.timestamp(v)
     catch { case e: IllegalArgumentException => throw BadRequest(e.getMessage) }
 
-  private def route(srv: HttpServer, path: String, method: String)(
+  private def route(srv: HttpServer, path: String, method: String,
+      onHit: String => Unit = _ => ())(
       handler: JValue => JValue): Unit =
     srv.createContext(path, (ex: HttpExchange) => {
       try {
+        onHit(path)
         if (ex.getRequestURI.getPath != path) {
           reply(ex, 404, JObject("detail" -> JString("Not Found")))
         } else if (ex.getRequestMethod != method) {

@@ -264,5 +264,71 @@ object SelectionQueries {
          |      t -> rl[CAST(${tokenBucketSql("t")} + 1 AS INT)])), (a, b) -> a * b) > 1.0 AS predicted,
          |  (lang = 'en') AS actual
          |FROM documents, ratios, prior ORDER BY doc_id""".stripMargin),
+
+    "mix_epochs" -> Q(
+      "Epoch-based mixture upsampling (the dataset-mixing dual of mix_weighted's down-sampling): high-value source groups repeat for 4/2/1 epochs (source md5-bucket → epoch count), each repeat emitted row-locally via sequence+explode with a deterministic md5 training-order key — the 'wiki ×4 epochs, crawl ×1' replication step a mixture config compiles to, generated inside the scan with no join and no shuffle beyond the final sort",
+      (s, dir) => {
+        // epoch count from the source's md5 bucket: 3 groups → 4/2/1.
+        // Row-local conv+md5 (the mix_weighted convention), so the
+        // "mixture config" needs no side table at all.
+        val grp = conv(substring(md5(col("source")), 1, 2), 16, 10)
+          .cast("long") % 3L
+        val epochs = when(grp === 0L, 4L).when(grp === 1L, 2L).otherwise(1L)
+        T.documentsSpread(s, dir)
+          .select(col("doc_id"), col("source"), epochs.as("n_epochs"))
+          .select(col("doc_id"), col("source"), col("n_epochs"),
+            explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+          .withColumn("order_key",
+            md5(concat(col("doc_id").cast("string"), lit("|"),
+              col("epoch").cast("string"))))
+          .orderBy(col("doc_id"), col("epoch"))
+      },
+      """WITH e AS (
+        |  SELECT doc_id, source,
+        |    CASE (CAST(('0x' || substr(md5(source), 1, 2)) AS BIGINT) % 3)
+        |      WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END AS n_epochs
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(n_epochs AS BIGINT) AS n_epochs,
+        |  CAST(epoch AS BIGINT) AS epoch,
+        |  md5(CAST(doc_id AS VARCHAR) || '|' || CAST(epoch AS VARCHAR)) AS order_key
+        |FROM (SELECT doc_id, source, n_epochs, unnest(range(1, n_epochs + 1)) AS epoch FROM e)
+        |ORDER BY doc_id, epoch""".stripMargin),
+
+    "order_curriculum" -> Q(
+      "Curriculum training order: documents ranked easy→hard (n_chars proxy) WITHIN each source, then round-robin interleaved across sources via pure arithmetic — global_pos = (src_rank-1)·n_sources + src_idx. Every window is bounded (per-source rank; source-index rank over the distinct-source table), so the curriculum for a 100 TB corpus needs no global sort of documents — the priority key comes out of arithmetic, and only the trainer's shard reader ever orders by it",
+      (s, dir) => {
+        val docs = T.documentsSpread(s, dir)
+        // source index: a window over the DISTINCT sources only (a
+        // bounded table — corpora have dozens of sources, not billions),
+        // broadcast back onto the corpus.
+        val wSrc = org.apache.spark.sql.expressions.Window
+          .orderBy(col("source"))
+        val srcIdx = docs.select(col("source")).distinct()
+          .select(col("source"), row_number().over(wSrc).cast("long").as("src_idx"))
+        val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("src_rank", row_number().over(wRank).cast("long"))
+          .join(broadcast(srcIdx), Seq("source"))
+          .crossJoin(broadcast(nSrc))
+          .select(col("doc_id"), col("source"), col("src_rank"),
+            ((col("src_rank") - 1L) * col("n_src") + col("src_idx") - 1L)
+              .as("global_pos"))
+          .orderBy(col("global_pos"), col("doc_id"))
+      },
+      """WITH si AS (
+        |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT COUNT(*) AS n_src FROM si),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS src_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.src_rank,
+        |  (r.src_rank - 1) * n.n_src + si.src_idx - 1 AS global_pos
+        |FROM r JOIN si USING (source), n
+        |ORDER BY global_pos, doc_id""".stripMargin),
   )
 }

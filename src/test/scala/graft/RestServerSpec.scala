@@ -54,6 +54,23 @@ class RestServerSpec extends SparkSpec {
     assert(code == 200 && (json \ "status").extract[String] == "healthy")
   }
 
+  test("GET /metrics serves Prometheus exposition with live request counters") {
+    http("GET", "/health") // ensure at least one counted request
+    val conn = new java.net.URL(base + "/metrics").openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    val code = conn.getResponseCode
+    val text = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    assert(code == 200)
+    assert(conn.getContentType.startsWith("text/plain"))
+    assert(text.contains("# TYPE graft_http_requests_total counter"))
+    val health = raw"""graft_http_requests_total\{route="/health"\} (\d+)""".r
+    val n = health.findFirstMatchIn(text).map(_.group(1).toLong)
+    assert(n.exists(_ >= 1L), s"expected /health counter in:\n$text")
+    assert(text.contains("graft_import_tasks_total"))
+    assert(text.contains("# TYPE graft_uptime_seconds gauge"))
+  }
+
   test("POST /api/search/emails returns the EmailSearchResponse shape, ranked") {
     val (code, json) = http("POST", "/api/search/emails",
       Some("""{"query": "spark join tuning", "limit": 2}"""))

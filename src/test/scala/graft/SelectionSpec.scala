@@ -80,6 +80,43 @@ class SelectionSpec extends SparkSpec {
       == Seq(1L, 2L, 3L))
   }
 
+  test("mix_epochs: each doc repeats exactly n_epochs times with distinct order keys") {
+    val dir = docsFixture(Seq(
+      (0L, "alpha beta", "en", "wiki"), (1L, "gamma delta", "en", "wiki"),
+      (2L, "epsilon zeta", "en", "crawl"), (3L, "eta theta", "en", "books")))
+    val res = q("mix_epochs")(dir)
+      .select($"doc_id", $"n_epochs", $"epoch", $"order_key")
+      .as[(Long, Long, Long, String)].collect()
+    // same source → same epoch count; epochs enumerate 1..n
+    val byDoc = res.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val n = rows.head._2
+      assert(rows.map(_._3).sorted.toSeq == (1L to n), s"doc $id epochs")
+    }
+    assert(byDoc(0L).head._2 == byDoc(1L).head._2, "same source, same epochs")
+    assert(res.map(_._4).distinct.length == res.length, "order keys unique")
+    assert(res.length.toLong == byDoc.view.mapValues(_.head._2).values.sum)
+  }
+
+  test("order_curriculum: easy-first within source, round-robin across sources") {
+    val dir = docsFixture(Seq(
+      (0L, "a", "en", "s0"), (1L, "bb cc dd ee ff gg", "en", "s0"),
+      (2L, "hh ii", "en", "s1"), (3L, "jj kk ll mm nn oo pp qq", "en", "s1"),
+      (4L, "r", "en", "s2")))
+    val res = q("order_curriculum")(dir)
+      .select($"doc_id", $"source", $"src_rank", $"global_pos")
+      .as[(Long, String, Long, Long)].collect()
+    val pos = res.map(r => r._1 -> r._4).toMap
+    // within each source the shorter doc ranks first
+    assert(pos(0L) < pos(1L) && pos(2L) < pos(3L))
+    // round-robin: all rank-1 docs precede every rank-2 doc
+    val rank1 = res.filter(_._3 == 1L).map(_._4).max
+    val rank2 = res.filter(_._3 == 2L).map(_._4).min
+    assert(rank1 < rank2, "interleave puts every source's easiest doc first")
+    // arithmetic positions: rank-1 docs sit at 0..n_src-1
+    assert(res.filter(_._3 == 1L).map(_._4).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("select_dsir and classifier_nb_score are deterministic across runs") {
     val dir = docsFixture(Seq(
       (0L, "alpha beta gamma delta", "en", "src0"),
