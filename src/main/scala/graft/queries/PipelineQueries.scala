@@ -37,6 +37,139 @@ object PipelineQueries {
       |comp AS (
       |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
+  /** Stage graph of the full curation composite, shared by
+    * `curation_pipeline_full` (final keep set) and `curation_funnel`
+    * (per-stage survivor counts). Field order IS funnel order. */
+  private final case class CurationStages(
+      corpus: org.apache.spark.sql.DataFrame,
+      quality: org.apache.spark.sql.DataFrame,
+      candidates: org.apache.spark.sql.DataFrame,
+      gated: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame,
+      kept: org.apache.spark.sql.DataFrame)
+
+  private def fullCurationStages(
+      s: org.apache.spark.sql.SparkSession, dir: String): CurationStages = {
+    // Tokenize is recomputed per consuming branch (columnar re-scan +
+    // split beats a persist barrier here — measured).
+    val base = T.documentsSpread(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    // benchmark = docs 0-2 (held out; never enters the corpus).
+    // Grams travel as xxhash64 longs on both contamination sides (the
+    // dedup_ppjoin representation): join keys and shuffle rows are
+    // 8 bytes, and collisions (~2⁻⁶⁴·m²) are below the oracle's
+    // resolution — the string-gram twin is text_contamination.
+    val bench = base.filter(col("doc_id") < 3)
+      .select(explode(graft.functions.HashedShinglesFunctions
+        .hashedShingles(col("toks"), 3)).as("g3"))
+      .distinct()
+    // gate 1: quality (length + uniq-token ratio), corpus side only
+    val quality = base.filter(col("doc_id") >= 3)
+      .select(col("doc_id"), col("text"), col("toks"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+      .filter(col("n_tok") >= 20 &&
+        col("n_uniq").cast("double") / col("n_tok").cast("double") >= 0.15)
+    // gate 2: repetition — dup-2gram fraction ≤ 0.2, row-local via the
+    // codegen'd GramStats expression (no gram shuffle at all)
+    val st = graft.functions.GramStats.gramStats(col("toks"), 2)
+    val candidates = quality
+      .withColumn("st", st)
+      .filter(col("st.dup_c").cast("double")
+        / col("st.n_grams").cast("double") <= 0.2)
+      .drop("st")
+      .persist()
+    // gate 3: decontamination — drop candidates with ≥ 0.1 benchmark
+    // overlap. Screening only the surviving candidates (not the whole
+    // corpus) is result-identical: the contaminated set is consumed by
+    // an anti-join against these candidates, so ids outside them are
+    // irrelevant — and it skips the 3-gram explode for already-dropped
+    // docs.
+    val contaminated = candidates
+      .select(col("doc_id"), graft.functions.HashedShinglesFunctions
+        .hashedShingles(col("toks"), 3).as("gr"))
+      .select(col("doc_id"), size(col("gr")).cast("long").as("ng"),
+        explode(col("gr")).as("g3"))
+      .join(broadcast(bench), Seq("g3"))
+      .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("nh"))
+      .filter(col("nh").cast("double") / col("ng").cast("double") >= 0.1)
+      .select("doc_id")
+    val gated = candidates
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 4: exact dedup, keep min doc_id per fingerprint
+    val exact = gated
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("toks"))
+      .persist()
+    // stage 5: the shared LSH stage over survivors → CC canonical keep
+    val (staged, cand) = TextOpsQueries.lshStage(exact)
+    val pairs = TextOpsQueries.lshVerifiedPairs(staged, cand, 0.8)
+      .select("a_id", "b_id")
+    val kept = exact.select(col("doc_id"))
+      .join(ConnectedComponents.dropSet(pairs), Seq("doc_id"), "left_anti")
+    CurationStages(base.filter(col("doc_id") >= 3).select("doc_id"),
+      quality, candidates, gated, exact, kept)
+  }
+
+  /** The full composite's CTE chain (through `exact`, `pairs`, `comp`) —
+    * spliced under WITH RECURSIVE by both composite oracles. */
+  private lazy val fullCurationCtesSql: String = {
+    import TextOpsQueries.minhashSql
+    s"""dgr AS (
+       |  SELECT doc_id, list_distinct(${shinglesSql(ToksSql, 3)}) AS gr FROM documents),
+       |bench AS (SELECT DISTINCT unnest(gr) AS g3 FROM dgr WHERE doc_id < 3),
+       |quality AS (
+       |  SELECT doc_id, text, $ToksSql AS toks FROM documents
+       |  WHERE doc_id >= 3 AND len($ToksSql) >= 20
+       |    AND len(list_distinct($ToksSql))::DOUBLE / len($ToksSql)::DOUBLE >= 0.15),
+       |gc AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS g FROM quality)
+       |  GROUP BY doc_id, g),
+       |rep AS (
+       |  SELECT doc_id FROM gc GROUP BY doc_id
+       |  HAVING SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+       |    / SUM(c)::DOUBLE <= 0.2),
+       |cont AS (
+       |  SELECT doc_id FROM (
+       |    SELECT e.doc_id, len(d.gr) AS ng, COUNT(*) AS nh
+       |    FROM (SELECT doc_id, unnest(gr) AS g3 FROM dgr WHERE doc_id >= 3) e
+       |    JOIN bench USING (g3)
+       |    JOIN dgr d ON d.doc_id = e.doc_id
+       |    GROUP BY e.doc_id, len(d.gr))
+       |  WHERE nh::DOUBLE / ng::DOUBLE >= 0.1),
+       |gated AS (
+       |  SELECT q.doc_id, q.text, q.toks FROM quality q
+       |  JOIN rep USING (doc_id)
+       |  WHERE q.doc_id NOT IN (SELECT doc_id FROM cont)),
+       |exact AS (
+       |  SELECT doc_id, toks FROM gated
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |    ORDER BY doc_id) = 1),
+       |sigs AS (
+       |  SELECT doc_id, list_distinct(toks) AS tset,
+       |    ${(0 until 4).map(seed =>
+          s"${minhashSql(shinglesSql("toks", 3), seed)} AS m$seed").mkString(", ")}
+       |  FROM exact),
+       |bands AS (
+       |  SELECT doc_id, tset, 0 AS bi, m0 || m1 AS bv FROM sigs
+       |  UNION ALL SELECT doc_id, tset, 1, m2 || m3 FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tset AS ta, b.tset AS tb
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM cand
+       |  WHERE len(list_intersect(ta, tb))::DOUBLE
+       |    / (len(ta)::DOUBLE + len(tb)::DOUBLE - len(list_intersect(ta, tb))::DOUBLE) >= 0.8),
+       |$CcSqlCtes""".stripMargin
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     "dedup_cluster_cc" -> Q(
@@ -185,124 +318,42 @@ object PipelineQueries {
 
     "curation_pipeline_full" -> Q(
       "The complete curation composite: quality gate → repetition gate (Gopher dup-2gram ≤ 0.2) → benchmark decontamination (< 0.1 overlap vs docs 0-2) → exact dedup → LSH near-dup cluster resolution with canonical keep. Every stage is the registry operator of the same name, composed",
+      (s, dir) => fullCurationStages(s, dir).kept.orderBy(col("doc_id")),
+      s"""WITH RECURSIVE $fullCurationCtesSql
+         |SELECT doc_id FROM exact
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE cluster_id <> id)
+         |ORDER BY doc_id""".stripMargin),
+
+    "curation_funnel" -> Q(
+      "Curation funnel report: surviving-document count after each stage of the full composite (corpus → quality → repetition → decontamination → exact dedup → near-dup resolution) — the per-stage attrition table every production curation run logs before committing an export; built on the SAME stage graph as curation_pipeline_full (persisted candidates/exact stages are counted, not recomputed)",
       (s, dir) => {
-        // Tokenize is recomputed per consuming branch (columnar re-scan +
-        // split beats a persist barrier here — measured).
-        val base = T.documentsSpread(s, dir)
-          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-        // benchmark = docs 0-2 (held out; never enters the corpus).
-        // Grams travel as xxhash64 longs on both contamination sides (the
-        // dedup_ppjoin representation): join keys and shuffle rows are
-        // 8 bytes, and collisions (~2⁻⁶⁴·m²) are below the oracle's
-        // resolution — the string-gram twin is text_contamination.
-        val bench = base.filter(col("doc_id") < 3)
-          .select(explode(graft.functions.HashedShinglesFunctions
-            .hashedShingles(col("toks"), 3)).as("g3"))
-          .distinct()
-        // gate 1: quality (length + uniq-token ratio), corpus side only
-        val quality = base.filter(col("doc_id") >= 3)
-          .select(col("doc_id"), col("text"), col("toks"),
-            size(col("toks")).cast("long").as("n_tok"),
-            size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
-          .filter(col("n_tok") >= 20 &&
-            col("n_uniq").cast("double") / col("n_tok").cast("double") >= 0.15)
-        // gate 2: repetition — dup-2gram fraction ≤ 0.2, row-local via the
-        // codegen'd GramStats expression (no gram shuffle at all)
-        val st = graft.functions.GramStats.gramStats(col("toks"), 2)
-        val candidates = quality
-          .withColumn("st", st)
-          .filter(col("st.dup_c").cast("double")
-            / col("st.n_grams").cast("double") <= 0.2)
-          .drop("st")
-          .persist()
-        // gate 3: decontamination — drop candidates with ≥ 0.1 benchmark
-        // overlap. Screening only the surviving candidates (not the whole
-        // corpus) is result-identical: the contaminated set is consumed by
-        // an anti-join against these candidates, so ids outside them are
-        // irrelevant — and it skips the 3-gram explode for already-dropped
-        // docs.
-        val contaminated = candidates
-          .select(col("doc_id"), graft.functions.HashedShinglesFunctions
-            .hashedShingles(col("toks"), 3).as("gr"))
-          .select(col("doc_id"), size(col("gr")).cast("long").as("ng"),
-            explode(col("gr")).as("g3"))
-          .join(broadcast(bench), Seq("g3"))
-          .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("nh"))
-          .filter(col("nh").cast("double") / col("ng").cast("double") >= 0.1)
-          .select("doc_id")
-        val gated = candidates
-          .join(contaminated, Seq("doc_id"), "left_anti")
-        // stage 4: exact dedup, keep min doc_id per fingerprint
-        val exact = gated
-          .withColumn("fp", fingerprint(col("text")))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("fp")).orderBy(col("doc_id"))))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("toks"))
-          .persist()
-        // stage 5: the shared LSH stage over survivors → CC canonical keep
-        val (staged, cand) = TextOpsQueries.lshStage(exact)
-        val pairs = TextOpsQueries.lshVerifiedPairs(staged, cand, 0.8)
-          .select("a_id", "b_id")
-        exact.select(col("doc_id"))
-          .join(ConnectedComponents.dropSet(pairs), Seq("doc_id"), "left_anti")
-          .orderBy(col("doc_id"))
-      }, {
-        import TextOpsQueries.minhashSql
-        s"""WITH RECURSIVE dgr AS (
-           |  SELECT doc_id, list_distinct(${shinglesSql(ToksSql, 3)}) AS gr FROM documents),
-           |bench AS (SELECT DISTINCT unnest(gr) AS g3 FROM dgr WHERE doc_id < 3),
-           |quality AS (
-           |  SELECT doc_id, text, $ToksSql AS toks FROM documents
-           |  WHERE doc_id >= 3 AND len($ToksSql) >= 20
-           |    AND len(list_distinct($ToksSql))::DOUBLE / len($ToksSql)::DOUBLE >= 0.15),
-           |gc AS (
-           |  SELECT doc_id, g, COUNT(*) AS c FROM (
-           |    SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS g FROM quality)
-           |  GROUP BY doc_id, g),
-           |rep AS (
-           |  SELECT doc_id FROM gc GROUP BY doc_id
-           |  HAVING SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
-           |    / SUM(c)::DOUBLE <= 0.2),
-           |cont AS (
-           |  SELECT doc_id FROM (
-           |    SELECT e.doc_id, len(d.gr) AS ng, COUNT(*) AS nh
-           |    FROM (SELECT doc_id, unnest(gr) AS g3 FROM dgr WHERE doc_id >= 3) e
-           |    JOIN bench USING (g3)
-           |    JOIN dgr d ON d.doc_id = e.doc_id
-           |    GROUP BY e.doc_id, len(d.gr))
-           |  WHERE nh::DOUBLE / ng::DOUBLE >= 0.1),
-           |gated AS (
-           |  SELECT q.doc_id, q.text, q.toks FROM quality q
-           |  JOIN rep USING (doc_id)
-           |  WHERE q.doc_id NOT IN (SELECT doc_id FROM cont)),
-           |exact AS (
-           |  SELECT doc_id, toks FROM gated
-           |  QUALIFY row_number() OVER (
-           |    PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-           |    ORDER BY doc_id) = 1),
-           |sigs AS (
-           |  SELECT doc_id, list_distinct(toks) AS tset,
-           |    ${(0 until 4).map(seed =>
-              s"${minhashSql(shinglesSql("toks", 3), seed)} AS m$seed").mkString(", ")}
-           |  FROM exact),
-           |bands AS (
-           |  SELECT doc_id, tset, 0 AS bi, m0 || m1 AS bv FROM sigs
-           |  UNION ALL SELECT doc_id, tset, 1, m2 || m3 FROM sigs),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tset AS ta, b.tset AS tb
-           |  FROM bands a JOIN bands b
-           |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
-           |pairs AS (
-           |  SELECT a_id, b_id FROM cand
-           |  WHERE len(list_intersect(ta, tb))::DOUBLE
-           |    / (len(ta)::DOUBLE + len(tb)::DOUBLE - len(list_intersect(ta, tb))::DOUBLE) >= 0.8),
-           |$CcSqlCtes
-           |SELECT doc_id FROM exact
-           |WHERE doc_id NOT IN (SELECT id FROM comp WHERE cluster_id <> id)
-           |ORDER BY doc_id""".stripMargin
-      }),
+        val st = fullCurationStages(s, dir)
+        def stage(ord: Long, name: String,
+            df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+              col("n_docs"))
+        stage(1L, "corpus", st.corpus)
+          .unionAll(stage(2L, "quality", st.quality))
+          .unionAll(stage(3L, "repetition", st.candidates))
+          .unionAll(stage(4L, "decontaminated", st.gated))
+          .unionAll(stage(5L, "exact_dedup", st.exact))
+          .unionAll(stage(6L, "near_dup_resolved", st.kept))
+          .orderBy(col("stage_ord"))
+      },
+      s"""WITH RECURSIVE $fullCurationCtesSql,
+         |kept AS (
+         |  SELECT doc_id FROM exact
+         |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE cluster_id <> id))
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'corpus' AS stage,
+         |    (SELECT COUNT(*) FROM documents WHERE doc_id >= 3) AS n_docs
+         |  UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM quality)
+         |  UNION ALL SELECT 3, 'repetition', (SELECT COUNT(*) FROM rep)
+         |  UNION ALL SELECT 4, 'decontaminated', (SELECT COUNT(*) FROM gated)
+         |  UNION ALL SELECT 5, 'exact_dedup', (SELECT COUNT(*) FROM exact)
+         |  UNION ALL SELECT 6, 'near_dup_resolved', (SELECT COUNT(*) FROM kept))
+         |ORDER BY stage_ord""".stripMargin),
 
     "text_bigram_lm" -> Q(
       "Corpus bigram transition model: P(b|a) = c(a b)/c(a ·) for the 20 most frequent transitions — the n-gram language-model estimation shape (counts + rational division only; no log-probs, which are not bit-portable)",
