@@ -330,5 +330,39 @@ object SelectionQueries {
         |  (r.src_rank - 1) * n.n_src + si.src_idx - 1 AS global_pos
         |FROM r JOIN si USING (source), n
         |ORDER BY global_pos, doc_id""".stripMargin),
+
+    "report_source_overlap" -> Q(
+      "Cross-source duplication matrix: LSH-verified near-dup pairs attributed to their (source, source) cell — the sourcing report that answers 'how much of corpus A is already inside corpus B' before paying to ingest A. Pair sides order canonically (least/greatest) so the matrix is upper-triangular; counts ride the ids-only pair stream from the shared LSH stage",
+      (s, dir) => {
+        // The pair stream is near-dup-sized (≪ corpus); each id→source
+        // attribution is one equi-join against the corpus id→source map.
+        // At 100 TB, carry `source` through the LSH stage instead of
+        // re-joining (the stage tuple already ships doc ids; one more
+        // dictionary-encoded column is cheaper than two corpus joins) —
+        // here the re-join keeps the shared-stage reuse.
+        val pairs = TextOpsQueries.lshNearDupPairs(s, dir)
+          .select(col("a_id"), col("b_id"))
+        val src = T.documentsSpread(s, dir).select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")),
+            Seq("a_id"))
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")),
+            Seq("b_id"))
+          .select(least(col("src_a"), col("src_b")).as("source_1"),
+            greatest(col("src_a"), col("src_b")).as("source_2"))
+          .groupBy(col("source_1"), col("source_2"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("source_1"), col("source_2"))
+      },
+      s"""WITH ${TextOpsQueries.LshPairsSqlCtes},
+         |m AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_1,
+         |  greatest(sa.source, sb.source) AS source_2,
+         |  COUNT(*) AS n_pairs
+         |FROM pairs p
+         |JOIN m sa ON sa.doc_id = p.a_id
+         |JOIN m sb ON sb.doc_id = p.b_id
+         |GROUP BY source_1, source_2
+         |ORDER BY n_pairs DESC, source_1, source_2""".stripMargin),
   )
 }

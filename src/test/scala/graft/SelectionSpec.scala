@@ -117,6 +117,19 @@ class SelectionSpec extends SparkSpec {
     assert(res.filter(_._3 == 1L).map(_._4).sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("report_source_overlap: cross-source dup pairs land in the right matrix cell") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = docsFixture(Seq(
+      (0L, dup, "en", "ccA"), (1L, dup, "en", "ccB"),   // cross-source pair
+      (2L, dup, "en", "ccA"),                            // in-source pair with 0
+      (3L, "one two three four five six seven", "en", "ccB")))
+    val res = q("report_source_overlap")(dir)
+      .select($"source_1", $"source_2", $"n_pairs")
+      .as[(String, String, Long)].collect().toSet
+    // pairs: (0,1) ccA-ccB, (0,2) ccA-ccA, (1,2) ccA-ccB
+    assert(res == Set(("ccA", "ccB", 2L), ("ccA", "ccA", 1L)))
+  }
+
   test("select_dsir and classifier_nb_score are deterministic across runs") {
     val dir = docsFixture(Seq(
       (0L, "alpha beta gamma delta", "en", "src0"),
