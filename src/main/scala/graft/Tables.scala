@@ -20,14 +20,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    * rejects outright. Read it as raw nanos (legacy conf) and convert to
-    * TimestampType by integer-dividing to microseconds — same truncation
-    * DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP. */
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations. Nanos parquet is
+    * rejected by Spark's reader outright, so it is read as raw longs
+    * (legacy conf) and integer-divided to microseconds — the same
+    * truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP. Micros
+    * parquet arrives as TIMESTAMP_NTZ and only needs the cast to the
+    * session-UTC TimestampType every downstream query expects (the
+    * session timezone is pinned to UTC in every entry point, so the cast
+    * is wall-clock-preserving and value-identical to DuckDB's read). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    val ts = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+      case _ =>
+        org.apache.spark.sql.functions.col("ts").cast("timestamp")
+    }
+    df.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
 
