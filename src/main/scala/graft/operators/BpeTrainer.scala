@@ -68,22 +68,51 @@ object BpeTrainer {
       when(i === n - 1, concat(c, lit(EndMark))).otherwise(c))
   }
 
+  /** The merge-chain truncation period: every `ChainTruncateEvery`
+    * applied merges, the lazily-stacked word table is cut to a persisted
+    * RDD (the [[ConnectedComponents]] lineage-truncation pattern), so a
+    * round's pair-count job applies at most this many merge UDFs on top
+    * of a materialized table instead of the full accumulated chain. At a
+    * production 32-50k-merge vocabulary the untruncated form is a
+    * quadratically deepening plan (round r re-derives all r predecessors:
+    * O(k²·|vocab|) re-applied UDF work and an optimizer tree that grows
+    * without bound); truncation bounds both at O(R·|vocab|) per round
+    * with one extra persisted |vocab|-sized block per period, the
+    * predecessor freed as soon as its successor materializes. */
+  val ChainTruncateEvery = 64
+
   /** Learn `numMerges` merges from the corpus. `minCount` drops hapax
     * noise from the word table before the loop (standard practice; keeps
     * the iterated table small even on OCR-dirty corpora). */
   def train(corpus: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 1L): Model = {
+    val spark = corpus.sparkSession
     val base = wordCounts(corpus, textCol)
       .filter(col("cnt") >= minCount)
       .withColumn("syms", initialSymbols(col("word")))
       .persist()
-    // ONE materialization total: each round's pair-count job re-applies
-    // the accumulated merge chain to the cached base lazily (round r does
-    // r vocab-local UDF passes — O(k²·|vocab|) trivial CPU) instead of
-    // persist()+count()-ing a new table per round, which costs a second
-    // job and a full shuffle barrier every merge. One job per round.
+    // ONE materialization per truncation period: each round's pair-count
+    // job re-applies the ≤ChainTruncateEvery pending merge UDFs to the
+    // last persisted cut lazily (vocab-local trivial CPU) instead of
+    // persist()+count()-ing a new table per merge, which would cost a
+    // second job and a full barrier every round. One job per round, plan
+    // depth and re-derivation both bounded by the period.
     base.count()
     var words = base
+    var lastCut: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var pendingMerges = 0
+    def truncateChain(): Unit = {
+      val rdd = words.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      words = spark.createDataFrame(rdd, words.schema)
+      // materialize the new cut before releasing its predecessor (the
+      // next round's job would otherwise recompute the full chain once
+      // more from the freed blocks' lineage)
+      words.count()
+      if (lastCut != null) lastCut.unpersist(blocking = false)
+      lastCut = rdd
+      pendingMerges = 0
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     for (rank <- 0 until numMerges if !exhausted) {
@@ -105,8 +134,13 @@ object BpeTrainer {
         val n = top(0).getLong(2)
         merges += Merge(rank, a, b, n)
         words = words.withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
+        pendingMerges += 1
+        if (pendingMerges >= ChainTruncateEvery) truncateChain()
       }
     }
+    // the final cut (if any) outlives the call — the returned word table
+    // reads it; harness code releases it via the LoopRdds registry
+    if (lastCut != null) LoopRdds.register(lastCut)
     Model(merges.toSeq, words)
   }
 

@@ -42,25 +42,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  /** Final-round label RDDs still persisted. `spark.catalog.clearCache()`
-    * only drops Dataset-level cache entries — RDD-level persists are
-    * invisible to it — so without an explicit release the ~100-query
-    * registry run would leak |V| blocks per CC materialization until
-    * GC-driven ContextCleaner gets around to them. Q/Verify/Bench call
-    * [[freeAll]] at the same point they clear the SQL cache. */
-  private val liveLabelRdds =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[Row]]()
-
-  /** Unpersist every final-round labels RDD still held from previous
-    * [[resolve]] calls. Safe to call while a returned DataFrame is still
-    * referenced — the RDD recomputes from lineage if re-read. */
-  def freeAll(): Unit = {
-    var rdd = liveLabelRdds.poll()
-    while (rdd != null) {
-      rdd.unpersist(blocking = false)
-      rdd = liveLabelRdds.poll()
-    }
-  }
+  /** Release every loop-truncation RDD still held from previous
+    * [[resolve]] (and [[BpeTrainer.train]]) calls — see [[LoopRdds]].
+    * Kept as the harness-facing entry point (Q/Verify/Bench call it at
+    * the same point they clear the SQL cache). */
+  def freeAll(): Unit = LoopRdds.freeAll()
 
   /** Resolve components of the undirected graph given as `(a_id, b_id)`
     * pairs. Returns one row per node appearing in any pair:
@@ -210,7 +196,7 @@ object ConnectedComponents {
           "— refusing to return wrong labels; " +
           "raise maxIters for graphs with astronomically deep chains")
     }
-    if (labelsRdd != null) liveLabelRdds.add(labelsRdd)
+    if (labelsRdd != null) LoopRdds.register(labelsRdd)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -934,13 +934,17 @@ object AnalyticsQueries {
       (s, dir) => {
         // Undirected co-purchase graph: parts sharing an order, both
         // directions. Per-order pair fanout is k² with k ≤ ~7 lineitems
-        // per order — bounded, scan-shaped at any scale.
-        val op = T.lineitem(s, dir)
+        // per order — bounded, scan-shaped at any scale. One groupBy
+        // builds the per-order part set (collect_set dedups inside the
+        // same shuffle the old `distinct` spent on its own) and pair
+        // generation is a row-local double explode over the ≤7-element
+        // set — no self-join, one fewer shuffle, identical edge set.
+        val e = T.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = op.as("a").join(op.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+          .select(explode(col("pks")).as("src"), col("pks"))
+          .select(col("src"), explode(col("pks")).as("dst"))
+          .filter(col("src") =!= col("dst"))
           .distinct()
         graft.operators.GraphRank.powerIteration(e, iters = 5)
           .orderBy(col("rank").desc, col("id"))

@@ -41,6 +41,51 @@ object TrainingDataQueries {
        | END)""".stripMargin.replaceAll("\n", " ")
   }
 
+  /** The fixed merge table for `bpe_encode_fixed`, rank order. Chosen to
+    * satisfy the BPE training invariant (a merged token is only ever a
+    * component of HIGHER-rank pairs: th→rank 1, an→rank 4, in→rank 8),
+    * which is what makes rank-order single-pass application — the
+    * oracle's bounded fold — equal the GPT-2 lowest-rank-present loop the
+    * engine runs; and with left != right everywhere, one pass can never
+    * create a new occurrence of its own pair, so per-merge application is
+    * a plain left-to-right non-overlapping rewrite. */
+  private[queries] val FixedEncodeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e</w>", "i" -> "n", "a" -> "n", "an" -> "d</w>",
+    "o" -> "r", "e" -> "r", "e" -> "r</w>", "in" -> "g</w>", "t" -> "o</w>")
+
+  /** DuckDB twin of `BpeTrainer.encode` under [[FixedEncodeMerges]]: per
+    * word, symbols travel as a chr(31)-delimited string (delimiter before,
+    * between, and after every symbol; the last character carries `</w>`
+    * without a delimiter, exactly the trainer's initial symbolization).
+    * Each merge is `replace(sep a sep b sep → sep ab sep)` applied TWICE:
+    * the first pass consumes the shared trailing delimiter of a match, so
+    * it can skip the immediately following occurrence; any occurrence
+    * still present after pass 1 is isolated (its left neighbor either
+    * merged — consuming itself — or was never an occurrence), so pass 2
+    * is exhaustive. With left != right, occurrences are disjoint in
+    * symbol space, so "merge them all" IS the left-to-right
+    * non-overlapping semantics. */
+  private lazy val BpeEncodeFixedSql: String = {
+    val us = "chr(31)"
+    val s0 = s"$us || array_to_string(list_transform(range(1, length(w) + 1), " +
+      s"i -> CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>' " +
+      s"ELSE substr(w, i, 1) END), $us) || $us"
+    val merged = FixedEncodeMerges.foldLeft(s0) { case (acc, (a, b)) =>
+      val pat = s"$us || '$a' || $us || '$b' || $us"
+      val rep = s"$us || '$a$b' || $us"
+      s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(
+       |      list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> ''),
+       |      w -> list_filter(string_split($merged, chr(31)), x -> x <> ''))) AS tk
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+       |  array_to_string(tk, ' ') AS toks_str
+       |FROM toks ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     "dedup_semantic" -> Q(
@@ -475,6 +520,21 @@ object TrainingDataQueries {
           .limit(20)
       },
       None),
+
+    "bpe_encode_fixed" -> Q(
+      "BPE tokenization with a FIXED literal merge table, oracle-checked: encoding under a known merge list IS ANSI-SQL-expressible (a bounded fold of merge applications), so this query pins the encode path itself — operators.BpeTrainer.encode, the GPT-2 lowest-rank-first loop — to a DuckDB hash row, complementing the rows-only trained twin (bpe_encode). The fixed table respects the BPE training invariant (a token created at rank r only appears in pairs of rank > r), under which the lowest-rank-present loop and rank-order application agree; the oracle applies each merge as a separator-delimited string replace run twice (pass 1 can skip an occurrence whose leading delimiter the previous match consumed; any occurrence still unmerged after pass 1 is isolated, so pass 2 is exhaustive — and for left != right, occurrences are disjoint in symbol space, making replace order-insensitive)",
+      (s, dir) => {
+        val merges = FixedEncodeMerges.zipWithIndex.map { case ((a, b), r) =>
+          graft.operators.BpeTrainer.Merge(r, a, b, 2L)
+        }
+        graft.operators.BpeTrainer
+          .encode(T.documentsSpread(s, dir), "text", merges)
+          .select(col("doc_id"),
+            size(col("tokens")).cast("long").as("n_toks"),
+            concat_ws(" ", col("tokens")).as("toks_str"))
+          .orderBy(col("doc_id"))
+      },
+      BpeEncodeFixedSql),
 
     "quality_classifier" -> Q(
       "fastText-style linear quality-classifier inference (functions.linearQualityScore): hashing-trick featurizer (4096-way md5 buckets) + integer weight table, scored entirely row-local with higher-order functions — zero shuffle, whole-stage codegen; the classifier-based curation filter (wiki-like vs not) every modern pretraining pipeline runs over its full corpus",

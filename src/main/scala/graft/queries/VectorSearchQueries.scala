@@ -456,6 +456,28 @@ object VectorSearchQueries {
       },
       None),
 
+    "ann_pq_exact" -> Q(
+      "ANN: PQ exactness-envelope anchor — the identical train→encode→ADC-scan→rerank pipeline as ann_pq_knn, with the rerank window widened to the whole corpus. The ADC stage only SELECTS the rerank set, so with rerank >= n it selects everything and the exact-cosine rerank alone decides the top-10: the output equals brute-force cosine k-NN regardless of quantization error, which pins the PQ plumbing to the DuckDB oracle with a green hash row (the complementary K >= n lossless-codebook anchor is spec-asserted in PqIndexSpec)",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val m = graft.operators.PqIndex.train(emb, "vec_id", "embedding",
+          numSubspaces = 8, codebookSize = 16, iters = 2)
+        val encoded = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", m)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toSeq
+        // corpus row count = the rerank window (1-scalar driver boundary,
+        // the IvfIndex-centroid kind)
+        val n = emb.count()
+        graft.operators.PqIndex.search(
+          encoded.filter(col("vec_id") =!= 0L),
+          "vec_id", "embedding", m, q, topK = 10, rerank = n.toInt)
+      },
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+         |FROM embeddings, q
+         |WHERE vec_id <> 0 AND embedding IS NOT NULL
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+
     "ann_ivfpq_knn" -> Q(
       "ANN: the composed IVF-PQ stack (the FAISS-standard production shape) — coarse IVF partitions prune the scan to nprobe=2 of k=8, the PQ ADC codes score the rows inside the probed partitions, exact cosine reranks the top 50: scan FRACTION × scan BANDWIDTH cut multiply — rows-only check (both trainings are float-approximate by design; composition semantics spec-asserted in PqIndexSpec)",
       (s, dir) => {

@@ -81,6 +81,33 @@ class BpeTrainerSpec extends SparkSpec {
     m1.merges.foreach(g => assert(g.pairCount > 1))
   }
 
+  test("256-merge run crosses truncation cuts with the sequence unchanged") {
+    // >64 productive merges forces the merge-chain lineage truncation
+    // (ChainTruncateEvery = 64) to fire several times mid-run; the merge
+    // sequence must be byte-identical to the scalar reference across every
+    // cut, and the run must COMPLETE with bounded plan depth (the
+    // untruncated form stacks one UDF per merge — at 256 the optimizer
+    // tree alone would dominate). Corpus: 120 distinct 6-letter words,
+    // each twice, ~600 count-2 pairs available.
+    assert(BpeTrainer.ChainTruncateEvery < 256)
+    val words256 = (0 until 120).map { i =>
+      (0 until 6).map(p => ('a' + (i / math.pow(5, p).toInt) % 5 + p % 3).toChar)
+        .mkString + ('a' + i % 26).toChar
+    }.distinct
+    val corpus256 = words256 ++ words256
+    val df = corpus256.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val m = BpeTrainer.train(df, "text", numMerges = 256, minCount = 1L)
+    val wordFreq = corpus256.groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val expected = refBpe(wordFreq, 256)
+    assert(m.merges.size > BpeTrainer.ChainTruncateEvery,
+      s"corpus exhausted at ${m.merges.size} merges before the first cut")
+    assert(m.merges.map(g => (g.left, g.right, g.pairCount)) == expected)
+    // the returned word table reads the final persisted cut + <=64 UDFs
+    assert(m.wordCounts.count() == words256.size)
+  }
+
   test("vocab: the dominant word collapses toward a single token") {
     val df = (Seq.fill(20)("alpha") ++ Seq.fill(2)("beta"))
       .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
