@@ -11,11 +11,18 @@ import org.json4s._
   * Parity contract: same tool names, parameter names/types/defaults, and
   * the same validation semantics as `validate_mcp_parameters`
   * (mcp_tools.py:242-269 — required check, defaults applied, unknown
-  * params dropped). Dispatch maps each tool to the backing engine call;
-  * the two live-ingest tools (`import_emails`, `sync_emails`) are listed
-  * for discovery parity but dispatch to a documented error, since live
-  * OAuth ingest is environment-excluded (COVERAGE.md) and batch ingest is
-  * the CLI/streaming surface.
+  * params dropped). Dispatch maps each tool to the backing engine call,
+  * including the two ingest tools: `import_emails` and `sync_emails`
+  * dispatch to the SAME directory-ingest path the REST routes use
+  * (EmailEtlApi.importFull / syncIncremental), with the same provider
+  * substitution RestServer documents — the provider here is a directory
+  * of raw messages, so `import_emails.query` carries the inbox directory
+  * path (the reference's Gmail search query has no directory analog) and
+  * `sync_emails` gains an `inbox_dir` parameter (the reference's is
+  * parameterless because its Gmail OAuth session is ambient; live OAuth
+  * is environment-excluded, COVERAGE.md). MCP dispatch is synchronous —
+  * a tools/call returns the finished ImportStatus; the background-thread
+  * + poll contract is the REST routes' adaptation.
   */
 object McpTools {
   implicit private val formats: Formats = DefaultFormats
@@ -35,7 +42,7 @@ object McpTools {
     "description" -> JString(
       "Email ETL engine with semantic search and RAG query surface over Spark"),
     "capabilities" -> JObject(
-      "email_import" -> JBool(false), // live OAuth ingest environment-excluded
+      "email_import" -> JBool(true), // directory-backed ingest (OAuth excluded)
       "semantic_search" -> JBool(true),
       "question_answering" -> JBool(true),
       "categorization" -> JBool(true),
@@ -73,13 +80,14 @@ object McpTools {
         Param("days", "integer", "Extract actions from emails in the last N days (1-90)", default = Some(JInt(7))),
         Param("limit", "integer", "Maximum number of emails to process (1-100)", default = Some(JInt(50))))),
     Tool("import_emails",
-      "Import emails from the provider (environment-excluded: live OAuth ingest; use the CLI import/sync verbs).",
+      "Import emails from the provider. The provider here is a directory of raw messages: pass its path as `query` (the reference's Gmail search query; live OAuth ingest is environment-excluded).",
       List(
-        Param("query", "string", "Provider search query", default = Some(JString(""))),
+        Param("query", "string", "Inbox directory path to import (provider-source substitution for the reference's Gmail search query)", default = Some(JString(""))),
         Param("max_results", "integer", "Maximum number of emails to import"))),
     Tool("sync_emails",
-      "Perform incremental sync to import only new emails since last import (environment-excluded: see CLI `import sync`).",
-      Nil),
+      "Perform incremental sync to import only new emails since last import.",
+      List(
+        Param("inbox_dir", "string", "Inbox directory to sync from (the reference's tool is parameterless because its OAuth session is ambient; the directory provider needs a source path)", required = true))),
     Tool("get_email_by_id",
       "Retrieve a specific email by its database ID, including full content and metadata.",
       List(
@@ -221,9 +229,27 @@ object McpTools {
       case "analyze_email_patterns" =>
         rows(api.patterns(p.get("group_by").flatMap(_.extractOpt[String]).getOrElse("sender"),
           int("days", 30)))
-      case "import_emails" | "sync_emails" =>
-        throw McpError(s"tool '$toolName' is environment-excluded here: " +
-          "live provider ingest needs OAuth; use the CLI import/sync verbs for batch ingest")
+      case "import_emails" =>
+        val dir = p.get("query").flatMap(_.extractOpt[String]).getOrElse("")
+        if (dir.isEmpty) throw McpError(
+          "tool 'import_emails': pass the inbox DIRECTORY path as 'query' — " +
+            "the provider here is a directory of raw messages (live OAuth " +
+            "ingest is environment-excluded; same substitution as " +
+            "POST /api/emails/import's inbox_dir)")
+        importStatusJson(api.importFull(dir,
+          p.get("max_results").flatMap(_.extractOpt[Int])))
+      case "sync_emails" =>
+        importStatusJson(api.syncIncremental(str("inbox_dir")))
     }
   }
+
+  /** The ImportStatus shape (reference: src/api/models.py:224-233), as the
+    * synchronous tools/call result — status is always "completed" here
+    * because dispatch blocks on the ingest (a thrown error becomes the
+    * tool-level McpError 400 instead of a "failed" row). */
+  private def importStatusJson(s: Map[String, Long]): JObject = JObject(
+    ("status" -> (JString("completed"): JValue)) ::
+      List("total_found", "processed", "failed", "skipped",
+        "attachments_processed", "attachments_rejected")
+        .map(k => k -> (JInt(BigInt(s.getOrElse(k, 0L))): JValue)))
 }

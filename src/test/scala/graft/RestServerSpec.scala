@@ -157,9 +157,52 @@ class RestServerSpec extends SparkSpec {
     // unknown tool → 400
     val (c6, _) = http("POST", "/mcp/call", Some("""{"tool": "nope"}"""))
     assert(c6 == 400)
-    // environment-excluded ingest tools are listed but refuse dispatch
+    // ingest tools dispatch for real now, so an unusable source is a
+    // tool-level 400: sync without its inbox_dir, import with the default
+    // empty query (the directory-substitution contract)
     val (c7, e7) = http("POST", "/mcp/call", Some("""{"tool": "sync_emails"}"""))
-    assert(c7 == 400 && (e7 \ "detail").extract[String].contains("environment-excluded"))
+    assert(c7 == 400 && (e7 \ "detail").extract[String].contains("inbox_dir"))
+    val (c8, e8) = http("POST", "/mcp/call", Some("""{"tool": "import_emails"}"""))
+    assert(c8 == 400 && (e8 \ "detail").extract[String].contains("DIRECTORY"))
+  }
+
+  test("MCP ingest dispatch e2e: import_emails over a fixture directory, then sync_emails") {
+    // Own store: MCP ingest mutates state, so it must not share the lazy
+    // fixture server other tests assert counts on.
+    val inbox = tmpDir("mcp-import-inbox")
+    java.nio.file.Files.write(java.nio.file.Paths.get(inbox, "batch.json"),
+      Seq(
+        rawMsg("m1", "terraform drift", "Mon, 15 Jan 2024 09:00:00 +0000",
+          "the terraform plan shows unexpected drift in staging")
+      ).mkString("\n").getBytes("UTF-8"))
+    val api3 = new EmailEtlApi(spark, tmpDir("mcp-import-store"))
+    val srv3 = RestServer.start(api3, port = 0)
+    try {
+      val b = s"http://127.0.0.1:${srv3.getAddress.getPort}"
+      // import: directory path travels as `query` (provider substitution);
+      // dispatch is synchronous and returns the finished ImportStatus
+      val (c1, j1) = http("POST", "/mcp/call",
+        Some(s"""{"tool": "import_emails", "parameters": {"query": "$inbox"}}"""),
+        root = b)
+      assert(c1 == 200)
+      assert((j1 \ "result" \ "status").extract[String] == "completed")
+      assert((j1 \ "result" \ "processed").extract[Int] == 1)
+      // the imported email is immediately searchable through MCP
+      val (c2, j2) = http("POST", "/mcp/call",
+        Some("""{"tool": "search_emails", "parameters": {"query": "terraform drift"}}"""),
+        root = b)
+      assert(c2 == 200)
+      val hits = (j2 \ "result").extract[List[JValue]]
+      assert(hits.nonEmpty && (hits.head \ "message_id").extract[String] == "m1")
+      // sync over the same inbox: the boundary email dedups into skipped
+      val (c3, j3) = http("POST", "/mcp/call",
+        Some(s"""{"tool": "sync_emails", "parameters": {"inbox_dir": "$inbox"}}"""),
+        root = b)
+      assert(c3 == 200)
+      assert((j3 \ "result" \ "status").extract[String] == "completed")
+      assert((j3 \ "result" \ "processed").extract[Int] == 0)
+      assert((j3 \ "result" \ "skipped").extract[Int] == 1)
+    } finally srv3.stop(0)
   }
 
   test("date filters: offset-less ISO accepted, garbage is a 400, ranges apply on REST and MCP") {
