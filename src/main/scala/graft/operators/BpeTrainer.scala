@@ -115,6 +115,17 @@ object BpeTrainer {
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
+    // AQE is suspended for the merge loop (the ConnectedComponents
+    // argument): every round is the SAME two-stage plan — explode +
+    // hash-agg + take-1 — over the cached vocab-bounded word table, so
+    // adaptive re-planning only adds driver round-trip jobs to a loop
+    // whose cost at any scale is the per-round scheduling floor times
+    // numMerges. The corpus-sized word-count pass above already ran
+    // under normal AQE.
+    val spark0 = corpus.sparkSession
+    val aqePrev = spark0.conf.getOption("spark.sql.adaptive.enabled")
+    spark0.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     for (rank <- 0 until numMerges if !exhausted) {
       // adjacent pairs weighted by word count; slice drops the final
       // position (no right neighbor)
@@ -137,6 +148,10 @@ object BpeTrainer {
         pendingMerges += 1
         if (pendingMerges >= ChainTruncateEvery) truncateChain()
       }
+    }
+    } finally aqePrev match {
+      case Some(v) => spark0.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark0.conf.unset("spark.sql.adaptive.enabled")
     }
     // the final cut (if any) outlives the call — the returned word table
     // reads it; harness code releases it via the LoopRdds registry

@@ -140,14 +140,17 @@ object ConnectedComponents {
     // Round 0 comes free: while labels are trivial (label(v) = v), the
     // propagation step needs NO label join — min over the self-looped
     // neighborhood of node ids IS the round-0 result. One agg on the
-    // cached edge list both initializes the labels a full round ahead and
-    // anchors the convergence sum.
+    // cached edge list initializes the labels a full round ahead; its
+    // convergence sum is NOT a standalone job — the first iteration's
+    // dual-sum aggregate (below) reads it off the persisted round-0 RDD
+    // in the same job that materializes iteration 1, saving one driver
+    // round trip per resolve() call (~0.3 s × the eight CC-bearing
+    // registry queries at fixture scale; at cluster scale, one fewer
+    // full-DAG job per dedup run).
     var (labels, labelsRdd) = truncated(
       edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
         .select(col("src").as("id"), col("label")))
-    // NULL sum = empty graph (no pairs at all) — nothing to propagate.
-    var sumPrev = labels.agg(decSum(col("label"))).head.getDecimal(0)
-    var converged = sumPrev == null
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       // step 1: min over self + neighborhood — the self-loop rows make the
@@ -174,17 +177,31 @@ object ConnectedComponents {
       val (next, nextRdd) = truncated(
         step1.join(jump, step1("label") === jump("jid"))
           .select(step1("id").as("id"), col("jlabel").as("label")))
-      val sumNew = next.agg(decSum(col("label"))).head.getDecimal(0)
-      if (labelsRdd != null) labelsRdd.unpersist(blocking = false)
-      labels = next
-      labelsRdd = nextRdd
-      // A null mid-loop sum can only mean non-ANSI Decimal(38,0) overflow
-      // (≈1e19 rows of near-Long.Max ids); treat it as "not converged"
-      // rather than NPE — both operands need the guard, because a null
-      // sumNew becomes next round's sumPrev and a recovered non-null sum
-      // compared against it would otherwise NPE.
-      converged = sumNew != null && sumPrev != null && sumNew.compareTo(sumPrev) == 0
-      sumPrev = sumNew
+      // ONE job per round: a union-tagged aggregate materializes `next`
+      // (computing it from the cached edges + previous labels) and reads
+      // the previous round's sum off its already-persisted RDD in the
+      // same action. Labels are node ids and every update is
+      // monotonically non-increasing, so sum equality ⟺ no label changed.
+      val sums = labels.select(col("label"), lit(0).as("side"))
+        .unionAll(next.select(col("label"), lit(1).as("side")))
+        .groupBy(col("side")).agg(decSum(col("label")).as("s"))
+        .collect()
+      // zero groups = empty graph (no pairs at all) — nothing to
+      // propagate; `labels` stays the (empty) round-0 frame.
+      if (sums.isEmpty) {
+        nextRdd.unpersist(blocking = false)
+        converged = true
+      } else {
+        val sumPrev = sums.find(_.getInt(0) == 0).map(_.getDecimal(1)).orNull
+        val sumNew = sums.find(_.getInt(0) == 1).map(_.getDecimal(1)).orNull
+        if (labelsRdd != null) labelsRdd.unpersist(blocking = false)
+        labels = next
+        labelsRdd = nextRdd
+        // A null sum can only mean non-ANSI Decimal(38,0) overflow
+        // (≈1e19 rows of near-Long.Max ids); treat it as "not converged"
+        // rather than NPE — both operands need the guard.
+        converged = sumNew != null && sumPrev != null && sumNew.compareTo(sumPrev) == 0
+      }
       iter += 1
     }
     symPairs.unpersist(blocking = false)
