@@ -63,7 +63,17 @@ object MinHashSignature {
   def compute(shingles: ArrayData, prefixes: Array[Array[Byte]]): ArrayData = {
     val m = prefixes.length
     val n = shingles.numElements()
-    val mins = new Array[String](m)
+    // The running minimum per seed is tracked on the RAW 16-byte digest:
+    // lowercase-hex encoding maps each byte to an ordered digit pair
+    // ('0'<…<'9'<'a'<…<'f' in ASCII), so unsigned-byte lexicographic
+    // order on digests IS the hex-string order the spec (and the DuckDB
+    // oracle) minimize over. Only the m winners are hex-encoded at the
+    // end — the former per-(shingle, seed) 32-char String allocation was
+    // the dominant cost of the signature scan. One candidate buffer is
+    // reused across all digests (digest(buf,…) writes in place); a new
+    // minimum swaps buffers instead of copying.
+    val mins = new Array[Array[Byte]](m)
+    var cand = new Array[Byte](16)
     val md = Digests.md5.get()
     var i = 0
     while (i < n) {
@@ -74,15 +84,29 @@ object MinHashSignature {
           md.reset()
           md.update(prefixes(seed))
           md.update(bytes)
-          val hex = toHex(md.digest())
-          if (mins(seed) == null || hex.compareTo(mins(seed)) < 0) mins(seed) = hex
+          md.digest(cand, 0, 16)
+          if (mins(seed) == null) mins(seed) = cand.clone()
+          else if (lessThanUnsigned(cand, mins(seed))) {
+            val t = mins(seed); mins(seed) = cand; cand = t
+          }
           seed += 1
         }
       }
       i += 1
     }
-    new GenericArrayData(mins.map(h =>
-      if (h == null) null else UTF8String.fromString(h)))
+    new GenericArrayData(mins.map(b =>
+      if (b == null) null else UTF8String.fromString(toHex(b))))
+  }
+
+  private def lessThanUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
   }
 
   private def toHex(d: Array[Byte]): String = {

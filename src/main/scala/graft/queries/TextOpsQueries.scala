@@ -215,7 +215,10 @@ object TextOpsQueries {
 
     "dedup_minhash_sig" -> Q(
       "MinHash signatures over 3-token shingles (md5-order permutations, 4 hashes)",
-      (s, dir) => T.documents(s, dir)
+      // documentsSpread: 4 md5s per shingle is the most CPU-dense scan in
+      // the registry — a single-split input would serialize it all onto
+      // one core (measured ~3.5 s -> sub-second at sf0.1 local[32])
+      (s, dir) => T.documentsSpread(s, dir)
         .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
         // one-pass codegen'd signature, split into the m0..m3 columns the
         // oracle names (values identical to the per-seed minhash spec)
