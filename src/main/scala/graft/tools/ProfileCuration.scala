@@ -46,20 +46,22 @@ object ProfileCuration {
       .select(explode(graft.functions.HashedShinglesFunctions
         .hashedShingles(col("toks"), 3)).as("g3"))
       .distinct()
+    // round-7 registry shape: quality persists WITH the repetition flag
+    // (funnel sharing); candidates = the flag filter on the cache
+    val st = graft.functions.GramStats.gramStats(col("toks"), 2)
     val quality = base.filter(col("doc_id") >= 3)
       .select(col("doc_id"), col("text"), col("toks"),
         size(col("toks")).cast("long").as("n_tok"),
         size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
       .filter(col("n_tok") >= 20 &&
         col("n_uniq").cast("double") / col("n_tok").cast("double") >= 0.15)
-    val st = graft.functions.GramStats.gramStats(col("toks"), 2)
-    val candidates = quality
       .withColumn("st", st)
-      .filter(col("st.dup_c").cast("double")
+      .withColumn("r_ok", col("st.dup_c").cast("double")
         / col("st.n_grams").cast("double") <= 0.2)
-      .drop("st")
+      .select(col("doc_id"), col("text"), col("toks"), col("r_ok"))
       .persist()
-    time("1 gates->candidates persist")(candidates.count())
+    val candidates = quality.filter(col("r_ok"))
+    time("1 gates->quality persist")(quality.count())
 
     val contaminated = candidates
       .select(col("doc_id"), graft.functions.HashedShinglesFunctions
