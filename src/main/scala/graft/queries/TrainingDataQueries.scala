@@ -494,7 +494,7 @@ object TrainingDataQueries {
         |GROUP BY shard ORDER BY shard""".stripMargin),
 
     "bpe_train" -> Q(
-      "BPE tokenizer-vocabulary training (operators.BpeTrainer): ONE corpus-sized pass aggregates (word, count); 12 merge rounds then iterate the vocab-bounded word table only — two small shuffles each, winning pair a 1-row driver fetch (the IvfIndex centroid boundary). Exact counts + (count desc, pair asc) tie-break make the merge table reproducible at any cluster size — rows-only check (iterative data-dependent training is not ANSI-SQL-expressible; BpeTrainerSpec pins the merge sequence against a scalar reference implementation)",
+      "BPE tokenizer-vocabulary training (operators.BpeTrainer): ONE corpus-sized distributed pass aggregates (word, count); the merge loop then runs in-memory on the collected vocab-bounded word table (incremental pair-count maintenance + lazy-deletion heap — the production two-tier shape, IvfIndex-style driver-model boundary, zero per-merge job floor), falling back to a distributed conflict-free-batched loop past DriverVocabLimit. Exact counts + (count desc, pair asc) tie-break make the merge table reproducible at any cluster size and identical across both paths — rows-only check (iterative data-dependent training is not ANSI-SQL-expressible; BpeTrainerSpec pins both paths against a scalar reference implementation)",
       (s, dir) => {
         val m = graft.operators.BpeTrainer.train(
           T.documentsSpread(s, dir), "text", numMerges = 12, minCount = 2L)

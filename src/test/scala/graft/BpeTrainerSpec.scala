@@ -97,7 +97,10 @@ class BpeTrainerSpec extends SparkSpec {
     val corpus256 = words256 ++ words256
     val df = corpus256.zipWithIndex.map { case (w, i) => (i.toLong, w) }
       .toDF("doc_id", "text")
-    val m = BpeTrainer.train(df, "text", numMerges = 256, minCount = 1L)
+    // maxDriverWords = 0 forces the DISTRIBUTED loop — the truncation
+    // machinery under test only exists there
+    val m = BpeTrainer.train(df, "text", numMerges = 256, minCount = 1L,
+      maxDriverWords = 0L)
     val wordFreq = corpus256.groupBy(identity)
       .map { case (w, g) => w -> g.size.toLong }
     val expected = refBpe(wordFreq, 256)
@@ -106,6 +109,65 @@ class BpeTrainerSpec extends SparkSpec {
     assert(m.merges.map(g => (g.left, g.right, g.pairCount)) == expected)
     // the returned word table reads the final persisted cut + <=64 UDFs
     assert(m.wordCounts.count() == words256.size)
+  }
+
+  test("batched rounds: merge table == sequential reference in far fewer jobs") {
+    // a realistic skewed count distribution (distinct pair counts) is
+    // where batching earns its keep: the trainer must return the
+    // byte-identical merge table the per-merge sequential loop produces
+    // (refBpe IS that loop) while running a fraction of the rounds
+    val words = (0 until 80).map { i =>
+      val s = new StringBuilder
+      var v = i + 7
+      while (v > 0) { s += ('a' + v % 7 + (i % 3)).toChar; v /= 3 }
+      s.result() + ('f' + i % 11).toChar
+    }
+    val corpus = words.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(1 + (i * 13) % 37)(w)
+    }
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val expected = {
+      val wordFreq = corpus.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      refBpe(wordFreq, 64)
+    }
+    // distributed batched loop: same table, fewer jobs than merges
+    val m = BpeTrainer.train(df, "text", numMerges = 64, minCount = 1L,
+      maxDriverWords = 0L)
+    assert(m.merges.map(g => (g.left, g.right, g.pairCount)) == expected)
+    assert(m.merges.size > 20, s"corpus too small: ${m.merges.size} merges")
+    assert(m.rounds < m.merges.size,
+      s"batching never fired: ${m.rounds} rounds for ${m.merges.size} merges")
+    // driver-local incremental loop (the default under DriverVocabLimit):
+    // byte-identical merge table, ONE Spark job total
+    val local = BpeTrainer.train(df, "text", numMerges = 64, minCount = 1L)
+    assert(local.merges == m.merges)
+    assert(local.rounds == 1)
+  }
+
+  test("selectBatch is a strict prefix and rejects interference chains") {
+    // (a,b) merged to "ab" can create ("z","ab") with count up to
+    // min(cnt(z,a), cnt(a,b)) = 8 — so the count-8 candidate ("c","d")
+    // can tie with it and must only survive if it wins the pair-asc
+    // tie-break; ("b","e") shares a symbol and must stop the scan even
+    // though later candidates would be disjoint
+    val cands1 = Array(("a", "b", 10L), ("c", "d", 8L), ("z", "a", 8L))
+    // ("c","d") < ("z","ab") lexicographically: tie is safe, but
+    // ("z","a") shares 'a' -> stop there
+    assert(BpeTrainer.selectBatch(cands1, haveAll = true, maxSize = 10)
+      .map(t => (t._1, t._2)) == Seq(("a", "b"), ("c", "d")))
+    // ("x","y") ties at 8 with possible ("w","ab") — created up to 5
+    // plus the PRE-EXISTING ("w","ab") count 3 (symbol collision) — and
+    // loses the pair-asc tie-break ("w" < "x"), so the batch stops
+    val cands2 = Array(("a", "b", 10L), ("x", "y", 8L), ("w", "a", 5L),
+      ("w", "ab", 3L))
+    assert(BpeTrainer.selectBatch(cands2, haveAll = true, maxSize = 10)
+      .map(t => (t._1, t._2)) == Seq(("a", "b")))
+    // truncated table (floor = last count 10): nothing at or below
+    // 2*floor may join — pairs below the cut have unknown identities
+    val cands3 = Array(("a", "b", 100L), ("c", "d", 25L), ("e", "f", 10L))
+    assert(BpeTrainer.selectBatch(cands3, haveAll = false, maxSize = 10)
+      .map(t => (t._1, t._2)) == Seq(("a", "b"), ("c", "d")))
   }
 
   test("vocab: the dominant word collapses toward a single token") {
