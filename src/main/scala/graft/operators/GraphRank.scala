@@ -43,8 +43,10 @@ object GraphRank {
   /** Run `iters` power-iteration rounds over a directed edge list
     * `(src: long, dst: long)` in which every node has at least one
     * out-edge and one in-edge (any symmetrized undirected graph
-    * qualifies). Returns `(id, rank)` with BIGINT ranks on the
-    * fixed-point scale:
+    * qualifies). Parallel (duplicate) edges collapse — the operator
+    * aggregates the edge list to per-source neighbor SETS, so callers
+    * need no upstream `distinct()` of their own. Returns `(id, rank)`
+    * with BIGINT ranks on the fixed-point scale:
     *
     *   r0(v)   = scale div N
     *   r_k+1(v) = (15·(scale div N)) div 100
@@ -59,38 +61,34 @@ object GraphRank {
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
 
-    // ONE persisted artifact: edges with outdeg attached, hash-partitioned
-    // on `src` (so every round's propagation join reuses the cached
-    // partitioning without re-shuffling |E| rows). outdeg rides a
-    // count-over-partition WINDOW on the same src shuffle the cache needs
-    // anyway — one pass, no aggregate side, no join; the previous
-    // deg-aggregate + join form executed the upstream edge pipeline
-    // (often a distinct over a pair self-join, the expensive part) once
-    // per join side (measured ~1.2 s of the 4.7 s query at sf0.1).
-    // Whole-partition count buffers one src's edge list per window group —
-    // bounded by max outdeg, fine for real graphs (web hosts top out
+    // ONE persisted artifact, ONE shuffle to build it: the adjacency-SET
+    // table (src, outdeg, dsts[]), hash-partitioned on `src` by its own
+    // groupBy. collect_set dedups pairs inside the same exchange the
+    // partitioning needs anyway — the former edge-level form spent one
+    // shuffle on pair-distinct plus another on a count window, and its
+    // cache held one row per EDGE; this one holds |V| rows (array cells
+    // still total |E| longs, but per-round join work drops from |E| to
+    // |V| streamed rows). outdeg = size(dsts) is free. Per-src buffering
+    // is bounded by max outdeg — fine for real graphs (web hosts top out
     // ~1e7 out-edges = ~100 MB of longs); a graph with adversarial
-    // single-node fanout would switch back to partial-agg + join.
-    val edgesD = edges
-      .withColumn("outdeg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    // single-node fanout would switch to salted two-level aggregation.
+    val grouped = edges
+      .groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("dsts"))
+      .select(col("src"), size(col("dsts")).cast("long").as("outdeg"),
+        col("dsts"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // The vertex table derives from the cache once and is itself persisted
-    // (|V| longs): the window output is already hash-partitioned on `src`,
-    // so this distinct is exchange-free, and the ranks init below reads it
-    // back instead of re-scanning |E| cached rows a second time.
-    val verts = edgesD.select(col("src")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // |V| is the one driver-side scalar (the IvfIndex-centroid boundary):
     // the teleport terms are global constants of the graph. This count is
-    // also the action that materializes edgesD and verts.
-    val n = verts.count()
+    // also the action that materializes the adjacency cache — which IS
+    // the vertex table (one row per src), no separate distinct needed.
+    val n = grouped.count()
     require(n > 0, "empty edge list")
     val rInit = scale / n
     val base = (15L * rInit) / 100L
 
-    var ranks = verts.select(col("src").as("id"), lit(rInit).as("rank"))
+    var ranks = grouped.select(col("src").as("id"), lit(rInit).as("rank"))
     // shuffle_hash unconditionally — measured 3× FASTER than broadcast
     // here even though |V| is tiny at test scale (20.4 s vs 6.2 s at
     // sf0.1): round k's rank plan nests all previous rounds, and a
@@ -99,14 +97,44 @@ object GraphRank {
     // shuffle stages are reused across the nested plans. At 100 TB
     // broadcasting |V| is impossible anyway (the ConnectedComponents
     // argument) — the scale-correct plan and the fast local plan agree.
+    // The propagation join streams |V| adjacency rows (not |E| edges);
+    // contributions explode AFTER the join, straight into the map-side
+    // partial aggregation of the dst-sum shuffle — per round: one |V|-row
+    // exchange of ranks, one |E|-cell combine-then-shuffle on dst,
+    // in-degree skew absorbed by the partial agg.
+    //
+    // AQE is suspended for the rank ROUNDS only (the ConnectedComponents
+    // / BpeTrainer argument): all K rounds are the SAME join+agg plan
+    // over the cached adjacency table, so adaptive re-planning only adds
+    // per-round driver round-trips and stage serialization — measured
+    // ~0.35 s of the ~2.8 s registry query at sf0.1 (the adjacency BUILD
+    // above stays under AQE, where coalescing measurably helps its
+    // wide-row aggregations). The toggle needs the ACTION under it, so
+    // the final ranks are materialized (persisted + counted) inside the
+    // scope and returned cache-backed; callers' downstream reads are
+    // plain cache scans. Same single-threaded-session caveat as the
+    // other loop operators: concurrent queries belong on
+    // spark.newSession().
+    val conf = edges.sparkSession.conf
+    val aqePrev = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     for (_ <- 1 to iters) {
-      ranks = edgesD
-        .join(ranks.hint("shuffle_hash"), edgesD("src") === ranks("id"))
+      ranks = grouped
+        .join(ranks.hint("shuffle_hash"), grouped("src") === ranks("id"))
+        .select(explode(col("dsts")).as("dst"),
+          expr("rank div outdeg").as("c"))
         .groupBy(col("dst"))
-        .agg(sum(expr("rank div outdeg")).as("m"))
+        .agg(sum(col("c")).as("m"))
         .select(col("dst").as("id"),
           (lit(base) + expr("(85 * m) div 100")).as("rank"))
     }
-    ranks
+    val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out
+    } finally aqePrev match {
+      case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
+      case None    => conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 }

@@ -938,14 +938,15 @@ object AnalyticsQueries {
         // builds the per-order part set (collect_set dedups inside the
         // same shuffle the old `distinct` spent on its own) and pair
         // generation is a row-local double explode over the ≤7-element
-        // set — no self-join, one fewer shuffle, identical edge set.
+        // set — no self-join. Cross-order pair dedup is powerIteration's
+        // own adjacency-set aggregation (set semantics), so no separate
+        // pair-distinct shuffle here at all.
         val e = T.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
           .select(explode(col("pks")).as("src"), col("pks"))
           .select(col("src"), explode(col("pks")).as("dst"))
           .filter(col("src") =!= col("dst"))
-          .distinct()
         graft.operators.GraphRank.powerIteration(e, iters = 5)
           .orderBy(col("rank").desc, col("id"))
           .limit(25)
