@@ -87,7 +87,7 @@ object McpTools {
     Tool("sync_emails",
       "Perform incremental sync to import only new emails since last import.",
       List(
-        Param("inbox_dir", "string", "Inbox directory to sync from (the reference's tool is parameterless because its OAuth session is ambient; the directory provider needs a source path)", required = true))),
+        Param("inbox_dir", "string", "Inbox directory to sync from (the reference's tool is parameterless because its OAuth session is ambient; the directory provider reads this, falling back to the server's configured default inbox so a reference-conformant parameterless call still works)"))),
     Tool("get_email_by_id",
       "Retrieve a specific email by its database ID, including full content and metadata.",
       List(
@@ -179,7 +179,8 @@ object McpTools {
 
   /** Execute one tool call against the engine. Row payloads serialize via
     * Spark's toJSON, as in [[RestServer]]. */
-  def dispatch(api: EmailEtlApi, toolName: String, params: JValue): JValue = {
+  def dispatch(api: EmailEtlApi, toolName: String, params: JValue,
+      defaultInboxDir: Option[String] = None): JValue = {
     val tool = tools.find(_.name == toolName)
       .getOrElse(throw McpError(s"MCP tool '$toolName' not found"))
     val p = cleaned(tool, params)
@@ -230,16 +231,26 @@ object McpTools {
         rows(api.patterns(p.get("group_by").flatMap(_.extractOpt[String]).getOrElse("sender"),
           int("days", 30)))
       case "import_emails" =>
-        val dir = p.get("query").flatMap(_.extractOpt[String]).getOrElse("")
-        if (dir.isEmpty) throw McpError(
-          "tool 'import_emails': pass the inbox DIRECTORY path as 'query' — " +
-            "the provider here is a directory of raw messages (live OAuth " +
-            "ingest is environment-excluded; same substitution as " +
-            "POST /api/emails/import's inbox_dir)")
+        // Reference parity (ADVICE r7): a client sending the reference's
+        // default empty query (or no parameter at all) falls through to
+        // the server's configured inbox — the directory provider's
+        // analog of the reference's ambient OAuth session.
+        val dir = p.get("query").flatMap(_.extractOpt[String])
+          .filter(_.nonEmpty).orElse(defaultInboxDir).getOrElse(throw McpError(
+            "tool 'import_emails': pass the inbox DIRECTORY path as 'query' — " +
+              "the provider here is a directory of raw messages (live OAuth " +
+              "ingest is environment-excluded; same substitution as " +
+              "POST /api/emails/import's inbox_dir) — or configure a " +
+              "default inbox on the server"))
         importStatusJson(api.importFull(dir,
           p.get("max_results").flatMap(_.extractOpt[Int])))
       case "sync_emails" =>
-        importStatusJson(api.syncIncremental(str("inbox_dir")))
+        val dir = p.get("inbox_dir").flatMap(_.extractOpt[String])
+          .filter(_.nonEmpty).orElse(defaultInboxDir).getOrElse(throw McpError(
+            "tool 'sync_emails': no inbox_dir given and no default inbox " +
+              "configured on the server (the reference's parameterless form " +
+              "works when the server is started with a default inbox)"))
+        importStatusJson(api.syncIncremental(dir))
     }
   }
 

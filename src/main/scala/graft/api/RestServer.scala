@@ -56,8 +56,15 @@ object RestServer {
 
   /** Start serving `api` on 127.0.0.1:`port` (port 0 = ephemeral, for
     * tests). Single-threaded executor: requests serialize, which matches
-    * Spark's driver-side session threading contract. */
-  def start(api: EmailEtlApi, port: Int = 8000): HttpServer = {
+    * Spark's driver-side session threading contract.
+    *
+    * `defaultInboxDir` is the directory provider's analog of the
+    * reference's ambient OAuth session: when set (parameter or
+    * GRAFT_INBOX_DIR), a reference-conformant parameterless MCP
+    * `sync_emails` / empty-query `import_emails` call syncs that inbox
+    * instead of erroring (ADVICE r7 parity note). */
+  def start(api: EmailEtlApi, port: Int = 8000,
+      defaultInboxDir: Option[String] = sys.env.get("GRAFT_INBOX_DIR")): HttpServer = {
     val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
 
     // Per-instance request counters behind GET /metrics. The reference
@@ -239,7 +246,7 @@ object RestServer {
       val tool = (body \ "tool").extractOpt[String]
         .getOrElse(throw BadRequest("missing field: tool"))
       try JObject("tool" -> JString(tool),
-        "result" -> McpTools.dispatch(api, tool, body \ "parameters"))
+        "result" -> McpTools.dispatch(api, tool, body \ "parameters", defaultInboxDir))
       catch { case McpTools.McpError(m) => throw BadRequest(m) }
     }
 

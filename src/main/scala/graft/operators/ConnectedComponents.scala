@@ -88,6 +88,10 @@ object ConnectedComponents {
     // are latency-bound per round; static planning is the right trade at
     // every scale — skew lives in the EDGE list, which is handled by the
     // pre-partitioned persisted exchange, not per-round re-planning.
+    // NOTE: the conf toggle mutates the SHARED session non-atomically —
+    // the harness contract is one driver-side loop per session at a time
+    // (run concurrent queries, e.g. a live REST server, on
+    // spark.newSession() so each has its own conf view).
     val aqePrev = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try resolveLoop(spark, pairs, maxIters, decSum)
@@ -152,6 +156,7 @@ object ConnectedComponents {
         .select(col("src").as("id"), col("label")))
     var converged = false
     var iter = 0
+    try {
     while (!converged && iter < maxIters) {
       // step 1: min over self + neighborhood — the self-loop rows make the
       // node's own label a member of the aggregated set, and because the
@@ -203,6 +208,18 @@ object ConnectedComponents {
         converged = sumNew != null && sumPrev != null && sumNew.compareTo(sumPrev) == 0
       }
       iter += 1
+    }
+    } catch { case t: Throwable =>
+      // Exception paths OTHER than non-convergence (a Spark failure or a
+      // cancelled job mid-round): without this, the current round's
+      // persisted cut would leak |V|-sized block-manager blocks in a
+      // long-lived session. Registering it keeps harness freeAll() able
+      // to reclaim; an in-flight nextRdd whose action never completed is
+      // reclaimed by the ContextCleaner once unreferenced.
+      if (labelsRdd != null) LoopRdds.register(labelsRdd)
+      symPairs.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      throw t
     }
     symPairs.unpersist(blocking = false)
     edges.unpersist(blocking = false)

@@ -464,10 +464,19 @@ object VectorSearchQueries {
           numSubspaces = 8, codebookSize = 16, iters = 2)
         val encoded = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", m)
         val q = emb.filter(col("vec_id") === 0L)
-          .select(col("embedding")).collect()(0).getSeq[Float](0).toSeq
+          .select(col("embedding")).collect().headOption
+          .getOrElse(throw new IllegalArgumentException(
+            "ann_pq_exact: query vector vec_id=0 not found in embeddings"))
+          .getSeq[Float](0).toSeq
         // corpus row count = the rerank window (1-scalar driver boundary,
-        // the IvfIndex-centroid kind)
+        // the IvfIndex-centroid kind). The whole-corpus rerank is the
+        // exactness ANCHOR, not a production shape — it only makes sense
+        // at fixture scale, so an Int window is inherent; guard rather
+        // than silently truncate past 2^31 rows.
         val n = emb.count()
+        require(n <= Int.MaxValue,
+          s"ann_pq_exact reranks the whole corpus ($n rows) — an exactness " +
+            "anchor for fixture scale, not a production query")
         graft.operators.PqIndex.search(
           encoded.filter(col("vec_id") =!= 0L),
           "vec_id", "embedding", m, q, topK = 10, rerank = n.toInt)

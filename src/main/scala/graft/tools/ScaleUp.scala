@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× inflation of a driver fixture (VERDICT r7 task #1).
+  *
+  * Every 100 TB claim in SCALE.md rests on measured runs at sf0.1 (17 MB);
+  * this tool synthesizes the next empirical scale point by inflating sf0.1
+  * `factor`× such that the STATISTICS the heavy operators are sensitive to
+  * are preserved per copy and independent across copies:
+  *
+  *  - `documents`: copy 0 is the original corpus byte-for-byte. Copy k>0
+  *    re-ids (`doc_id + k·10^6`) and applies a word-level salt (every
+  *    whitespace token gets the copy number appended). Within a copy the
+  *    shingle/near-dup structure is IDENTICAL to the original — the salt
+  *    is a bijection on the token alphabet, so two docs share a salted
+  *    shingle iff they shared the unsalted one — while across copies no
+  *    shingle ever collides. Net: dedup rate per copy equals sf0.1's,
+  *    total near-dup pairs scale exactly linearly, and an inflation that
+  *    just duplicated text (making 90% of the corpus exact dups) is
+  *    avoided.
+  *  - `embeddings`: copy k>0 re-ids (`vec_id + k·10^6`) and applies ONE
+  *    orthogonal transform per copy — a k-step dimension rotation times a
+  *    per-(dim,copy) ±1 sign pattern. Orthogonality means every
+  *    within-copy inner product (hence cosine) is bit-preserved, so the
+  *    semantic-dedup rate and k-NN neighborhoods per copy equal the
+  *    original's; across copies the transforms differ, decorrelating the
+  *    copies. Norms are untouched.
+  *  - `lineitem`: copy k offsets `l_orderkey` (+k·10^8) and `l_partkey`
+  *    (+k·10^7): the part co-purchase graph becomes `factor` disjoint
+  *    isomorphic components — PageRank/CC rounds stay constant while
+  *    |V|,|E| scale linearly, the exact regime a 100 TB corpus graph is in.
+  *  - `events`: copy k offsets `event_id` (+k·10^8) and `user_id`
+  *    (+k·10^7); timestamps untouched (windows see factor× density).
+  *
+  * All other tables are passed through unchanged (hard-linked/copied), so
+  * any registry query runs against the output directory.
+  *
+  * Usage: ScaleUp [srcDir] [outDir] [factor]; defaults
+  * (/root/testdata/sf0.1, /root/repo/scale10, 10).
+  */
+object ScaleUp {
+  private val DocStride   = 1000000L   // > max doc_id / vec_id at any sf here
+  private val OrderStride = 100000000L // > max l_orderkey at sf0.1 (~6e6)
+  private val PartStride  = 10000000L  // > max l_partkey at sf0.1 (~2e5)
+
+  def inflateDocuments(df: DataFrame, factor: Int): DataFrame = {
+    val copies = df.sparkSession.range(0, factor.toLong)
+      .select(col("id").cast("int").as("copy"))
+    df.crossJoin(broadcast(copies))
+      .select(
+        (col("doc_id") + col("copy").cast("long") * DocStride).as("doc_id"),
+        when(col("copy") === 0, col("text")).otherwise(
+          array_join(
+            transform(split(col("text"), " "),
+              w => concat(w, col("copy").cast("string"))),
+            " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def inflateEmbeddings(df: DataFrame, factor: Int): DataFrame = {
+    val copies = df.sparkSession.range(0, factor.toLong)
+      .select(col("id").cast("int").as("copy"))
+    // Orthogonal per-copy transform: out[i] = in[(i+copy) mod d] * s(i,copy)
+    // with s a deterministic ±1 pattern (Knuth multiplicative hash parity).
+    // Permutation × diagonal(±1) preserves all within-copy inner products:
+    // <P·s⊙u, P·s⊙v> = Σ s²·u·v = <u,v>.
+    val d = size(col("embedding"))
+    val transformed = transform(
+      sequence(lit(0), d - 1),
+      i => element_at(col("embedding"), pmod(i + col("copy"), d) + 1) *
+        when(pmod((i + lit(1)).cast("long") * lit(2654435761L) +
+          col("copy").cast("long"), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
+    df.crossJoin(broadcast(copies))
+      .select(
+        (col("vec_id") + col("copy").cast("long") * DocStride).as("vec_id"),
+        when(col("copy") === 0, col("embedding"))
+          .otherwise(transformed.cast("array<float>")).as("embedding"),
+        col("label"))
+  }
+
+  def inflateLineitem(df: DataFrame, factor: Int): DataFrame = {
+    val copies = df.sparkSession.range(0, factor.toLong)
+      .select(col("id").cast("int").as("copy"))
+    val k = col("copy").cast("long")
+    df.crossJoin(broadcast(copies))
+      .withColumn("l_orderkey", col("l_orderkey") + k * OrderStride)
+      .withColumn("l_partkey", col("l_partkey") + k * PartStride)
+      .drop("copy")
+  }
+
+  def inflateEvents(df: DataFrame, factor: Int): DataFrame = {
+    val copies = df.sparkSession.range(0, factor.toLong)
+      .select(col("id").cast("int").as("copy"))
+    val k = col("copy").cast("long")
+    df.crossJoin(broadcast(copies))
+      .withColumn("event_id", col("event_id") + k * OrderStride)
+      .withColumn("user_id", col("user_id") + k * PartStride)
+      .drop("copy")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src    = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out    = args.lift(1).getOrElse("/root/repo/scale10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String): Unit = {
+      // 32 output files: the inflated corpus must arrive as many splits
+      // (documentsSpread's rationale) so scan parallelism is native, not
+      // manufactured by the query.
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+      println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+    write(inflateDocuments(spark.read.parquet(s"$src/documents.parquet"), factor), "documents")
+    write(inflateEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor), "embeddings")
+    write(inflateLineitem(spark.read.parquet(s"$src/lineitem.parquet"), factor), "lineitem")
+    // events.ts may be nanos parquet (Tables.events handles both); pass
+    // the raw column through unchanged so the output round-trips.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write(inflateEvents(spark.read.parquet(s"$src/events.parquet"), factor), "events")
+    // Pass-through for the rest so every registry query resolves.
+    val small = Seq("region", "nation", "customer", "supplier", "part", "orders")
+    small.foreach { t =>
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
+    }
+    spark.stop()
+  }
+}

@@ -176,7 +176,7 @@ class RestServerSpec extends SparkSpec {
           "the terraform plan shows unexpected drift in staging")
       ).mkString("\n").getBytes("UTF-8"))
     val api3 = new EmailEtlApi(spark, tmpDir("mcp-import-store"))
-    val srv3 = RestServer.start(api3, port = 0)
+    val srv3 = RestServer.start(api3, port = 0, defaultInboxDir = Some(inbox))
     try {
       val b = s"http://127.0.0.1:${srv3.getAddress.getPort}"
       // import: directory path travels as `query` (provider substitution);
@@ -202,6 +202,14 @@ class RestServerSpec extends SparkSpec {
       assert((j3 \ "result" \ "status").extract[String] == "completed")
       assert((j3 \ "result" \ "processed").extract[Int] == 0)
       assert((j3 \ "result" \ "skipped").extract[Int] == 1)
+      // reference parity (ADVICE r7): parameterless sync_emails works when
+      // the server has a configured default inbox — the directory
+      // provider's analog of the reference's ambient OAuth session
+      val (c4, j4) = http("POST", "/mcp/call",
+        Some("""{"tool": "sync_emails"}"""), root = b)
+      assert(c4 == 200)
+      assert((j4 \ "result" \ "status").extract[String] == "completed")
+      assert((j4 \ "result" \ "skipped").extract[Int] == 1)
     } finally srv3.stop(0)
   }
 
