@@ -92,6 +92,29 @@ object Bench {
       name -> (if (runs.exists(_._1 < 0)) -1.0 else best._1)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Drift calibration anchor (VERDICT r7 task #2): three queries whose
+    // plans have been untouched since round 4 serve as environment
+    // controls. Their reference times are the r4-r7 medians (the rounds
+    // sharing this file's GC+settle methodology); the reported `factor`
+    // is the MEDIAN of the three ratios, so one noisy control (c9_rollup
+    // historically swings ±50%) cannot move it. A reader divides any
+    // per-query time by `factor` to separate machine drift from plan
+    // regressions — round 7 burned a full judge investigation proving a
+    // 1.4x "regression wave" was the shared box, which this field now
+    // answers in one read. Refresh the refs if a control's plan changes.
+    val controlRefs = Seq(
+      "b5_range_topk" -> 0.117, "w1_window_suite" -> 0.233, "c9_rollup" -> 1.066)
+    val controlRatios = controlRefs.flatMap { case (n, ref) =>
+      results.get(n).filter(_ > 0).map(t => (n, t, ref, t / ref))
+    }
+    val driftFactor = controlRatios.map(_._4).sorted.lift(controlRatios.size / 2)
+      .getOrElse(1.0)
+    val driftJson = {
+      val cs = controlRatios.map { case (n, t, ref, r) =>
+        f""""$n":{"sec":$t%.3f,"ref":$ref%.3f,"ratio":$r%.2f}"""
+      }.mkString("{", ",", "}")
+      f"""{"controls":$cs,"factor":$driftFactor%.2f}"""
+    }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line out of that tail. A full 100+-query map at double precision
     // is ~4 KB and gets truncated mid-line (BENCH_r01..r03 all recorded
@@ -118,7 +141,7 @@ object Bench {
         "~2x an isolated SPARK_GRAFT_BENCH_ONLY rerun (scheduler/code-cache " +
         "contention, gc attributed separately); multi-second readings are real"
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec_of_best_run":$fullGc,"inflation_note":"$inflationNote","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec_of_best_run":$fullGc,"drift":$driftJson,"inflation_note":"$inflationNote","sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
@@ -139,7 +162,9 @@ object Bench {
       "c9_rollup").filter(results.contains)
     val bySlow = results.toSeq.sortBy(-_._2).map(_._1)
       .filterNot(headline.contains)
-    val budget = 1400 // chars for the queries map alone; whole line < 1600
+    // chars for the queries map alone; whole line (incl. the ~230-char
+    // drift anchor) stays under the driver's ~2000-char stdout tail
+    val budget = 1200
     val picked = scala.collection.mutable.LinkedHashSet[String](headline: _*)
     var len = picked.toSeq.map(k => k.length + j3(results(k)).length + 4).sum
     bySlow.foreach { k =>
@@ -149,7 +174,7 @@ object Bench {
     val qs = picked.toSeq
       .map(k => "\"" + k + "\":" + j3(results(k))).mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${j3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"drift":$driftJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -476,6 +476,25 @@ object AnalyticsQueries {
       },
       None),
 
+    "hll_distinct_exact" -> Q(
+      "HLL exactness-envelope anchor (the ann_pq_exact pattern, VERDICT r7 task #6): the identical sketch-agg → merge → estimate pipeline as hll_distinct, on a keyspace bounded to 256 values — far below the lgK=12 sketch's coupon-list capacity, so the sketch never leaves its EXACT sparse mode and the rounded estimate equals COUNT(DISTINCT) by construction. Pins the HLL plumbing (hashing, partial-sketch merge across partitions, estimator) to a DuckDB hash row; the error envelope at large cardinality stays spec-checked (SketchSpec) on the rows-only twin",
+      (s, dir) => {
+        T.events(s, dir)
+          .filter(col("value") > 180.0)
+          .groupBy(col("event_type"))
+          .agg(
+            round(hll_sketch_estimate(
+              hll_sketch_agg(pmod(col("user_id"), lit(256)), lit(12))))
+              .cast("long").as("users_hll"),
+            countDistinct(pmod(col("user_id"), lit(256))).as("users_exact"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id % 256) AS BIGINT) AS users_hll,
+        |  CAST(COUNT(DISTINCT user_id % 256) AS BIGINT) AS users_exact
+        |FROM events WHERE value > 180.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     "c18_mode" -> Q(
       "Deterministic mode: most frequent order priority per status, ties broken by LARGEST priority (max over (count, value) structs; engines' native mode() leaves ties undefined — spelled out as count-then-argmax instead)",
       (s, dir) => {

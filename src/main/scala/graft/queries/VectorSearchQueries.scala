@@ -442,6 +442,25 @@ object VectorSearchQueries {
       },
       None),
 
+    "ann_ivf_trained_exact" -> Q(
+      "ANN: trained-IVF exactness-envelope anchor (the ann_pq_exact pattern, VERDICT r7 task #6) — the identical train→assign→probe pipeline as ann_ivf_trained with nprobe widened to ALL partitions: the centroid filter passes every row regardless of where float-approximate training placed the centroids, so the exact-cosine scan alone decides the top-10 and the result equals brute-force k-NN — which pins the IVF plumbing (train, assign, probe-filter, rank) to a DuckDB hash row; the nprobe=all==brute-force property itself is also spec-asserted in IvfIndexSpec",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+        val m = graft.operators.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+        val assigned = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", m)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect().headOption
+          .getOrElse(throw new IllegalArgumentException(
+            "ann_ivf_trained_exact: query vector vec_id=0 not found"))
+          .getSeq[Float](0).toSeq
+        graft.operators.IvfIndex.search(assigned, "vec_id", "embedding", m, q,
+          topK = 10, nprobe = 8)
+      },
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+         |FROM embeddings, q
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+
     "ann_pq_knn" -> Q(
       "ANN: product quantization (M=8 subspaces × K=16 Lloyd-trained codes) — the compression rung: ADC scan reads only the M-byte code column (32× less scan bandwidth than float vectors), exact cosine reranks the top 50 — rows-only check (float-mean training is run-approximate by design; the lossless-regime PQ==brute-force anchor and lossy recall@10 are spec-asserted in PqIndexSpec)",
       (s, dir) => {
