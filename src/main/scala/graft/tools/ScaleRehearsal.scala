@@ -43,10 +43,14 @@ object ScaleRehearsal {
       graft.operators.ConnectedComponents.freeAll()
       System.gc(); Thread.sleep(30)
     }
+    // timed-run count: 3 for the default sub-10s queries; drop to 2 via
+    // env for multi-minute 100x readings where run-to-run variance is
+    // already small relative to the measured time
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
     def time(name: String, dir: String): Double = {
       val fn = qs(name)
       reset(); try materialize(fn(spark, dir)) catch { case _: Throwable => () }
-      val runs = (1 to 3).map { _ =>
+      val runs = (1 to nRuns).map { _ =>
         reset()
         val t0 = System.nanoTime()
         try { materialize(fn(spark, dir)); (System.nanoTime() - t0) / 1e9 }
@@ -68,9 +72,13 @@ object ScaleRehearsal {
       f""""$n":{"base_sec":$b%.3f,"scaled_sec":$s%.3f,"ratio":$r%.3f,"ratio_over_factor":$nn%.3f}"""
     }.mkString("{", ",", "}")
     val line = s"""{"factor":$factor,"base":"$base","scaled":"$scaled","queries":$json}"""
+    // JSONL, appended: each line is one (base, scaled) measurement pair,
+    // so successive scale points (sf0.1→10×, 10×→100×) accumulate
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_REHEARSAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     println("SCALE_REHEARSAL " + line)
     spark.stop()

@@ -105,6 +105,11 @@ object ScaleUp {
     val src    = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out    = args.lift(1).getOrElse("/root/repo/scale10")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // which of the four inflatable tables to actually inflate (the rest
+    // pass through at 1x) — a 100x documents run shouldn't pay for 600M
+    // lineitem rows it won't measure
+    val inflate = args.lift(3).map(_.split(",").toSet)
+      .getOrElse(Set("documents", "embeddings", "lineitem", "events"))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -121,13 +126,17 @@ object ScaleUp {
         .parquet(s"$out/$name.parquet")
       println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
-    write(inflateDocuments(spark.read.parquet(s"$src/documents.parquet"), factor), "documents")
-    write(inflateEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor), "embeddings")
-    write(inflateLineitem(spark.read.parquet(s"$src/lineitem.parquet"), factor), "lineitem")
+    def maybe(name: String, f: DataFrame => DataFrame): Unit = {
+      val in = spark.read.parquet(s"$src/$name.parquet")
+      write(if (inflate(name)) f(in) else in, name)
+    }
+    maybe("documents", inflateDocuments(_, factor))
+    maybe("embeddings", inflateEmbeddings(_, factor))
+    maybe("lineitem", inflateLineitem(_, factor))
     // events.ts may be nanos parquet (Tables.events handles both); pass
     // the raw column through unchanged so the output round-trips.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write(inflateEvents(spark.read.parquet(s"$src/events.parquet"), factor), "events")
+    maybe("events", inflateEvents(_, factor))
     // Pass-through for the rest so every registry query resolves.
     val small = Seq("region", "nation", "customer", "supplier", "part", "orders")
     small.foreach { t =>
