@@ -526,6 +526,38 @@ object VectorSearchQueries {
       },
       None),
 
+    "ann_ivfpq_exact" -> Q(
+      "ANN: IVF-PQ exactness-envelope anchor completing the family's trio (ann_pq_exact, ann_ivf_trained_exact) — the identical composed train→assign→encode→probe→ADC→rerank stack as ann_ivfpq_knn with BOTH approximation dials opened: nprobe=all partitions (the coarse filter passes every row wherever float training placed centroids) and rerank=corpus (the ADC stage only selects the rerank set, so it selects everything): the exact-cosine rerank alone decides the top-10 == brute-force k-NN, pinning the full two-level plumbing to a DuckDB hash row",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val ivf = graft.operators.IvfIndex.train(emb, "vec_id", "embedding",
+          k = 8, iters = 2)
+        val pq = graft.operators.PqIndex.train(emb, "vec_id", "embedding",
+          numSubspaces = 8, codebookSize = 16, iters = 2)
+        val indexed = graft.operators.PqIndex.encode(
+          graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", ivf),
+          "vec_id", "embedding", pq)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect().headOption
+          .getOrElse(throw new IllegalArgumentException(
+            "ann_ivfpq_exact: query vector vec_id=0 not found"))
+          .getSeq[Float](0).toSeq
+        val probes = ivf.rank(q.map(_.toDouble))
+        val n = emb.count()
+        require(n <= Int.MaxValue,
+          s"ann_ivfpq_exact reranks the whole corpus ($n rows) — an " +
+            "exactness anchor for fixture scale, not a production query")
+        graft.operators.PqIndex.search(
+          indexed.filter(col("centroid_id").isin(probes: _*))
+            .filter(col("vec_id") =!= 0L),
+          "vec_id", "embedding", pq, q, topK = 10, rerank = n.toInt)
+      },
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+         |FROM embeddings, q
+         |WHERE vec_id <> 0 AND embedding IS NOT NULL
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+
     "ann_recall" -> Q(
       "ANN recall instrumentation: recall@10 of the LSH-bucketed and IVF-pruned searches against the exact cosine top-10 — the measured number behind the documented speed/recall trade (all three searches are deterministic, so recall itself is oracle-checkable)",
       (s, dir) => {
