@@ -29,7 +29,12 @@ object ScaleRehearsal {
     val names  = args.lift(3).map(_.split(",").toSeq).getOrElse(HeavyDefault)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // a fixed partition count is the one knob that CANNOT stay fixed
+      // across a 100× inflation (a real cluster sizes it with the data);
+      // overridable so scale points can be measured at a data-appropriate
+      // parallelism as well as at the harness default
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
