@@ -45,13 +45,14 @@ object ScaleUp {
   private val OrderStride = 100000000L // > max l_orderkey at sf0.1 (~6e6)
   private val PartStride  = 10000000L  // > max l_partkey at sf0.1 (~2e5)
 
-  def inflateDocuments(df: DataFrame, factor: Int): DataFrame = {
+  def inflateDocuments(df: DataFrame, factor: Int,
+      salt: Boolean = true): DataFrame = {
     val copies = df.sparkSession.range(0, factor.toLong)
       .select(col("id").cast("int").as("copy"))
     df.crossJoin(broadcast(copies))
       .select(
         (col("doc_id") + col("copy").cast("long") * DocStride).as("doc_id"),
-        when(col("copy") === 0, col("text")).otherwise(
+        when(col("copy") === 0 || lit(!salt), col("text")).otherwise(
           array_join(
             transform(split(col("text"), " "),
               w => concat(w, col("copy").cast("string"))),
@@ -130,7 +131,17 @@ object ScaleUp {
       val in = spark.read.parquet(s"$src/$name.parquet")
       write(if (inflate(name)) f(in) else in, name)
     }
-    maybe("documents", inflateDocuments(_, factor))
+    // "documents_nosalt" inflates documents but duplicates text verbatim
+    // (re-ids only): vocab stays CONSTANT under inflation — the control
+    // fixture that isolates the salt-driven vocab-growth term in
+    // bpe_encode's scaling (a real corpus's vocabulary grows ~log n; the
+    // salted fixture's grows ~n)
+    if (inflate("documents_nosalt"))
+      write(inflateDocuments(
+        spark.read.parquet(s"$src/documents.parquet"), factor, salt = false),
+        "documents")
+    else
+      maybe("documents", inflateDocuments(_, factor))
     maybe("embeddings", inflateEmbeddings(_, factor))
     maybe("lineitem", inflateLineitem(_, factor))
     // events.ts may be nanos parquet (Tables.events handles both); pass
