@@ -118,6 +118,40 @@ object ConnectedComponents {
     val symPairs = pairs
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size the LOOP's shuffle width to the measured edge count. With AQE
+    // suspended (above), nothing coalesces the per-round shuffles, and a
+    // session-default partition count (sized for corpus-scale scans)
+    // turns each round of a small component graph into hundreds of
+    // near-empty tasks — measured as most of the per-round wall time at
+    // fixture scale. The count job doubles as the materialization of the
+    // persisted pair stage (the expensive LSH/cosine end of the caller's
+    // pipeline), so its marginal cost is one driver round trip; the width
+    // is clamped to the session default, so at cluster scale — where
+    // |E| rows / SizePerPartition exceeds it — the loop keeps the
+    // caller's full parallelism and this is a no-op.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val edgeRows = symPairs.count() * 2L // symmetrized below; self-loops add ~|V| more
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      edgeRows / RowsPerLoopPartition + 1L)).toInt
+    val partsPrev = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try resolveRounds(spark, symPairs, maxIters, decSum)
+    finally partsPrev match {
+      case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+      case None    => spark.conf.unset("spark.sql.shuffle.partitions")
+    }
+  }
+
+  /** Rows of fixed-width (id, label) longs per loop-shuffle partition —
+    * small enough that a partition is milliseconds of work, large enough
+    * that fixture-scale graphs collapse to a handful of tasks per round. */
+  private val RowsPerLoopPartition = 250000L
+
+  private def resolveRounds(
+      spark: org.apache.spark.sql.SparkSession,
+      symPairs: DataFrame,
+      maxIters: Int,
+      decSum: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val sym = symPairs
       .union(symPairs.select(col("dst").as("src"), col("src").as("dst")))
     val edges = sym

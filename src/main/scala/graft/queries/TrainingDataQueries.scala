@@ -104,9 +104,15 @@ object TrainingDataQueries {
         val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
           .withColumn("b_full", bucketCol(col("embedding"), MaxPlanes))
         val np = emb.agg(adaptivePlanesCol(count(lit(1))).as("p"))
+        // The bucketed scan feeds BOTH sides of the self-join; persisting
+        // it means the parquet scan, the MaxPlanes projection cascade, and
+        // the broadcast-p substr run once instead of once per side (the
+        // join sides differ only in aliases, but the broadcast-nested-loop
+        // step above them blocks exchange reuse).
         val blocked = emb.crossJoin(broadcast(np))
           .select(col("vec_id"), col("embedding"),
             col("b_full").substr(lit(1), col("p")).as("bucket"))
+          .persist()
         val a = blocked.select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("va"))
         val b = blocked.select(col("vec_id").as("b_id"), col("bucket"), col("embedding").as("vb"))
         val pairs = a.join(b, Seq("bucket"))
@@ -140,6 +146,7 @@ object TrainingDataQueries {
         val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
           .withColumn("bucket",
             VectorSearchQueries.bucketCol(col("embedding"), 8))
+          .persist()
         val a = emb.select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("va"))
         val b = emb.select(col("vec_id").as("b_id"), col("bucket"), col("embedding").as("vb"))
         val pairs = a.join(b, Seq("bucket"))
@@ -179,6 +186,7 @@ object TrainingDataQueries {
         val withBands = emb.select(col("vec_id"), col("embedding"),
           bucketColBand(col("embedding"), 0, 8).as("b0"),
           bucketColBand(col("embedding"), 1, 8).as("b1"))
+          .persist()
         def bandPairs(bcol: String) = {
           val a = withBands.select(col("vec_id").as("a_id"), col(bcol))
           val b = withBands.select(col("vec_id").as("b_id"), col(bcol))
