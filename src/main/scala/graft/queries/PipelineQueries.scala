@@ -268,6 +268,58 @@ object PipelineQueries {
          |SELECT cluster_id, COUNT(*) AS n_members, MAX(id) AS max_id
          |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
 
+    "dedup_keep_best" -> Q(
+      "Quality-aware canonical selection: within each resolved near-dup cluster keep the BEST member (most-curated source first, then longest text, then min id) instead of the arbitrary min-id — the keep rule real curation pipelines use when duplicate copies differ in provenance or truncation (the canonical copy of a boilerplate page should be the full-length one from the cleaner crawl)",
+      (s, dir) => {
+        // Only cluster MEMBERS need arbitration — a near-dup-sized set,
+        // ≪ corpus — so the ranking window runs over the CC labels joined
+        // to their quality columns, never over the corpus; singletons fall
+        // through the left join row-locally with keep=true. At 100 TB the
+        // window's partition key is cluster_id with per-cluster fan-in
+        // bounded by cluster size — no global sort, no corpus shuffle
+        // beyond the one id-keyed join that attaches the arbitration
+        // columns.
+        val cc = ConnectedComponents.resolve(TextOpsQueries.lshNearDupPairs(s, dir))
+        val docs = T.documentsSpread(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val members = cc.select(col("doc_id"), col("cluster_id"))
+          .join(docs, Seq("doc_id"))
+          .withColumn("prio", substring(col("source"), 4, 10).cast("int"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("prio").asc, col("n_chars").desc, col("doc_id").asc)
+        val best = members.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("best_id"))
+        docs.select(col("doc_id"))
+          .join(cc.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .join(best, Seq("cluster_id"), "left")
+          .select(col("doc_id"), col("cluster_id"),
+            (col("best_id").isNull || col("doc_id") === col("best_id")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE ${TextOpsQueries.LshPairsSqlCtes},
+         |$CcSqlCtes,
+         |members AS (
+         |  SELECT c.id AS doc_id, c.cluster_id,
+         |    CAST(substr(d.source, 4) AS INT) AS prio, d.n_chars
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |best AS (
+         |  SELECT cluster_id, doc_id AS best_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |        ORDER BY prio ASC, n_chars DESC, doc_id ASC) AS rk
+         |    FROM members) WHERE rk = 1),
+         |assigned AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT a.doc_id, a.cluster_id,
+         |  (b.best_id IS NULL OR a.doc_id = b.best_id) AS keep
+         |FROM assigned a LEFT JOIN best b ON b.cluster_id = a.cluster_id
+         |ORDER BY a.doc_id""".stripMargin),
+
     "text_repetition" -> Q(
       "Gopher-style repetition quality filters: per-document top-2-gram fraction and duplicate-2-gram fraction (Rae et al. 2021 §A1.1 repetition signals) — the filters that catch boilerplate/templated text that uniq-token ratios miss",
       (s, dir) => {

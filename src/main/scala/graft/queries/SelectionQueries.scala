@@ -364,5 +364,59 @@ object SelectionQueries {
          |JOIN m sb ON sb.doc_id = p.b_id
          |GROUP BY source_1, source_2
          |ORDER BY n_pairs DESC, source_1, source_2""".stripMargin),
+
+    "select_soft_dedup" -> Q(
+      "Soft dedup: instead of hard-dropping near-dup cluster members, weight every document by 1/cluster_size for weighted sampling at training time (the SoftDeDup trade — duplicated content contributes ONE document's worth of expected gradient mass without discarding whichever copy a hard keep-rule would). Singletons weigh 1; weights ride the same CC labels as the hard-dedup path",
+      (s, dir) => {
+        // Cluster sizes aggregate over the near-dup-sized label table
+        // (≪ corpus); the corpus-side cost is one left join on doc_id and
+        // a row-local division — the cheapest possible reweighting at
+        // 100 TB, and the weight column is exactly what a weighted
+        // shard-sampler consumes.
+        val cc = graft.operators.ConnectedComponents
+          .resolve(TextOpsQueries.lshNearDupPairs(s, dir))
+        val sizes = cc.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"))
+        val mem = cc.select(col("doc_id"), col("cluster_id"))
+          .join(sizes, Seq("cluster_id"))
+          .select(col("doc_id"), col("n_members"))
+        T.documentsSpread(s, dir).select(col("doc_id"))
+          .join(mem, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(1.0) / coalesce(col("n_members"), lit(1L)).cast("double"))
+              .as("weight"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE ${TextOpsQueries.LshPairsSqlCtes},
+         |${PipelineQueries.CcSqlCtes},
+         |sizes AS (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id),
+         |mem AS (
+         |  SELECT c.id AS doc_id, s.n FROM comp c JOIN sizes s USING (cluster_id))
+         |SELECT d.doc_id,
+         |  CAST(1.0 AS DOUBLE) / CAST(COALESCE(m.n, 1) AS DOUBLE) AS weight
+         |FROM documents d LEFT JOIN mem m ON m.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
+    "select_stratified" -> Q(
+      "Stratified hash-Bernoulli sampling: per-language keep rates applied by a deterministic md5 bucket of doc_id — the rebalancing draw that tilts an en-dominated crawl toward the target language mixture WITHOUT a shuffle: the keep decision is row-local (no per-stratum window, no global count), so sampling 100 TB is a pure scan+filter whose output rates concentrate tightly around the configured per-stratum targets",
+      (s, dir) => {
+        // Integer bucket thresholds (rate × 256) keep the comparison
+        // exact on both engines; en is downsampled to ~35%, every other
+        // language kept whole. Exact-k-per-stratum needs a per-stratum
+        // rank (a shuffle); rate-based is the form that scales and is
+        // what mixture rebalancing actually wants — rates, not counts.
+        val bucket = conv(
+          substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int")
+        val thr = when(col("lang") === "en", lit(90)).otherwise(lit(256))
+        T.documentsSpread(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .filter(bucket < thr)
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+        |  < CASE WHEN lang = 'en' THEN 90 ELSE 256 END
+        |ORDER BY doc_id""".stripMargin),
   )
 }

@@ -139,4 +139,71 @@ class SelectionSpec extends SparkSpec {
     assert(snap("select_dsir") == snap("select_dsir"))
     assert(snap("classifier_nb_score") == snap("classifier_nb_score"))
   }
+
+  // A near-dup fixture for the cluster-derived selection ops: docs 0/1/2
+  // share one verbatim text across sources src3/src1/src2 (one LSH
+  // cluster; the keep rule must pick the src1 copy), docs 10/11 are a
+  // same-source pair where 11 carries one extra sentence (longer must
+  // win), 20/21 are singletons.
+  private val dupText = ("spark catalyst tungsten codegen shuffle exchange " +
+    "partition broadcast hash join aggregate window watermark state " +
+    "checkpoint lineage stage task executor driver").trim
+  // disjoint vocabulary from dupText, so this pair NEVER verifies against
+  // the 0/1/2 cluster (token-set jaccard 0) and forms its own component
+  private val pairText = ("alpha bravo charlie delta echo foxtrot golf " +
+    "hotel india juliet kilo lima mike november oscar papa quebec romeo " +
+    "sierra tango").trim
+  private def clusterFixture(): String = docsFixture(Seq(
+    (0L, dupText, "en", "src3"),
+    (1L, dupText, "en", "src1"),
+    (2L, dupText, "en", "src2"),
+    (10L, pairText, "en", "src7"),
+    (11L, pairText + " coda finale grand", "en", "src7"),
+    (20L, "one two three four five six seven eight nine ten", "en", "src9"),
+    (21L, "uno dos tres cuatro cinco seis siete ocho nueve", "zh", "src0")))
+
+  test("dedup_keep_best: best member wins by source priority then length; singletons keep") {
+    val res = q("dedup_keep_best")(clusterFixture())
+      .select($"doc_id", $"cluster_id", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+    val keepOf = res.map(r => r._1 -> r._3).toMap
+    // cluster {0,1,2}: src1 (doc 1) outranks src2/src3 despite equal length
+    assert(keepOf(1L) && !keepOf(0L) && !keepOf(2L))
+    // cluster {10,11}: same source, the LONGER doc 11 wins
+    assert(keepOf(11L) && !keepOf(10L))
+    // singletons keep themselves and are their own cluster
+    assert(keepOf(20L) && keepOf(21L))
+    assert(res.filter(r => Set(20L, 21L)(r._1)).forall(r => r._1 == r._2))
+    // exactly one keep per cluster
+    res.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._3) == 1, s"cluster $c keep count")
+    }
+  }
+
+  test("select_soft_dedup: weights are 1/cluster_size and total mass = one per cluster") {
+    val res = q("select_soft_dedup")(clusterFixture())
+      .select($"doc_id", $"weight").as[(Long, Double)].collect().toMap
+    assert(res(0L) == 1.0 / 3 && res(1L) == 1.0 / 3 && res(2L) == 1.0 / 3)
+    assert(res(10L) == 0.5 && res(11L) == 0.5)
+    assert(res(20L) == 1.0 && res(21L) == 1.0)
+    // expected gradient mass: 3 clusters + ... = one unit per distinct content
+    assert(math.abs(res.values.sum - 4.0) < 1e-12)
+  }
+
+  test("select_stratified: row-local md5 gate — en downsampled, other langs kept whole") {
+    val ids = (0L until 64L)
+    val dir = docsFixture(
+      ids.map(i => (i, s"doc number $i body", if (i % 2 == 0) "en" else "fr", "s0")))
+    val kept = q("select_stratified")(dir)
+      .select($"doc_id").as[Long].collect().toSet
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((md(0) & 0xff))
+    }
+    ids.foreach { i =>
+      val expect = if (i % 2 == 0) bucket(i) < 90 else true
+      assert(kept(i) == expect, s"doc $i: kept=${kept(i)} expected=$expect")
+    }
+  }
 }
