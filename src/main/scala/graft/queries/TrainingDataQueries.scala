@@ -225,6 +225,51 @@ object TrainingDataQueries {
          |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
          |FROM comp ORDER BY vec_id""".stripMargin),
 
+    "select_embed_outliers" -> Q(
+      "Embedding outlier pruning: cosine of every vector to its OWN class centroid, outlier = pointing away from the class mean (sim < 0) — the CLIP-score-shaped prune that drops mislabeled/garbage members before a class-balanced corpus is exported. Centroids aggregate EXACTLY via 2^24 fixed-point longs (order-independent integer sums — no distributed-float nondeterminism), so the whole query is oracle-hashable",
+      (s, dir) => {
+        // Shape at 100 TB: the explode shuffles n·d fixed-width rows once
+        // into c·d centroid cells (c = classes — a tiny table that
+        // broadcasts back), and scoring is a row-local codegen'd fold.
+        // The 2^24 quantization (~6e-8 per element, far below any
+        // outlier threshold's resolution) buys exact mergeable partial
+        // aggregates — the same trade the int8/PQ paths make, here for
+        // determinism rather than bandwidth.
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val ex = emb.select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos"),
+            floor(col("col").cast("double") * lit(16777216.0)).cast("long").as("qv"))
+        val cent = ex.groupBy(col("label"), col("pos"))
+          .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            (col("sq").cast("double") / col("n") / lit(16777216.0)).as("c"))
+        val carr = cent.groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("carr"))
+        emb.join(broadcast(carr), Seq("label"))
+          .select(col("vec_id"), col("label"),
+            cosineSim(col("embedding"), col("carr")).as("centroid_sim"))
+          .withColumn("is_outlier", col("centroid_sim") < 0.0)
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |ex AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16777216.0) AS BIGINT) AS qv
+         |  FROM e),
+         |cent AS (
+         |  SELECT label, pos, CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 16777216.0 AS c
+         |  FROM ex GROUP BY label, pos),
+         |carr AS (SELECT label, list(c ORDER BY pos) AS carr FROM cent GROUP BY label),
+         |sims AS (
+         |  SELECT e.vec_id, e.label,
+         |    ${VectorSearchQueries.cosSqlPublic("e.embedding", "carr.carr")} AS centroid_sim
+         |  FROM e JOIN carr ON carr.label = e.label)
+         |SELECT vec_id, label, centroid_sim, (centroid_sim < 0.0) AS is_outlier
+         |FROM sims ORDER BY vec_id""".stripMargin),
+
     "ann_int8_knn" -> Q(
       "Quantized vector search: per-vector symmetric int8 codes (floor-rounded, scale = max|x|), cosine over the integer codes — 4x less scan bandwidth and an integer-dot hot loop at 100 TB; the estimate's fidelity vs float cosine is spec-pinned",
       (s, dir) => {

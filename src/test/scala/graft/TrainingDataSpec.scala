@@ -41,6 +41,27 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("select_embed_outliers: the anti-aligned member is the outlier; aligned members are not") {
+    // label 0: three vectors near +e1 and one at -e1 (the outlier);
+    // label 1: two near +e2 — per-class centroids must separate them.
+    val dir = tmpDir("embout")
+    def v(xs: Float*): Array[Float] = xs.toArray.padTo(4, 0.0f)
+    Seq(
+      (0L, v(1.0f), 0), (1L, v(0.9f, 0.1f), 0), (2L, v(0.95f, -0.05f), 0),
+      (3L, v(-1.0f), 0),
+      (10L, v(0.0f, 1.0f), 1), (11L, v(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val res = SparkEntry.queries("select_embed_outliers")(spark, dir)
+      .select($"vec_id", $"centroid_sim", $"is_outlier")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(res(3L)._2, "anti-aligned vector must be flagged")
+    Seq(0L, 1L, 2L, 10L, 11L).foreach { id =>
+      assert(!res(id)._2, s"vec $id wrongly flagged (sim=${res(id)._1})")
+      assert(res(id)._1 > 0.5, s"aligned vec $id sim ${res(id)._1}")
+    }
+  }
+
   test("pack_sequences: manifest invariants — contiguous offsets, correct seq math") {
     val rows = q("pack_sequences")
       .select($"doc_id", $"shard", $"n_tok", $"start_off", $"seq_id", $"seq_off")
