@@ -201,6 +201,23 @@ object TextOpsQueries {
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    "text_normalize" -> Q(
+      "Text canonicalization: Unicode NFC (codegen'd native expression — Spark has no builtin; decomposed é vs composed é must fingerprint/shingle identically or crawl-source variance defeats every exact-match operator downstream) + whitespace-run collapse + trim, with a changed flag — fully row-local, scan-bandwidth-bound at any scale",
+      (s, dir) => T.documentsSpread(s, dir)
+        .select(col("doc_id"), col("text"),
+          trim(regexp_replace(
+            graft.functions.NfcNormalize.nfcNormalize(col("text")),
+            "[ \\t\\r\\n]+", " ")).as("norm_text"))
+        .select(col("doc_id"), col("norm_text"),
+          (col("norm_text") =!= col("text")).as("changed"))
+        .orderBy(col("doc_id")),
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(nfc_normalize(text), '[ \t\r\n]+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, (norm_text <> text) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin),
+
     "dedup_exact" -> Q(
       "Exact dedup: hash-groupBy on content fingerprint, keep min doc_id (reference analog B7/A4 upsert dedup)",
       (s, dir) => T.documents(s, dir)

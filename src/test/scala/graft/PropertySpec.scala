@@ -29,6 +29,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("nfcNormalize: golden vectors, idempotence, ASCII identity fast path") {
+    import graft.functions.NfcNormalize.nfcNormalize
+    val decomposedE = "e\u0301cole"  // e + combining acute
+    val composedE = "\u00e9cole"      // é as one codepoint
+    val hangulJamo = "\u1100\u1161" // choseong kiyeok + jungseong a
+    val hangulSyllable = "\uac00"    // precomposed syllable
+    val cases = Seq(
+      decomposedE -> composedE,
+      composedE -> composedE,
+      hangulJamo -> hangulSyllable,
+      "plain ascii stays" -> "plain ascii stays",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(nfcNormalize(col("t")).as("n1"))
+      .withColumn("n2", nfcNormalize(col("n1")))
+      .as[(String, String)].collect()
+    got.zip(cases).foreach { case ((n1, n2), (in, expect)) =>
+      assert(n1 == expect, s"NFC(${in.map(_.toInt.toHexString)}) = " +
+        s"${n1.map(_.toInt.toHexString)}, want ${expect.map(_.toInt.toHexString)}")
+      assert(n2 == n1, "NFC must be idempotent")
+    }
+    // random corpus: idempotent and length-bounded (NFC never grows a
+    // string's codepoint count beyond composition limits)
+    val rs = (1 to 200).map(_ => randString(60))
+    rs.toDF("t").select(nfcNormalize(col("t")).as("a"))
+      .withColumn("b", nfcNormalize(col("a")))
+      .as[(String, String)].collect()
+      .foreach { case (a, b) => assert(a == b) }
+  }
+
   test("cosine: symmetric, bounded, self≈1, zero-norm→0") {
     val vecs = (1 to 200).map(_ => Seq.fill(16)(rnd.nextFloat() * 2 - 1))
     val pairs = vecs.zip(vecs.reverse).toDF("a", "b")
