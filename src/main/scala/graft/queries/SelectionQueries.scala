@@ -365,6 +365,48 @@ object SelectionQueries {
          |GROUP BY source_1, source_2
          |ORDER BY n_pairs DESC, source_1, source_2""".stripMargin),
 
+    "mix_temperature" -> Q(
+      "Temperature-flattened language mixture (α=0.5): per-language sampling weight ∝ n^α — the multilingual rebalancing rule (upsample rare languages, damp the head) used when a flat target mixture is too aggressive. Emits weight, expected docs per epoch, and the per-doc sampling rate the shard reader applies. All math is sqrt/÷ over exact counts in a DETERMINISTIC lang-ordered fold, so the doubles hash-match the oracle bit-for-bit",
+      (s, dir) => {
+        // The language table is tiny (dozens of rows at any corpus size):
+        // one count aggregation over the corpus, then the normalizer is a
+        // left-to-right fold over the lang-sorted count list — pinned
+        // order because a distributed double sum's partial order is not
+        // reproducible, and this table broadcasts everywhere downstream.
+        val counts = T.documentsSpread(s, dir)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val zrow = counts.agg(
+          aggregate(
+            sort_array(collect_list(struct(col("lang"), col("n_docs")))),
+            lit(0.0),
+            (acc, x) => acc + sqrt(x.getField("n_docs").cast("double")))
+            .as("z"),
+          sum(col("n_docs")).as("total"))
+        val w = sqrt(col("n_docs").cast("double")) / col("z")
+        counts.crossJoin(broadcast(zrow))
+          .select(col("lang"), col("n_docs"),
+            w.as("weight"),
+            (w * col("total").cast("double")).as("expected_docs"),
+            (w * col("total").cast("double") / col("n_docs").cast("double"))
+              .as("rate"))
+          .orderBy(col("lang"))
+      },
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |z AS (
+        |  SELECT
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list(n_docs ORDER BY lang),
+        |        n -> sqrt(CAST(n AS DOUBLE)))),
+        |      (acc, x) -> acc + x) AS z,
+        |    CAST(SUM(n_docs) AS BIGINT) AS total
+        |  FROM c)
+        |SELECT lang, n_docs,
+        |  sqrt(CAST(n_docs AS DOUBLE)) / z.z AS weight,
+        |  sqrt(CAST(n_docs AS DOUBLE)) / z.z * CAST(z.total AS DOUBLE) AS expected_docs,
+        |  sqrt(CAST(n_docs AS DOUBLE)) / z.z * CAST(z.total AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE) AS rate
+        |FROM c, z ORDER BY lang""".stripMargin),
+
     "select_soft_dedup" -> Q(
       "Soft dedup: instead of hard-dropping near-dup cluster members, weight every document by 1/cluster_size for weighted sampling at training time (the SoftDeDup trade — duplicated content contributes ONE document's worth of expected gradient mass without discarding whichever copy a hard keep-rule would). Singletons weigh 1; weights ride the same CC labels as the hard-dedup path",
       (s, dir) => {

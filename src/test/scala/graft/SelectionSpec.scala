@@ -190,6 +190,22 @@ class SelectionSpec extends SparkSpec {
     assert(math.abs(res.values.sum - 4.0) < 1e-12)
   }
 
+  test("mix_temperature: sqrt-flattened weights — rare language upsampled, head damped") {
+    // 9 en docs + 1 zh doc: w_en = 3/4, w_zh = 1/4; rates 5/6 and 5/2.
+    val dir = docsFixture(
+      (0L until 9L).map(i => (i, s"english doc $i", "en", "s0")) :+
+        ((9L, "zh doc", "zh", "s0")))
+    val res = q("mix_temperature")(dir)
+      .select($"lang", $"n_docs", $"weight", $"rate")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(res("en")._2 == 9L && res("zh")._2 == 1L)
+    assert(math.abs(res("en")._3 - 0.75) < 1e-12)
+    assert(math.abs(res("zh")._3 - 0.25) < 1e-12)
+    assert(math.abs(res("en")._4 - 10.0 * 0.75 / 9) < 1e-12, "head damped below 1")
+    assert(math.abs(res("zh")._4 - 2.5) < 1e-12, "rare language upsampled")
+    assert(res("en")._4 < 1.0 && res("zh")._4 > 1.0)
+  }
+
   test("select_stratified: row-local md5 gate — en downsampled, other langs kept whole") {
     val ids = (0L until 64L)
     val dir = docsFixture(
