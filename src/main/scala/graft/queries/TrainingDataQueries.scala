@@ -225,6 +225,50 @@ object TrainingDataQueries {
          |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
          |FROM comp ORDER BY vec_id""".stripMargin),
 
+    "dedup_semantic_incremental" -> Q(
+      "Incremental SEMANTIC dedup: the embedding delta probed against the corpus's persisted hyperplane-bucket index (8-plane, the ANN layout) with exact cosine verify and keep-first — per-increment cost O(|delta|·occupancy), the base×base pair space never revisited; the vector-side twin of dedup_incremental for monthly-crawl embedding dedup",
+      (s, dir) => {
+        // Same crawl boundary convention as dedup_incremental: ids above
+        // half the id space are the increment. In production the base
+        // side below is the PERSISTED (bucket, id, vec) index the
+        // previous increment wrote — re-bucketing the 100 TB base never
+        // happens; the increment pays one bucket-keyed join against it.
+        val split = T.embeddings(s, dir)
+          .agg(max(col("vec_id"))).head.getLong(0) / 2
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+          .withColumn("bucket",
+            VectorSearchQueries.bucketCol(col("embedding"), 8))
+          .persist()
+        val delta = emb.filter(col("vec_id") > split)
+          .select(col("vec_id").as("b_id"), col("bucket"),
+            col("embedding").as("vb"))
+        val all = emb.select(col("vec_id").as("a_id"), col("bucket"),
+          col("embedding").as("va"))
+        val dupIds = all.join(delta, Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(cosineSim(col("va"), col("vb")) >= 0.35)
+          .select(col("b_id").as("vec_id")).distinct()
+        emb.select("vec_id").filter(col("vec_id") > split)
+          .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+          .orderBy("vec_id")
+      },
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorSearchQueries.bucketSql("embedding", 8)} AS bucket
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |sp AS (SELECT MAX(vec_id) // 2 AS s FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bk a, bk b, sp
+         |  WHERE a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |    AND b.vec_id > sp.s
+         |    AND ${VectorSearchQueries.cosSqlPublic("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT e.vec_id,
+         |  EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = e.vec_id) AS is_dup
+         |FROM bk e, sp WHERE e.vec_id > sp.s ORDER BY e.vec_id""".stripMargin),
+
     "select_embed_outliers" -> Q(
       "Embedding outlier pruning: cosine of every vector to its OWN class centroid, outlier = pointing away from the class mean (sim < 0) — the CLIP-score-shaped prune that drops mislabeled/garbage members before a class-balanced corpus is exported. Centroids aggregate EXACTLY via 2^24 fixed-point longs (order-independent integer sums — no distributed-float nondeterminism), so the whole query is oracle-hashable",
       (s, dir) => {

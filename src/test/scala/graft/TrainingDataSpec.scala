@@ -41,6 +41,25 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic_incremental: delta flags equal the global bucket-blocked rule restricted to the delta") {
+    val emb = Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+      .withColumn("bucket",
+        graft.queries.VectorSearchQueries.bucketCol($"embedding", 8))
+    val split = Tables.embeddings(spark, sf).agg(max($"vec_id")).head.getLong(0) / 2
+    val a = emb.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("b_id"), $"bucket", $"embedding".as("vb"))
+    val expected = a.join(b, Seq("bucket"))
+      .filter($"a_id" < $"b_id" && $"b_id" > split)
+      .filter(graft.functions.VectorFunctions.cosineSim($"va", $"vb") >= 0.35)
+      .select($"b_id").distinct().as[Long].collect().toSet
+    val got = SparkEntry.queries("dedup_semantic_incremental")(spark, sf)
+      .select($"vec_id", $"is_dup").as[(Long, Boolean)].collect()
+    assert(got.nonEmpty && got.forall(_._1 > split))
+    got.foreach { case (id, dup) =>
+      assert(dup == expected(id), s"vec $id: flagged=$dup expected=${expected(id)}")
+    }
+  }
+
   test("select_embed_outliers: the anti-aligned member is the outlier; aligned members are not") {
     // label 0: three vectors near +e1 and one at -e1 (the outlier);
     // label 1: two near +e2 — per-class centroids must separate them.
