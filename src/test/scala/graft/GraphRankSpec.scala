@@ -69,4 +69,21 @@ class GraphRankSpec extends SparkSpec {
     assert(ranks.sameElements(ranks.sortBy(-_)))
     assert(ranks.forall(_ > 0L))
   }
+
+  test("graph_triangles: hand graph — counts, wedges, clustering exact") {
+    // order 1 buys parts {1,2,3} (a triangle), order 2 buys {3,4} (an
+    // edge), order 3 re-buys {1,2} (a duplicate edge — must not double-
+    // count). Degrees 1:2 2:2 3:3 4:1 → wedges 1+1+3+0 = 5, one
+    // triangle, clustering 3·1/5 = 0.6.
+    val dir = tmpDir("tri")
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("graph_triangles")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_vertices") == 4L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Long]("n_wedges") == 5L)
+    assert(r.getAs[Double]("clustering") == 0.6)
+  }
 }
