@@ -218,6 +218,34 @@ object TextOpsQueries {
         |SELECT doc_id, norm_text, (norm_text <> text) AS changed
         |FROM n ORDER BY doc_id""".stripMargin),
 
+    "text_pii_stats" -> Q(
+      "PII detection stats: per-document URL/email/long-number match counts and the scrubbed length, with the SAME ordered passes as the scrub itself (URL→email→number — order matters: an email inside a URL must count once, as a URL) — the audit report a privacy-gated corpus release ships alongside the scrub; row-local regex, scan-bandwidth-bound at any scale",
+      (s, dir) => T.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          graft.functions.EmailFunctions.scrubPii(col("text")).as("p"))
+        .select(col("doc_id"),
+          col("p.n_urls"), col("p.n_emails"), col("p.n_numbers"),
+          length(col("p.text")).cast("long").as("n_chars_scrubbed"))
+        .orderBy(col("doc_id")),
+      """WITH s1 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, 'https?://[^\s<>"]+')) AS BIGINT) AS n_urls,
+        |    regexp_replace(text, 'https?://[^\s<>"]+', '<URL>', 'g') AS t1
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, n_urls,
+        |    CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, n_urls, n_emails,
+        |    CAST(len(regexp_extract_all(t2, '[(]?[0-9](?:[ ()\-.]*[0-9]){6,}')) AS BIGINT) AS n_numbers,
+        |    regexp_replace(t2, '[(]?[0-9](?:[ ()\-.]*[0-9]){6,}', '<NUMBER>', 'g') AS t3
+        |  FROM s2)
+        |SELECT doc_id, n_urls, n_emails, n_numbers,
+        |  CAST(length(t3) AS BIGINT) AS n_chars_scrubbed
+        |FROM s3 ORDER BY doc_id""".stripMargin),
+
     "dedup_exact" -> Q(
       "Exact dedup: hash-groupBy on content fingerprint, keep min doc_id (reference analog B7/A4 upsert dedup)",
       (s, dir) => T.documents(s, dir)

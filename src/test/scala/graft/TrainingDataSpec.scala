@@ -41,6 +41,21 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("text_pii_stats: ordered-pass counts on a PII-laden fixture (the sf corpus has none)") {
+    val dir = docsFixture(Seq(
+      (1L, "contact a.b@example.com or https://ex.com/a?x=1 call 415-555-0132"),
+      (2L, "no pii here at all"),
+      (3L, "u@v.io and w@x.org then 1234567 via https://a.b https://c.d")))
+    val rows = SparkEntry.queries("text_pii_stats")(spark, dir)
+      .select($"doc_id", $"n_urls", $"n_emails", $"n_numbers")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: the URL pass runs FIRST, so its trailing "?x=1" digit never
+    // reaches the number pass; the phone number has 10 digits >= 7
+    assert(rows(1L) == ((1L, 1L, 1L, 1L)))
+    assert(rows(2L) == ((2L, 0L, 0L, 0L)))
+    assert(rows(3L) == ((3L, 2L, 2L, 1L)))
+  }
+
   test("dedup_semantic_incremental: delta flags equal the global bucket-blocked rule restricted to the delta") {
     val emb = Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
       .withColumn("bucket",
