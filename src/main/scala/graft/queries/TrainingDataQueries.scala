@@ -225,6 +225,33 @@ object TrainingDataQueries {
          |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
          |FROM comp ORDER BY vec_id""".stripMargin),
 
+    "select_diverse_buckets" -> Q(
+      "Diversity sampling: ONE representative per semantic (8-plane hyperplane) bucket, chosen by min md5(vec_id) — the embedding-space-spread draw that builds an eval/demo subset covering every region of the corpus instead of oversampling its dense core. Representative choice is a map-side min(struct) partial aggregate — no window, no per-bucket sort, immune to bucket skew at 100 TB",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+          .withColumn("bucket",
+            VectorSearchQueries.bucketCol(col("embedding"), 8))
+          .withColumn("h", md5(col("vec_id").cast("string")))
+        emb.groupBy(col("bucket"))
+          .agg(min(struct(col("h"), col("vec_id"))).as("m"),
+            count(lit(1)).as("bucket_size"))
+          .select(col("bucket"), col("m.vec_id").as("vec_id"),
+            col("bucket_size"))
+          .orderBy(col("bucket"))
+      },
+      s"""WITH bk AS (
+         |  SELECT vec_id,
+         |    ${VectorSearchQueries.bucketSql("embedding", 8)} AS bucket,
+         |    md5(CAST(vec_id AS VARCHAR)) AS h
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |r AS (
+         |  SELECT bucket, vec_id, h,
+         |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, vec_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
+         |  FROM bk)
+         |SELECT bucket, vec_id, bucket_size
+         |FROM r WHERE rk = 1 ORDER BY bucket""".stripMargin),
+
     "dedup_semantic_incremental" -> Q(
       "Incremental SEMANTIC dedup: the embedding delta probed against the corpus's persisted hyperplane-bucket index (8-plane, the ANN layout) with exact cosine verify and keep-first — per-increment cost O(|delta|·occupancy), the base×base pair space never revisited; the vector-side twin of dedup_incremental for monthly-crawl embedding dedup",
       (s, dir) => {

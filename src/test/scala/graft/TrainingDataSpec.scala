@@ -41,6 +41,24 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("select_diverse_buckets: one min-md5 representative per occupied bucket, sizes conserve") {
+    val emb = Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+      .withColumn("bucket",
+        graft.queries.VectorSearchQueries.bucketCol($"embedding", 8))
+      .withColumn("h", md5($"vec_id".cast("string")))
+    val expected = emb.select($"bucket", $"h", $"vec_id")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (b, ms) => b -> ms.minBy(m => (m._2, m._3))._3 }
+    val got = SparkEntry.queries("select_diverse_buckets")(spark, sf)
+      .select($"bucket", $"vec_id", $"bucket_size")
+      .as[(String, Long, Long)].collect()
+    assert(got.length == expected.size, "one row per occupied bucket")
+    got.foreach { case (b, id, _) =>
+      assert(expected(b) == id, s"bucket $b representative")
+    }
+    assert(got.map(_._3).sum == emb.count(), "bucket sizes conserve the corpus")
+  }
+
   test("text_pii_stats: ordered-pass counts on a PII-laden fixture (the sf corpus has none)") {
     val dir = docsFixture(Seq(
       (1L, "contact a.b@example.com or https://ex.com/a?x=1 call 415-555-0132"),
