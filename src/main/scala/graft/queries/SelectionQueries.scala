@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables => T}
 import graft.functions.TextFunctions.{shingles, tokens}
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-based data SELECTION — the step between "clean corpus" and "the
@@ -460,5 +461,46 @@ object SelectionQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
         |  < CASE WHEN lang = 'en' THEN 90 ELSE 256 END
         |ORDER BY doc_id""".stripMargin),
+
+    "select_ccnet_band" -> Q(
+      "CCNet-style perplexity-band selection (Wenzek et al. 2020), made bit-portable: each scorable document's fluency score is its corpus-common bigram fraction (the text_lm_quality signal — an integer ratio, no logs), documents are cut into per-language terciles by NTILE(3) over (score desc, doc_id), and the head+middle bands are kept while the tail is dropped — the language-stratified band filter CCNet applies with a real LM. The per-language window is the exact small-SF form; at 100 TB the two cut scores come from ONE percentile aggregate per language and the band label goes row-local, the feat1_quantile_bins_scale pattern",
+      (s, dir) => {
+        // Same model shape as text_lm_quality: bigram counts over ONE
+        // corpus gram stream, joined back to score each document. Docs
+        // with no valid bigram (single-token) are unscorable and excluded
+        // on both engines.
+        val grams = T.documentsSpread(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(filter(shingles(tokens(col("text")), 2),
+              g => size(split(g, " ")) === 2)).as("g"))
+        val pair = grams.groupBy(col("g")).agg(count(lit(1)).as("c_g"))
+        val scored = grams.join(pair, Seq("g"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg((sum(when(col("c_g") >= 3L, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double")).as("score"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("score").desc, col("doc_id"))
+        scored
+          .withColumn("band", ntile(3).over(w).cast("long"))
+          .withColumn("keep", col("band") <= 2L)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH grams AS (
+         |  SELECT doc_id, lang, g FROM (
+         |    SELECT doc_id, lang, unnest(${shinglesSql(ToksSql, 2)}) AS g
+         |    FROM documents)
+         |  WHERE len(string_split(g, ' ')) = 2),
+         |pair AS (SELECT g, COUNT(*) AS c_g FROM grams GROUP BY g),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(SUM(CASE WHEN c_g >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS score
+         |  FROM grams JOIN pair USING (g) GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, score,
+         |  CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS band,
+         |  NTILE(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) <= 2
+         |    AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin),
   )
 }

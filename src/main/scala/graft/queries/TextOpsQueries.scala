@@ -894,5 +894,42 @@ object TextOpsQueries {
         |  CAST(length(concat_ws(chr(10), 'Source: ' || source, 'Lang: ' || lang,
         |      substr(text, 1, 200))) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "vocab_coverage" -> Q(
+      "Tokenizer-vocabulary coverage audit: the top-256 corpus vocabulary (count desc, token asc — a deterministic total order) from one token-count pass, then each source's token stream scored against it — occurrences, OOV occurrences, OOV rate, distinct OOV types. The report run before freezing a vocab size: the vocab is bounded (top-K rows ⇒ TakeOrdered + broadcast), the corpus streams through a broadcast hash join with no corpus-side shuffle, and the per-source rollup is the only exchange",
+      (s, dir) => {
+        val toks = T.documentsSpread(s, dir)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        // Top-K by (count desc, token asc): a total order, so the cut is
+        // deterministic on both engines even with tied counts.
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(256)
+          .select(col("tok"), lit(1L).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+            countDistinct(when(col("in_vocab").isNull, col("tok")))
+              .as("oov_types"))
+          .select(col("source"), col("n_tokens"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+              .as("oov_rate"),
+            col("oov_types"))
+          .orderBy(col("source"))
+      },
+      s"""WITH toks AS (SELECT source, unnest($ToksSql) AS tok FROM documents),
+         |vocab AS (
+         |  SELECT tok FROM toks GROUP BY tok
+         |  ORDER BY COUNT(*) DESC, tok LIMIT 256)
+         |SELECT source,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate,
+         |  COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END) AS oov_types
+         |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         |GROUP BY source ORDER BY source""".stripMargin),
   )
 }

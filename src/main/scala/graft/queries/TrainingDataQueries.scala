@@ -707,5 +707,74 @@ object TrainingDataQueries {
          |SELECT doc_id, start_tok // 96 AS win_id, start_tok,
          |  CAST(least(128, n - start_tok) AS BIGINT) AS win_tokens
          |FROM w ORDER BY doc_id, win_id""".stripMargin),
+
+    "report_gate_matrix" -> Q(
+      "Quality-gate co-failure matrix: for every ordered Gopher-gate pair (a <= b), the count of documents failing BOTH (diagonal = single-gate failure counts) — the redundancy audit run before a 100 TB pass decides which gates are worth their scan. Flags are the same row-local metrics as text_gopher_rules; the pair expansion is a <= 25-element row-local array product ahead of one tiny (<= 15-group) aggregation — no joins, no corpus shuffle",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val stop = typedlit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+        val failed = T.documentsSpread(s, dir)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_words"),
+            aggregate(transform(toks, t => length(t).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("n_chars_tok"),
+            size(filter(toks, t => t.contains("#") || t.contains("...")))
+              .cast("long").as("n_symbol"),
+            size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+            size(array_intersect(array_distinct(toks), stop)).cast("long").as("n_stop"))
+          .select(filter(array(
+            when(!col("n_words").between(50L, 100000L), lit("words")),
+            when(!(col("n_chars_tok").cast("double") / col("n_words").cast("double"))
+              .between(3.0, 10.0), lit("word_len")),
+            when(col("n_symbol").cast("double") / col("n_words").cast("double")
+              > 0.1, lit("symbol")),
+            when(col("n_alpha").cast("double") / col("n_words").cast("double")
+              < 0.8, lit("alpha")),
+            when(col("n_stop") < 2L, lit("stopword"))),
+            x => x.isNotNull).as("failed"))
+        failed
+          .select(explode(flatten(transform(col("failed"),
+            a => transform(col("failed"), b => concat(a, lit("|"), b))))).as("pr"))
+          .select(split(col("pr"), "\\|").getItem(0).as("gate_a"),
+            split(col("pr"), "\\|").getItem(1).as("gate_b"))
+          .filter(col("gate_a") <= col("gate_b"))
+          .groupBy(col("gate_a"), col("gate_b"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("gate_a"), col("gate_b"))
+      },
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($ToksSql) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform($ToksSql, t -> length(t))) AS BIGINT)
+         |      AS n_chars_tok,
+         |    CAST(len(list_filter($ToksSql,
+         |      t -> contains(t, '#') OR contains(t, '...'))) AS BIGINT) AS n_symbol,
+         |    CAST(len(list_filter($ToksSql,
+         |      t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_intersect(list_distinct($ToksSql),
+         |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+         |      AS n_stop
+         |  FROM documents),
+         |flags AS (
+         |  SELECT doc_id, list_filter([
+         |    CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 'words' END,
+         |    CASE WHEN NOT (CAST(n_chars_tok AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |      BETWEEN 3.0 AND 10.0) THEN 'word_len' END,
+         |    CASE WHEN CAST(n_symbol AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.1
+         |      THEN 'symbol' END,
+         |    CASE WHEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.8
+         |      THEN 'alpha' END,
+         |    CASE WHEN n_stop < 2 THEN 'stopword' END],
+         |    x -> x IS NOT NULL) AS failed
+         |  FROM m),
+         |pairs AS (
+         |  SELECT unnest(flatten(list_transform(failed, a ->
+         |    list_transform(failed, b -> a || '|' || b)))) AS pr FROM flags)
+         |SELECT string_split(pr, '|')[1] AS gate_a,
+         |  string_split(pr, '|')[2] AS gate_b,
+         |  COUNT(*) AS n_docs
+         |FROM pairs
+         |WHERE string_split(pr, '|')[1] <= string_split(pr, '|')[2]
+         |GROUP BY 1, 2 ORDER BY gate_a, gate_b""".stripMargin),
   )
 }

@@ -222,4 +222,61 @@ class SelectionSpec extends SparkSpec {
       assert(kept(i) == expect, s"doc $i: kept=${kept(i)} expected=$expect")
     }
   }
+
+  test("select_ccnet_band: per-language terciles — common-bigram docs head, junk tail") {
+    // Four identical en docs (every bigram count 4 >= 3 => score 1.0) and
+    // two unique-vocabulary en docs (score 0); one zh pair to prove the
+    // window is language-partitioned (its own tercile cut, not en's).
+    val common = "alpha beta gamma delta epsilon"
+    val dir = docsFixture(
+      (1L to 4L).map(i => (i, common, "en", "s0")) ++ Seq(
+        (5L, "q1 q2 q3 q4", "en", "s0"),
+        (6L, "r1 r2 r3 r4", "en", "s0"),
+        (7L, "zz yy xx ww", "zh", "s1"),
+        (8L, "vv uu tt ss", "zh", "s1")))
+    val out = q("select_ccnet_band")(dir)
+      .select($"doc_id", $"lang", $"score", $"band", $"keep")
+      .as[(Long, String, Double, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length == 8)
+    val en = out.filter(_._2 == "en")
+    // ntile(3) over 6 en docs => bands of 2: identical docs fill 1 and 2,
+    // the zero-score junk is the tail
+    assert(en.filter(_._3 == 1.0).map(_._4).sorted.toSeq == Seq(1, 1, 2, 2))
+    assert(en.filter(_._3 == 0.0).map(_._4).toSeq.forall(_ == 3))
+    out.foreach { case (id, _, _, band, keep) =>
+      assert(keep == (band <= 2), s"doc $id: keep must be band <= 2")
+    }
+    // zh has its own tercile cut: 2 docs => bands 1 and 2, both kept
+    assert(out.filter(_._2 == "zh").map(_._4).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("vocab_coverage: OOV rates match the brute-force top-256 vocabulary rule") {
+    // > 256 distinct tokens so the vocab cut actually excludes something:
+    // 50 repeated tokens (count 3) plus 300 singletons split across two
+    // sources. Expected values re-derived brute-force from the fixture.
+    val repeated = (0 until 50).map(i => f"w$i%02d")
+    val single = (0 until 300).map(i => f"x$i%03d")
+    val rows = Seq(
+      (1L, (repeated ++ repeated ++ single.take(150)).mkString(" "), "en", "s0"),
+      (2L, (repeated ++ single.drop(150)).mkString(" "), "en", "s1"))
+    val dir = docsFixture(rows)
+    val counts = rows.flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(256).map(_._1).toSet
+    val out = q("vocab_coverage")(dir)
+      .select($"source", $"n_tokens", $"n_oov", $"oov_rate", $"oov_types")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    rows.foreach { case (_, text, _, src) =>
+      val toks = text.split(" ").toSeq
+      val oov = toks.filterNot(vocab)
+      val (got) = out(src)
+      assert(got._2 == toks.size, s"$src n_tokens")
+      assert(got._3 == oov.size, s"$src n_oov")
+      assert(math.abs(got._4 - oov.size.toDouble / toks.size) < 1e-15, s"$src rate")
+      assert(got._5 == oov.distinct.size, s"$src oov_types")
+    }
+    assert(out.values.map(_._3).sum > 0, "fixture must actually exercise OOV")
+  }
 }

@@ -377,4 +377,43 @@ class TrainingDataSpec extends SparkSpec {
       .flatMap(r => r._3 until (r._3 + r._4)).toSet
     assert(covered == (0L until 200L).toSet)
   }
+
+  test("report_gate_matrix: counts match gate flags recomputed from text_gopher_rules") {
+    val goodBody = ("the quick brown fox jumps over that lazy dog and " +
+      "every word here will have sensible length with plenty more words ") * 3
+    val dir = docsFixture(Seq(
+      1L -> goodBody.trim,                                 // passes all gates
+      2L -> "too few words to pass the minimum",           // words only
+      3L -> (("#### ... #### ... " * 20) + goodBody).trim, // symbol (+ maybe alpha)
+      4L -> "zz qq ww"))                                   // words, word_len, stopword
+    // Re-derive each doc's failed-gate set from the gopher metrics the
+    // sibling query emits — the matrix must be exactly the pair counts of
+    // those sets (diagonal = single-gate failures).
+    val flags = SparkEntry.queries("text_gopher_rules")(spark, dir)
+      .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_frac",
+        $"alpha_frac", $"n_stop")
+      .as[(Long, Long, Double, Double, Double, Long)].collect()
+      .map { case (_, nw, mwl, sf_, af, ns) =>
+        Seq(
+          if (!(nw >= 50 && nw <= 100000)) Some("words") else None,
+          if (!(mwl >= 3.0 && mwl <= 10.0)) Some("word_len") else None,
+          if (sf_ > 0.1) Some("symbol") else None,
+          if (af < 0.8) Some("alpha") else None,
+          if (ns < 2) Some("stopword") else None).flatten
+      }
+    val expected = flags.flatMap(fs =>
+      for (a <- fs; b <- fs if a <= b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("report_gate_matrix")(spark, dir)
+      .select($"gate_a", $"gate_b", $"n_docs")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expected, s"matrix mismatch: got $got expected $expected")
+    // structural sanity: co-failures never exceed either single-gate count
+    got.foreach { case ((a, b), n) =>
+      if (a != b)
+        assert(n <= math.min(got.getOrElse((a, a), 0L), got.getOrElse((b, b), 0L)))
+    }
+    assert(got.exists { case ((a, b), _) => a != b }, "fixture must co-fail gates")
+  }
 }
