@@ -545,6 +545,65 @@ object AnalyticsQueries {
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_sec, event_id""".stripMargin),
 
+    "ts2_ewma" -> Q(
+      "Per-user exponentially-weighted moving average (α=0.25) over the event timeline — the decay-smoothed signal behind rate limiting and trend alerts. EWMA is inherently sequential, so each user's events fold left-to-right in ONE pinned order (sort_array over (ts, event_id, value) structs == DuckDB list(... ORDER BY)): the fold is per-entity bounded work like sessionize, the cross-user layout is one hash shuffle, and the fold arithmetic (acc*0.75 + x*0.25, seeded with the first value) is the identical binary64 sequence on both engines",
+      (s, dir) => {
+        val vals = transform(
+          sort_array(collect_list(struct(
+            date_trunc("second", col("ts")).as("ts_sec"),
+            col("event_id"), col("value")))),
+          e => e.getField("value"))
+        T.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), vals.as("vals"))
+          .select(col("user_id"), col("n_events"),
+            aggregate(
+              slice(col("vals"), lit(2), size(col("vals")) - 1),
+              element_at(col("vals"), 1),
+              (acc, x) => acc * lit(0.75) + x * lit(0.25)).as("ewma"))
+          .orderBy(col("user_id"))
+      },
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  list_reduce(
+        |    list(value ORDER BY date_trunc('second', ts), event_id),
+        |    (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "ts3_anomaly_mad" -> Q(
+      "Robust anomaly detection via median absolute deviation: per event type, median and MAD (median of |value - median|), then events flagged where |value - median| > 3 MAD — the outlier gate that, unlike q6_anomaly's 3-sigma, is itself immune to the outliers it hunts. Two grouped exact-percentile passes over a type-count-bounded stats table that broadcasts back; interpolation parity is the c14_quartiles contract",
+      (s, dir) => {
+        val med = T.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val absdev = T.events(s, dir)
+          .join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), col("value"), col("med"),
+            abs(col("value") - col("med")).as("adev"))
+        val mad = absdev.groupBy(col("event_type"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        absdev.join(broadcast(mad), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            first(col("med")).as("med"),
+            first(col("mad")).as("mad"),
+            count(when(col("adev") > lit(3.0) * col("mad"), 1)).as("n_anomalies"))
+          .orderBy(col("event_type"))
+      },
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |adev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM adev GROUP BY event_type)
+        |SELECT a.event_type AS event_type, COUNT(*) AS n_events,
+        |  any_value(a.med) AS med, any_value(d.mad) AS mad,
+        |  COUNT(CASE WHEN a.adev > 3.0 * d.mad THEN 1 END) AS n_anomalies
+        |FROM adev a JOIN mad d ON a.event_type = d.event_type
+        |GROUP BY a.event_type ORDER BY event_type""".stripMargin),
+
     "q6_anomaly" -> Q(
       "3-sigma anomaly counts per event type: exact-moment mean/stddev (decimal Σx, Σx², sqrt is IEEE-exact) joined back as a row-local predicate",
       (s, dir) => {

@@ -96,4 +96,45 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("ts2_ewma: per-user fold equals the scalar EWMA over the time-ordered values") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"event_id",
+        date_trunc("second", $"ts").as("ts_sec"), $"value")
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect()
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      val vals = es.sortBy(e => (e._3.getTime, e._2)).map(_._4)
+      vals.tail.foldLeft(vals.head)((acc, x) => acc * 0.75 + x * 0.25)
+    }.toMap
+    val got = SparkEntry.queries("ts2_ewma")(spark, sf)
+      .select($"user_id", $"ewma").as[(Long, Double)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (u, e) =>
+      assert(e == expected(u), s"user $u: ewma $e != scalar ${expected(u)}")
+    }
+  }
+
+  test("ts3_anomaly_mad: MAD gate is outlier-immune where the 3-sigma gate is not") {
+    import spark.implicits._
+    // 40 inliers around 10 plus two extreme outliers: the outliers inflate
+    // sigma (q6's gate) but leave median/MAD untouched, so the MAD gate
+    // must still flag exactly the two extremes.
+    val dir = tmpDir("mad")
+    val rows = ((1 to 40).map(i => (i.toLong, 1L, "a", 10.0 + (i % 5) * 0.1)) ++
+      Seq((98L, 1L, "a", 5000.0), (99L, 1L, "a", -5000.0)))
+    rows.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds($"event_id" + 1700000000L))
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ts3_anomaly_mad")(spark, dir)
+      .select($"event_type", $"n_events", $"med", $"mad", $"n_anomalies")
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(out.length == 1)
+    val (_, n, med, mad, anom) = out.head
+    assert(n == 42)
+    assert(med >= 10.0 && med <= 10.5, s"median $med must sit in the inlier band")
+    assert(mad <= 0.5, s"MAD $mad must ignore the extremes")
+    assert(anom == 2, s"exactly the two planted extremes flagged, got $anom")
+  }
 }
