@@ -545,6 +545,40 @@ object AnalyticsQueries {
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_sec, event_id""".stripMargin),
 
+    "g7_markov" -> Q(
+      "First-order Markov transition model over user event streams: per-user (current, next) event-type pairs from a LEAD window, rolled up to corpus-wide transition counts and conditional probabilities P(next | current) — the behavioral model behind next-action prediction and bot detection. The window is per-entity bounded work (the sessionize pattern: one hash shuffle on user_id); the transition matrix is event-type² rows, trivially small at any corpus size",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val seq = T.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            date_trunc("second", col("ts")).as("ts_sec"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+        val trans = seq.groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = trans.groupBy(col("event_type")).agg(sum(col("n")).as("n_from"))
+        trans.join(tot, Seq("event_type"))
+          .select(col("event_type"), col("next_type"), col("n"),
+            (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+          .orderBy(col("event_type"), col("next_type"))
+      },
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('second', ts), event_id) AS next_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT event_type, next_type, COUNT(*) AS n FROM seq
+        |  WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |  FROM trans GROUP BY event_type)
+        |SELECT t.event_type AS event_type, t.next_type AS next_type, t.n AS n,
+        |  CAST(t.n AS DOUBLE) / CAST(o.n_from AS DOUBLE) AS p
+        |FROM trans t JOIN tot o ON t.event_type = o.event_type
+        |ORDER BY event_type, next_type""".stripMargin),
+
     "ts2_ewma" -> Q(
       "Per-user exponentially-weighted moving average (α=0.25) over the event timeline — the decay-smoothed signal behind rate limiting and trend alerts. EWMA is inherently sequential, so each user's events fold left-to-right in ONE pinned order (sort_array over (ts, event_id, value) structs == DuckDB list(... ORDER BY)): the fold is per-entity bounded work like sessionize, the cross-user layout is one hash shuffle, and the fold arithmetic (acc*0.75 + x*0.25, seeded with the first value) is the identical binary64 sequence on both engines",
       (s, dir) => {

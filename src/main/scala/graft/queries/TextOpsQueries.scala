@@ -895,6 +895,56 @@ object TextOpsQueries {
         |      substr(text, 1, 200))) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    "rank_bm25" -> Q(
+      "BM25 ranked retrieval (k1=1.2, b=0.75) over the corpus for the fixed query terms, with the rational-odds idf (N-df+0.5)/(df+0.5) — the inside of BM25's log, same ranking monotonicity in df, zero transcendentals so the scores hash bit-for-bit. Corpus statistics (N, avgdl, per-term df) come from ONE aggregation that broadcasts as a single row; scoring is then row-local tf/length arithmetic and the result is a TakeOrdered top-10 — at 100 TB this is a scan plus a k-row sort, no shuffle beyond the stats row",
+      (s, dir) => {
+        val base = T.documentsSpread(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("long"))
+        val dfAggs = QueryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+            .as(s"df_$i")
+        }
+        val stats = base.agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("dl")).as("sum_dl") +: dfAggs): _*)
+          .withColumn("avgdl",
+            col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        val score = QueryTerms.zipWithIndex.map { case (t, i) =>
+          val tf = size(filter(col("toks"), x => x === t)).cast("double")
+          val df = col(s"df_$i").cast("double")
+          val idf = (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+          idf * (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75)
+              * col("dl").cast("double") / col("avgdl")))
+        }.reduce(_ + _)
+        base.crossJoin(broadcast(stats))
+          .select(col("doc_id"), score.as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      }, {
+        val dfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+          s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+        }.mkString(",\n  ")
+        val scoreSql = QueryTerms.zipWithIndex.map { case (t, i) =>
+          val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+          val df = s"CAST(df_$i AS DOUBLE)"
+          s"((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5)) * ($tf * 2.2) / " +
+            s"($tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+        }.mkString("(", " + ", ")")
+        s"""WITH base AS (
+           |  SELECT doc_id, $ToksSql AS toks,
+           |    CAST(len($ToksSql) AS BIGINT) AS dl FROM documents),
+           |stats AS (
+           |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+           |  $dfCols
+           |  FROM base),
+           |s2 AS (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           |  AS avgdl FROM stats)
+           |SELECT doc_id, $scoreSql AS score
+           |FROM base, s2 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
     "vocab_coverage" -> Q(
       "Tokenizer-vocabulary coverage audit: the top-256 corpus vocabulary (count desc, token asc — a deterministic total order) from one token-count pass, then each source's token stream scored against it — occurrences, OOV occurrences, OOV rate, distinct OOV types. The report run before freezing a vocab size: the vocab is bounded (top-K rows ⇒ TakeOrdered + broadcast), the corpus streams through a broadcast hash join with no corpus-side shuffle, and the per-source rollup is the only exchange",
       (s, dir) => {

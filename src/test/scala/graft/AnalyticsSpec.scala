@@ -115,6 +115,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("g7_markov: transition counts match the hand-traced streams; rows per 'from' sum to 1") {
+    import spark.implicits._
+    // user 1: a -> b -> a -> c ; user 2: a -> b. Transitions:
+    // a->b (2), b->a (1), a->c (1). No cross-user transition may appear.
+    val dir = tmpDir("markov")
+    Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "a"), (4L, 1L, "c"),
+      (5L, 2L, "a"), (6L, 2L, "b"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds($"event_id" + 1700000000L))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("g7_markov")(spark, dir)
+      .select($"event_type", $"next_type", $"n", $"p")
+      .as[(String, String, Long, Double)].collect()
+    val counts = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(counts == Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("a", "c") -> 1L))
+    got.groupBy(_._1).foreach { case (from, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12,
+        s"P(next | $from) must sum to 1")
+    }
+  }
+
   test("ts3_anomaly_mad: MAD gate is outlier-immune where the 3-sigma gate is not") {
     import spark.implicits._
     // 40 inliers around 10 plus two extreme outliers: the outliers inflate

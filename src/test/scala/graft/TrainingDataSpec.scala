@@ -378,6 +378,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(covered == (0L until 200L).toSet)
   }
 
+  test("rank_bm25: rare-term matches outrank common-term matches; no-match docs score zero") {
+    // Query terms are the fixed ("spark", "join", "window"). "spark" is in
+    // 8 of 10 docs (common), "join" in exactly one (rare): BM25's idf must
+    // rank the rare-term doc above any single-common-term doc.
+    val dir = docsFixture(
+      (1L to 8L).map(i => i -> s"spark filler$i more words here") ++ Seq(
+        9L -> "join alpha beta gamma delta",
+        10L -> "nothing relevant at all here"))
+    val out = SparkEntry.queries("rank_bm25")(spark, dir)
+      .select($"doc_id", $"score").as[(Long, Double)].collect()
+    val score = out.toMap
+    assert(score(9L) > score(1L), "rare 'join' doc must outrank a common 'spark' doc")
+    val zeroDoc = out.find(_._1 == 10L)
+    assert(zeroDoc.forall(_._2 == 0.0), "no-match doc scores zero if present")
+    assert(out.sortBy(-_._2).head._1 == 9L, "rare-term doc is rank 1")
+    // scores are sorted desc by construction
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-(_: Double)).toSeq)
+  }
+
   test("report_gate_matrix: counts match gate flags recomputed from text_gopher_rules") {
     val goodBody = ("the quick brown fox jumps over that lazy dog and " +
       "every word here will have sensible length with plenty more words ") * 3
