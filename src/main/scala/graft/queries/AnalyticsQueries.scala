@@ -545,6 +545,87 @@ object AnalyticsQueries {
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_sec, event_id""".stripMargin),
 
+    "feat2_winsorize" -> Q(
+      "Feature engineering: per-event-type winsorization at p05/p95 — exact interpolated percentile cuts (the c14_quartiles parity contract) computed once per group, broadcast back, values clipped row-locally; emits per-type clip counts and the decimal-exact clipped mean. The standard tail-taming step before a model consumes a heavy-tailed 100 TB feature column: one bounded stats aggregate plus a scan",
+      (s, dir) => {
+        val cuts = T.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.05)").as("lo"),
+            expr("percentile(value, 0.95)").as("hi"))
+        T.events(s, dir)
+          .join(broadcast(cuts), Seq("event_type"))
+          .select(col("event_type"), col("lo"), col("hi"), col("value"),
+            least(greatest(col("value"), col("lo")), col("hi")).as("clipped"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+            sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+            (decSum(col("clipped"), 4) / count(lit(1)).cast("double"))
+              .as("clipped_mean"))
+          .orderBy(col("event_type"))
+      },
+      """WITH cuts AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type AS event_type, COUNT(*) AS n_events,
+        |  any_value(c.lo) AS lo, any_value(c.hi) AS hi,
+        |  CAST(SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(SUM(CAST(least(greatest(e.value, c.lo), c.hi)
+        |      AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS clipped_mean
+        |FROM events e JOIN cuts c ON e.event_type = c.event_type
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin),
+
+    "feat3_standardize" -> Q(
+      "Feature engineering: per-event-type z-score standardization — mean and sample stddev from decimal-exact moments (the c13_dispersion kernel), broadcast back, z computed row-locally with the identical IEEE-754 expression on both engines; emits each type's extreme standardized event (largest |z|, event_id tie-break) as the audit row",
+      (s, dir) => {
+        val x = dec(col("value"), 4)
+        val stats = T.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(x * x).cast("double").as("sxx"))
+          .select(col("event_type"),
+            (col("sx") / col("n").cast("double")).as("mean_v"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+              / (col("n").cast("double") - lit(1.0))).as("sd"))
+        val z = (col("value") - col("mean_v")) / col("sd")
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(abs(z).desc, col("event_id"))
+        T.events(s, dir)
+          .join(broadcast(stats), Seq("event_type"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("event_id"), col("value"),
+            col("mean_v"), col("sd"), z.as("z"))
+          .orderBy(col("event_type"))
+      },
+      """WITH m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))
+        |      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type),
+        |stats AS (
+        |  SELECT event_type, sx / CAST(n AS DOUBLE) AS mean_v,
+        |    sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) AS sd
+        |  FROM m),
+        |ranked AS (
+        |  SELECT e.event_type AS event_type, e.event_id AS event_id,
+        |    e.value AS value, s.mean_v AS mean_v, s.sd AS sd,
+        |    (e.value - s.mean_v) / s.sd AS z,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_type
+        |      ORDER BY abs((e.value - s.mean_v) / s.sd) DESC, e.event_id) AS rn
+        |  FROM events e JOIN stats s ON e.event_type = s.event_type)
+        |SELECT event_type, event_id, value, mean_v, sd, z
+        |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin),
+
     "g7_markov" -> Q(
       "First-order Markov transition model over user event streams: per-user (current, next) event-type pairs from a LEAD window, rolled up to corpus-wide transition counts and conditional probabilities P(next | current) — the behavioral model behind next-action prediction and bot detection. The window is per-entity bounded work (the sessionize pattern: one hash shuffle on user_id); the transition matrix is event-type² rows, trivially small at any corpus size",
       (s, dir) => {

@@ -115,6 +115,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("feat2_winsorize: clip counts bounded by the 5% tails, clipped mean inside the cuts") {
+    import spark.implicits._
+    val out = SparkEntry.queries("feat2_winsorize")(spark, sf)
+      .select($"event_type", $"n_events", $"lo", $"hi",
+        $"n_clip_lo", $"n_clip_hi", $"clipped_mean")
+      .as[(String, Long, Double, Double, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (t, n, lo, hi, cl, ch, cm) =>
+      assert(lo <= hi, s"$t: cuts ordered")
+      assert(cl <= n * 0.05 + 1 && ch <= n * 0.05 + 1,
+        s"$t: at most ~5% clipped per tail ($cl, $ch of $n)")
+      assert(cm >= lo && cm <= hi, s"$t: clipped mean $cm inside [$lo, $hi]")
+    }
+  }
+
+  test("feat3_standardize: audit row is the true max-|z| event of its type") {
+    import spark.implicits._
+    val out = SparkEntry.queries("feat3_standardize")(spark, sf)
+      .select($"event_type", $"event_id", $"value", $"mean_v", $"sd", $"z")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    val byType = Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"value")
+      .as[(String, Long, Double)].collect().groupBy(_._1)
+    assert(out.map(_._1).toSet == byType.keySet)
+    out.foreach { case (t, id, v, mean, sd, z) =>
+      val vals = byType(t).map(_._3)
+      val n = vals.length.toDouble
+      val bfMean = vals.sum / n
+      assert(math.abs(mean - bfMean) < 1e-6, s"$t mean")
+      assert(math.abs(z - (v - mean) / sd) < 1e-12, s"$t z consistency")
+      val maxAbsZ = vals.map(x => math.abs((x - mean) / sd)).max
+      assert(math.abs(math.abs(z) - maxAbsZ) < 1e-9,
+        s"$t: reported event $id is not the extreme (|z|=${math.abs(z)} vs $maxAbsZ)")
+    }
+  }
+
   test("g7_markov: transition counts match the hand-traced streams; rows per 'from' sum to 1") {
     import spark.implicits._
     // user 1: a -> b -> a -> c ; user 2: a -> b. Transitions:
