@@ -345,6 +345,55 @@ object RelationalQueries {
         |  ORDER BY date_trunc('second', ts) DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin),
 
+    "a5_scd2" -> Q(
+      "Slowly-changing-dimension type-2 history build over the upsert stream: each user's events become versioned rows with [valid_from, valid_to) ranges from a LEAD window (open range = current version) — the temporal-versioning complement to a4's last-writer-wins. One sessionize-shaped shuffle on the key; version chains are per-entity bounded",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"), col("event_id"))
+        T.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("second", col("ts")).as("valid_from"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      },
+      """SELECT user_id, event_id, event_type,
+        |  date_trunc('second', ts) AS valid_from,
+        |  LEAD(date_trunc('second', ts), 1) OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('second', ts), event_id) AS valid_to,
+        |  LEAD(date_trunc('second', ts), 1) OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('second', ts), event_id) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin),
+
+    "a5_scd2_asof" -> Q(
+      "Point-in-time reconstruction over the SCD2 history: the table AS OF a literal timestamp — rows whose [valid_from, valid_to) range covers the instant (half-open, so a version closing exactly at T is excluded). Time travel as a plain range predicate over the history build: at scale the history is partition-pruned on valid_from before the window even matters",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val asOf = to_timestamp(lit("2024-01-20 00:00:00"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"), col("event_id"))
+        T.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("second", col("ts")).as("valid_from"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .filter(col("valid_from") <= asOf &&
+            (col("valid_to").isNull || col("valid_to") > asOf))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("valid_from"))
+          .orderBy(col("user_id"))
+      },
+      """SELECT user_id, event_id, event_type, valid_from FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS valid_from,
+        |    LEAD(date_trunc('second', ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('second', ts), event_id) AS valid_to
+        |  FROM events)
+        |WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20 00:00:00')
+        |ORDER BY user_id""".stripMargin),
+
     "g1_incremental" -> Q(
       "G1 incremental sync: max-cursor + filtered re-read (reference: src/etl_pipeline.py:233-245)",
       (s, dir) => {

@@ -115,6 +115,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a5_scd2: version ranges tile each user's timeline with exactly one open version") {
+    import spark.implicits._
+    val out = SparkEntry.queries("a5_scd2")(spark, sf)
+      .select($"user_id", $"event_id", $"valid_from", $"valid_to")
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect()
+    out.groupBy(_._1).foreach { case (u, versions) =>
+      val sorted = versions.sortBy(v => (v._3.getTime, v._2))
+      sorted.init.zip(sorted.tail).foreach { case (cur, nxt) =>
+        assert(cur._4.contains(nxt._3),
+          s"user $u: version ${cur._2} must close exactly where ${nxt._2} opens")
+      }
+      assert(sorted.last._4.isEmpty && sorted.init.forall(_._4.nonEmpty),
+        s"user $u: exactly the last version is open")
+    }
+    // the AS OF reconstruction returns exactly one row per user seen by then
+    val asof = SparkEntry.queries("a5_scd2_asof")(spark, sf)
+      .select($"user_id").as[Long].collect()
+    assert(asof.distinct.length == asof.length, "AS OF yields one version per user")
+  }
+
   test("feat2_winsorize: clip counts bounded by the 5% tails, clipped mean inside the cuts") {
     import spark.implicits._
     val out = SparkEntry.queries("feat2_winsorize")(spark, sf)
