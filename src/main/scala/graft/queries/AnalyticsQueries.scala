@@ -545,6 +545,44 @@ object AnalyticsQueries {
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_sec, event_id""".stripMargin),
 
+    "c19_incremental_agg" -> Q(
+      "Incremental aggregate maintenance (materialized-view refresh shape): the standing per-type rollup is NOT recomputed from the full fact table — the pre-cutoff base aggregate and the post-cutoff delta aggregate are merged by algebraic-aggregate rules (counts add, decimal sums add, maxes max). At 100 TB the base is a stored few-row table and each refresh touches only the delta partition; the oracle computes the same merge from scratch, proving merge == full recompute",
+      (s, dir) => {
+        val cutoff = to_timestamp(lit("2024-01-20 00:00:00"))
+        val x = dec(col("value"), 4)
+        def rollup(df: DataFrame) = df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(x).as("sv"),
+            max(date_trunc("second", col("ts"))).as("last_ts"))
+        val base = rollup(T.events(s, dir).filter(col("ts") < cutoff))
+        val delta = rollup(T.events(s, dir).filter(col("ts") >= cutoff))
+        base.join(delta, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(base("n"), lit(0L)) + coalesce(delta("n"), lit(0L))).as("n"),
+            (coalesce(base("sv"), lit(0).cast(DecimalType(18, 4)))
+              + coalesce(delta("sv"), lit(0).cast(DecimalType(18, 4))))
+              .cast("double").as("sum_value"),
+            greatest(base("last_ts"), delta("last_ts")).as("last_ts"))
+          .orderBy(col("event_type"))
+      },
+      """WITH base AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv,
+        |    MAX(date_trunc('second', ts)) AS last_ts
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  GROUP BY event_type),
+        |delta AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv,
+        |    MAX(date_trunc('second', ts)) AS last_ts
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |  GROUP BY event_type)
+        |SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+        |  COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+        |  CAST(COALESCE(b.sv, 0) + COALESCE(d.sv, 0) AS DOUBLE) AS sum_value,
+        |  greatest(b.last_ts, d.last_ts) AS last_ts
+        |FROM base b FULL OUTER JOIN delta d ON b.event_type = d.event_type
+        |ORDER BY event_type""".stripMargin),
+
     "feat2_winsorize" -> Q(
       "Feature engineering: per-event-type winsorization at p05/p95 — exact interpolated percentile cuts (the c14_quartiles parity contract) computed once per group, broadcast back, values clipped row-locally; emits per-type clip counts and the decimal-exact clipped mean. The standard tail-taming step before a model consumes a heavy-tailed 100 TB feature column: one bounded stats aggregate plus a scan",
       (s, dir) => {

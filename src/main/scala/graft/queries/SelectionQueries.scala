@@ -502,5 +502,65 @@ object SelectionQueries {
          |  NTILE(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) <= 2
          |    AS keep
          |FROM scored ORDER BY doc_id""".stripMargin),
+
+    "report_drift" -> Q(
+      "Distribution-drift monitor: each source's 256-bucket hashed-token distribution vs the corpus mixture, as total-variation distance Σ|p_src − p_all| (unobserved buckets contribute their full corpus mass: the identity Σ_miss p_all = 1 − Σ_obs p_all keeps the computation on the source's own buckets, no dense grid). The data-quality alarm that catches a crawler or source going off-distribution; histograms are bucket-count-bounded, the corpus side broadcasts, and the per-source sums fold in pinned bucket order so the doubles hash bit-for-bit",
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long")
+        val toks = T.documentsSpread(s, dir)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .select(col("source"), bucket.as("bucket"))
+        val bySrc = toks.groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val srcTot = bySrc.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+        val allB = bySrc.groupBy(col("bucket")).agg(sum(col("c")).as("c_all"))
+        val allTot = allB.agg(sum(col("c_all")).as("gt"))
+        def orderedSum(v: Column) = aggregate(
+          transform(sort_array(collect_list(struct(col("bucket"), v.as("v")))),
+            x => x.getField("v")),
+          lit(0.0), (acc, x) => acc + x)
+        bySrc
+          .join(srcTot, Seq("source"))
+          .join(broadcast(allB), Seq("bucket"))
+          .crossJoin(broadcast(allTot))
+          .select(col("source"), col("bucket"), col("tot"),
+            (col("c").cast("double") / col("tot").cast("double")).as("p_src"),
+            (col("c_all").cast("double") / col("gt").cast("double")).as("p_all"))
+          .groupBy(col("source"))
+          .agg(first(col("tot")).as("n_tokens"),
+            orderedSum(abs(col("p_src") - col("p_all"))).as("l1_obs"),
+            orderedSum(col("p_all")).as("mass_obs"))
+          .select(col("source"), col("n_tokens"),
+            (col("l1_obs") + (lit(1.0) - col("mass_obs"))).as("drift"))
+          .orderBy(col("source"))
+      },
+      """WITH toks AS (
+        |  SELECT source, CAST(('0x' || substr(md5(tok), 1, 2)) AS BIGINT)
+        |    AS bucket
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |bysrc AS (
+        |  SELECT source, bucket, COUNT(*) AS c FROM toks
+        |  GROUP BY source, bucket),
+        |srctot AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM bysrc
+        |  GROUP BY source),
+        |allb AS (
+        |  SELECT bucket, CAST(SUM(c) AS BIGINT) AS c_all FROM bysrc
+        |  GROUP BY bucket),
+        |alltot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS gt FROM allb),
+        |j AS (
+        |  SELECT b.source, b.bucket, t.tot,
+        |    CAST(b.c AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p_src,
+        |    CAST(a.c_all AS DOUBLE) / CAST(g.gt AS DOUBLE) AS p_all
+        |  FROM bysrc b
+        |  JOIN srctot t ON b.source = t.source
+        |  JOIN allb a ON b.bucket = a.bucket, alltot g)
+        |SELECT source, any_value(tot) AS n_tokens,
+        |  list_reduce(list_prepend(0.0,
+        |    list(abs(p_src - p_all) ORDER BY bucket)), (acc, v) -> acc + v)
+        |  + (1.0 - list_reduce(list_prepend(0.0,
+        |      list(p_all ORDER BY bucket)), (acc, v) -> acc + v)) AS drift
+        |FROM j GROUP BY source ORDER BY source""".stripMargin),
   )
 }

@@ -115,6 +115,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("c19_incremental_agg: base+delta merge equals the full recompute") {
+    import spark.implicits._
+    val got = SparkEntry.queries("c19_incremental_agg")(spark, sf)
+      .select($"event_type", $"n", $"sum_value",
+        $"last_ts".cast("string"))
+      .as[(String, Long, Double, String)].collect().sortBy(_._1)
+    val full = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"),
+        date_trunc("second", max($"ts")).cast("string").as("last_ts"))
+      .select($"event_type", $"n", $"sum_value", $"last_ts")
+      .as[(String, Long, Double, String)].collect().sortBy(_._1)
+    assert(got.toSeq == full.toSeq,
+      "merging algebraic partials must equal recomputing from the full fact table")
+  }
+
   test("a5_scd2: version ranges tile each user's timeline with exactly one open version") {
     import spark.implicits._
     val out = SparkEntry.queries("a5_scd2")(spark, sf)

@@ -250,6 +250,28 @@ class SelectionSpec extends SparkSpec {
     assert(out.filter(_._2 == "zh").map(_._4).sorted.toSeq == Seq(1, 2))
   }
 
+  test("report_drift: on-distribution sources read ~0, a divergent source reads high") {
+    // s0/s1 share the same token mixture (drift ~ 0 up to per-bucket
+    // rounding); s2 speaks a disjoint vocabulary — its total-variation
+    // distance from the corpus mixture must dominate.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = docsFixture(Seq(
+      (1L, shared, "en", "s0"), (2L, shared, "en", "s0"),
+      (3L, shared, "en", "s1"), (4L, shared, "en", "s1"),
+      (5L, "qq ww ee rr tt yy uu ii", "en", "s2")))
+    val out = q("report_drift")(dir)
+      .select($"source", $"drift").as[(String, Double)].collect().toMap
+    assert(out.keySet == Set("s0", "s1", "s2"))
+    out.values.foreach(d => assert(d >= 0.0 && d <= 2.0 + 1e-9,
+      "total variation is bounded by 2"))
+    // s0 and s1 have the identical token multiset => identical drift rows
+    assert(out("s0") == out("s1"), s"same-mixture sources must read equal: $out")
+    // s2 shares no tokens with the rest: its observed mass is only its own
+    // corpus share, so its drift must dominate the on-mixture sources'
+    assert(out("s2") > out("s0") + 0.5,
+      s"disjoint-vocabulary source must read far higher, got $out")
+  }
+
   test("vocab_coverage: OOV rates match the brute-force top-256 vocabulary rule") {
     // > 256 distinct tokens so the vocab cut actually excludes something:
     // 50 repeated tokens (count 3) plus 300 singletons split across two
