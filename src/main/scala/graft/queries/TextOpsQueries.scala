@@ -383,6 +383,40 @@ object TextOpsQueries {
          |WHERE jac >= 0.2
          |ORDER BY a_id, b_id""".stripMargin),
 
+    "dedup_containment" -> Q(
+      "Containment near-dup (Broder's asymmetric measure): shared shingles over the SMALLER set's size, |A∩B| / min(|A|,|B|) — catches doc-inside-doc inclusion (quotes, boilerplate wrapping, partial mirrors) that symmetric Jaccard dilutes away. Same scale-safe similarity-join shape as dedup_ngram_jaccard: hashed-long shingles, (doc, shingle) shuffle, no per-pair array ops",
+      (s, dir) => {
+        val docs = T.documentsSpread(s, dir)
+          .select(col("doc_id"), col("source"),
+            graft.functions.HashedShinglesFunctions
+              .hashedShingles(tokens(col("text")), 2).as("gr"))
+          .persist()
+        val sizes = docs.select(col("doc_id"), size(col("gr")).as("n"))
+        val ex = docs.select(col("doc_id"), col("source"), explode(col("gr")).as("g"))
+        ex.select(col("doc_id").as("a_id"), col("source"), col("g"))
+          .join(ex.select(col("doc_id").as("b_id"), col("source"), col("g")),
+            Seq("source", "g"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+          .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+          .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (col("c").cast("double") /
+              least(col("na"), col("nb")).cast("double")).as("containment"))
+          .filter(col("containment") >= 0.5)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      s"""WITH g AS (SELECT doc_id, source,
+         |    list_distinct(${shinglesSql(ToksSql, 2)}) AS gr
+         |  FROM documents)
+         |SELECT a_id, b_id, containment FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_intersect(a.gr, b.gr))::DOUBLE
+         |      / least(len(a.gr), len(b.gr))::DOUBLE AS containment
+         |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE containment >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin),
+
     "dedup_ppjoin" -> Q(
       "Prefix-filtered similarity self-join (AllPairs/PPJoin): candidates must share a token in both prefix sets — lossless pruning for Jaccard ≥ τ",
       (s, dir) => {

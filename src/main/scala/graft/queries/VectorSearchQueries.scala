@@ -230,6 +230,27 @@ object VectorSearchQueries {
          |WHERE sim >= 0.2
          |ORDER BY sim DESC, vec_id""".stripMargin),
 
+    "ann_filtered_knn" -> Q(
+      "Filtered vector search: exact top-10 cosine restricted to the query's own metadata class — the filtered-ANN shape every vector store needs (WHERE label = X AND <=> ...). The predicate prunes BEFORE the distance scan: label is a plain parquet column, so at scale row-group stats (or a label-partitioned layout) cut the scan by the filter's selectivity and the distance arithmetic runs only on survivors; the bucketed ANN variants compose the same predicate into their bucket scans",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qv"), col("label").as("q_label"))
+        emb.filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
+          .crossJoin(broadcast(q))
+          .filter(col("label") === col("q_label"))
+          .select(col("vec_id"), col("label"),
+            cosineSim(col("embedding"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      s"""WITH q AS (SELECT embedding AS qv, label AS q_label
+         |  FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosSql("embedding", "qv")} AS sim
+         |FROM embeddings, q
+         |WHERE vec_id <> 0 AND embedding IS NOT NULL AND label = q_label
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+
     "d1_knn_batch" -> Q(
       "D1 batched k-NN: top-3 neighbours for each of 5 query vectors via ranking window",
       (s, dir) => {

@@ -378,6 +378,51 @@ class TrainingDataSpec extends SparkSpec {
     assert(covered == (0L until 200L).toSet)
   }
 
+  test("dedup_containment: doc-inside-doc inclusion scores 1.0 where Jaccard dilutes below threshold") {
+    // B wraps A's full text in 3x more boilerplate: containment(A,B) = 1.0
+    // but Jaccard ~ 1/4 — the asymmetric measure catches what the
+    // symmetric one is designed to miss.
+    val inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wrap = (1 to 60).map(i => s"pad$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      1L -> inner,
+      2L -> s"$wrap $inner",
+      3L -> "completely different content with no overlap at all"))
+    val out = SparkEntry.queries("dedup_containment")(spark, dir)
+      .select($"a_id", $"b_id", $"containment")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set(1L -> 2L),
+      s"exactly the inclusion pair flags, got ${out.toSeq}")
+    assert(out.head._3 == 1.0, "full inclusion => containment exactly 1.0")
+    val jac = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(!jac.contains(1L -> 2L),
+      "the Jaccard query at its threshold must miss this inclusion pair")
+  }
+
+  test("ann_filtered_knn: equals brute-force top-10 within the query's label class") {
+    val all = Tables.embeddings(spark, sf)
+      .filter($"embedding".isNotNull)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val (qv, qLabel) = all.find(_._1 == 0L).map(r => (r._3, r._2)).get
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until n).foreach { i => d += a(i).toDouble * b(i).toDouble }
+      a.foreach(x => na += x.toDouble * x.toDouble)
+      b.foreach(x => nb += x.toDouble * x.toDouble)
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = all.filter(r => r._1 != 0L && r._2 == qLabel)
+      .map(r => (r._1, cos(r._3, qv)))
+      .sortBy { case (id, sim) => (-sim, id) }.take(10).map(_._1).toSeq
+    val got = SparkEntry.queries("ann_filtered_knn")(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect()
+    assert(got.forall(_._2 == qLabel), "every hit shares the query's label")
+    assert(got.map(_._1).toSeq == expect, "filtered scan == brute force within class")
+  }
+
   test("rank_bm25: rare-term matches outrank common-term matches; no-match docs score zero") {
     // Query terms are the fixed ("spark", "join", "window"). "spark" is in
     // 8 of 10 docs (common), "join" in exactly one (rare): BM25's idf must
