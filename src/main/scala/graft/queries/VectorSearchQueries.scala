@@ -139,6 +139,48 @@ object VectorSearchQueries {
       .limit(10)
   }
 
+  /** MMR rerank: exact top-50 candidate fetch (distributed TakeOrdered),
+    * then the greedy diversity pick over that bounded set on the driver —
+    * a ≤50-row boundary, corpus-size-independent like the RAG context.
+    * λ=1 ⇒ zero diversity penalty ⇒ must equal plain top-10. */
+  private def mmrRerank(s: SparkSession, dir: String, lam: Double): DataFrame = {
+    import s.implicits._
+    val (emb, q) = withQuery(s, dir)
+    val cands = emb.filter(col("vec_id") =!= 0L && col("embedding").isNotNull)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("embedding"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(50)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      a.foreach(x => na += x.toDouble * x.toDouble)
+      b.foreach(x => nb += x.toDouble * x.toDouble)
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Float], Double, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.length < 10 && remaining.nonEmpty) {
+      val best = remaining.map { case (id, e, sim) =>
+        val pen =
+          if (selected.isEmpty) 0.0
+          else selected.map(sel => cos(e, sel._2)).max
+        (id, e, sim, lam * sim - (1.0 - lam) * pen)
+      }.maxBy { case (id, _, _, score) => (score, -id) }
+      selected += best
+      remaining -= ((best._1, best._2, best._3))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, sim, score), i) => (i + 1L, id, sim, score) }
+      .toSeq.toDF("rank", "vec_id", "sim", "mmr")
+  }
+
   /** LSH-bucketed approximate top-10 (ann_lsh_knn body). */
   private def lshKnn10(s: SparkSession, dir: String): DataFrame = {
     val emb = T.embeddings(s, dir)
@@ -229,6 +271,25 @@ object VectorSearchQueries {
          |  WHERE vec_id <> 0 AND embedding IS NOT NULL)
          |WHERE sim >= 0.2
          |ORDER BY sim DESC, vec_id""".stripMargin),
+
+    "d5_mmr" -> Q(
+      "Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): exact top-50 candidates by cosine (distributed TakeOrdered), then the greedy λ·relevance − (1−λ)·max-sim-to-selected pick over that BOUNDED candidate set on the driver (the same ≤k-row boundary as the RAG context) — diversity-aware retrieval that skips near-duplicate hits a plain top-k stacks. λ=0.7; rows-only (the greedy is inherently iterative — its λ=1 exactness twin below carries the family's oracle hash)",
+      (s, dir) => mmrRerank(s, dir, 0.7),
+      None),
+
+    "d5_mmr_exact" -> Q(
+      "MMR exactness twin: λ=1 switches the diversity penalty off, so the SAME candidate-collect + greedy-pick pipeline must reproduce the brute-force cosine top-10 (rank = position) — the oracle anchor proving the rerank scaffolding is lossless when the dial says so",
+      (s, dir) => mmrRerank(s, dir, 1.0),
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |ranked AS (
+         |  SELECT vec_id, ${cosSql("embedding", "qv")} AS sim
+         |  FROM embeddings, q
+         |  WHERE vec_id <> 0 AND embedding IS NOT NULL)
+         |SELECT * FROM (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
+         |    AS rank, vec_id, sim, sim AS mmr
+         |  FROM ranked)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin),
 
     "ann_filtered_knn" -> Q(
       "Filtered vector search: exact top-10 cosine restricted to the query's own metadata class — the filtered-ANN shape every vector store needs (WHERE label = X AND <=> ...). The predicate prunes BEFORE the distance scan: label is a plain parquet column, so at scale row-group stats (or a label-partitioned layout) cut the scan by the filter's selectivity and the distance arithmetic runs only on survivors; the bucketed ANN variants compose the same predicate into their bucket scans",

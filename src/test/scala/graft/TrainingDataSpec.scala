@@ -423,6 +423,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == expect, "filtered scan == brute force within class")
   }
 
+  test("d5_mmr: diversity pick skips the near-duplicate hit a plain top-k stacks") {
+    // Query q = +e1. a1/a2 are near-identical high-relevance hits; b is
+    // slightly less relevant but diverse. Plain top-2 = {a1, a2}; MMR at
+    // λ=0.7 must swap the duplicate a2 for b at rank 2.
+    val dir = tmpDir("mmr")
+    def v(xs: Float*): Array[Float] = xs.toArray.padTo(4, 0.0f)
+    Seq(
+      (0L, v(1.0f), 0),                    // query vector = +e1
+      (1L, v(0.92f, 0.39f), 0),            // a1: top relevance (~0.921)
+      (2L, v(0.91f, 0.41f), 0),            // a2: a1's near-duplicate (~0.912)
+      (3L, v(0.90f, -0.43f), 0),           // b: similar relevance, OPPOSITE e2 side
+      (4L, v(0.0f, 0.0f, 1.0f), 1))        // far-off filler
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val mmr = SparkEntry.queries("d5_mmr")(spark, dir)
+      .select($"rank", $"vec_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(mmr.take(2).map(_._2).toSeq == Seq(1L, 3L),
+      s"MMR must pick the diverse b over the duplicate a2, got ${mmr.toSeq}")
+    // exactness twin on the same fixture: λ=1 == plain cosine order
+    val exact = SparkEntry.queries("d5_mmr_exact")(spark, dir)
+      .select($"rank", $"vec_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(exact.take(3).map(_._2).toSeq == Seq(1L, 2L, 3L),
+      s"λ=1 must reproduce the plain top-k order, got ${exact.toSeq}")
+  }
+
   test("rank_bm25: rare-term matches outrank common-term matches; no-match docs score zero") {
     // Query terms are the fixed ("spark", "join", "window"). "spark" is in
     // 8 of 10 docs (common), "join" in exactly one (rare): BM25's idf must
