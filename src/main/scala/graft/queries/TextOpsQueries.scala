@@ -282,6 +282,85 @@ object TextOpsQueries {
       s"""WITH $LshPairsSqlCtes
          |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin),
 
+    "dedup_lsh_tuning" -> Q(
+      "LSH band-geometry tuning report: the SAME 4-hash MinHash signatures evaluated at every legal (bands × rows) split — 4×1 (recall-max), 2×2 (the production setting), 1×4 (precision-max) — reporting candidate-pair count, verified-pair count (exact Jaccard >= 0.8) and precision per configuration. THE dial-setting run before a 100 TB dedup commits to a geometry: signatures are computed once (persisted, corpus-sized), each config's cost is one ids-only band self-join, and the report is 3 rows",
+      (s, dir) => {
+        val staged = T.documentsSpread(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            array_sort(array_distinct(col("toks"))).as("tset"),
+            minhashSignature(shingles(col("toks"), 3), 4).as("sig"))
+          .persist()
+        val tsets = staged.select(col("doc_id"), col("tset"))
+        def configRow(b: Int): DataFrame = {
+          val bands = staged.select(col("doc_id"),
+            posexplode(lshBands(col("sig"), 4, b)).as(Seq("band_idx", "band_val")))
+          val cand = bands
+            .select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"))
+            .join(bands.select(col("doc_id").as("b_id"), col("band_idx"),
+              col("band_val")), Seq("band_idx", "band_val"))
+            .filter(col("a_id") < col("b_id"))
+            .select("a_id", "b_id").distinct()
+          val judged = cand
+            .join(tsets.select(col("doc_id").as("a_id"), col("tset").as("ta")), Seq("a_id"))
+            .join(tsets.select(col("doc_id").as("b_id"), col("tset").as("tb")), Seq("b_id"))
+            .select(graft.functions.ArrayFunctions
+              .jaccardSorted(col("ta"), col("tb")).as("jac"))
+          judged.agg(
+            count(lit(1)).as("n_candidates"),
+            sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_verified"))
+            .select(lit(s"${b}x${4 / b}").as("config"),
+              lit(b.toLong).as("n_bands"),
+              lit((4 / b).toLong).as("rows_per_band"),
+              col("n_candidates"), col("n_verified"),
+              when(col("n_candidates") === 0L, lit(0.0))
+                .otherwise(col("n_verified").cast("double")
+                  / col("n_candidates").cast("double")).as("precision"))
+        }
+        configRow(4).union(configRow(2)).union(configRow(1))
+          .orderBy(col("n_bands").desc)
+      }, {
+        def bandsSql(b: Int): String = {
+          val r = 4 / b
+          (0 until b).map { i =>
+            val v = (0 until r).map(j => s"m${i * r + j}").mkString(" || ")
+            s"SELECT doc_id, tset, $i AS band_idx, $v AS band_val FROM sigs"
+          }.mkString(" UNION ALL ")
+        }
+        def cfgSql(b: Int): String =
+          s"""SELECT '${b}x${4 / b}' AS config, CAST($b AS BIGINT) AS n_bands,
+             |  CAST(${4 / b} AS BIGINT) AS rows_per_band,
+             |  COUNT(*) AS n_candidates,
+             |  CAST(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_verified,
+             |  CASE WHEN COUNT(*) = 0 THEN 0.0
+             |    ELSE CAST(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(COUNT(*) AS DOUBLE) END AS precision
+             |FROM (
+             |  SELECT CASE WHEN len(ta) + len(tb) - len(list_intersect(ta, tb)) = 0
+             |      THEN 0.0
+             |    ELSE len(list_intersect(ta, tb))::DOUBLE
+             |      / (len(ta)::DOUBLE + len(tb)::DOUBLE
+             |         - len(list_intersect(ta, tb))::DOUBLE) END AS jac
+             |  FROM (
+             |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             |      a.tset AS ta, b.tset AS tb
+             |    FROM (${bandsSql(b)}) a JOIN (${bandsSql(b)}) b
+             |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             |     AND a.doc_id < b.doc_id))""".stripMargin
+        s"""WITH sigs AS (
+           |  SELECT doc_id, list_distinct($ToksSql) AS tset,
+           |    ${(0 until 4).map(seed =>
+              s"${minhashSql(shinglesSql(ToksSql, 3), seed)} AS m$seed").mkString(", ")}
+           |  FROM documents)
+           |${cfgSql(4)}
+           |UNION ALL
+           |${cfgSql(2)}
+           |UNION ALL
+           |${cfgSql(1)}
+           |ORDER BY n_bands DESC""".stripMargin
+      }),
+
     "dedup_incremental" -> Q(
       "Incremental near-dup: the new-crawl delta banded against the existing corpus signature index — per-increment cost is O(|delta| x bands), the base x base pair space is never revisited (reference analog: G1 incremental sync src/etl.py:169-204 applied to the dedup surface)",
       (s, dir) => {

@@ -378,6 +378,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(covered == (0L until 200L).toSet)
   }
 
+  test("dedup_lsh_tuning: candidate count shrinks and precision rises as rows-per-band grow") {
+    val rows = SparkEntry.queries("dedup_lsh_tuning")(spark, sf)
+      .select($"n_bands", $"n_candidates", $"n_verified", $"precision")
+      .as[(Long, Long, Long, Double)].collect().sortBy(-_._1)
+    assert(rows.map(_._1).toSeq == Seq(4L, 2L, 1L))
+    rows.foreach { case (_, nc, nv, p) =>
+      assert(nv <= nc, "verified pairs are a subset of candidates")
+      assert(p >= 0.0 && p <= 1.0)
+      if (nc > 0) assert(math.abs(p - nv.toDouble / nc.toDouble) < 1e-15)
+    }
+    // banding theory: fewer, longer bands can only shrink the candidate
+    // set (a full-band match at r=4 implies matches at every split)
+    val nc = rows.map(_._2)
+    assert(nc(0) >= nc(1) && nc(1) >= nc(2), s"candidates must shrink: ${nc.toSeq}")
+    val prec = rows.filter(_._2 > 0).map(_._4)
+    assert(prec.sameElements(prec.sorted),
+      s"precision must not fall as bands lengthen: ${prec.toSeq}")
+  }
+
   test("dedup_containment: doc-inside-doc inclusion scores 1.0 where Jaccard dilutes below threshold") {
     // B wraps A's full text in 3x more boilerplate: containment(A,B) = 1.0
     // but Jaccard ~ 1/4 — the asymmetric measure catches what the
