@@ -436,6 +436,17 @@ object AnalyticsQueries {
         |  quantile_cont(o_totalprice, 0.75) AS q3
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
+    "c14_quartiles_approx" -> Q(
+      "Approximate quartiles per order status via approx_percentile (KLL-style mergeable sketch, accuracy 10000): the documented scale toggle for c14_quartiles — exact per-group percentile needs the whole group sorted in one place, the sketch is fixed-size and merges map-side, so the shuffle carries sketches not rows. Rows-only by design (sketch internals are engine-specific); SketchSpec-style envelope vs the exact quartiles is pinned in AnalyticsSpec",
+      (s, dir) => T.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.25, 10000)").as("q1"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("median"),
+          expr("approx_percentile(o_totalprice, 0.75, 10000)").as("q3"))
+        .orderBy(col("o_orderstatus")),
+      None),
+
     "b10_bloom_prefilter" -> Q(
       "Bloom-filter join pruning: build a bloom filter over the dimension keys, pre-filter the fact scan with might_contain, then exact semi-join — result identical to the plain semi-join, scan volume cut before the shuffle",
       (s, dir) => {

@@ -115,6 +115,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("c14_quartiles_approx: sketch quartiles land within 1% of the exact ones") {
+    import spark.implicits._
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select($"o_orderstatus", $"q1", $"median", $"q3")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val exact = rows("c14_quartiles")
+    val approx = rows("c14_quartiles_approx")
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e1, e2, e3)) =>
+      val (a1, a2, a3) = approx(k)
+      Seq((a1, e1), (a2, e2), (a3, e3)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 0.01 * math.abs(e),
+          s"$k: approx $a vs exact $e beyond 1%")
+      }
+    }
+  }
+
   test("c19_incremental_agg: base+delta merge equals the full recompute") {
     import spark.implicits._
     val got = SparkEntry.queries("c19_incremental_agg")(spark, sf)
