@@ -397,6 +397,81 @@ object PipelineQueries {
          |WHERE CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.1
          |ORDER BY doc_id""".stripMargin),
 
+    "report_contamination_matrix" -> Q(
+      "Contamination governance cross-tab: per SOURCE, how many documents overlap the held-out benchmark at all, how many cross the 0.1 contamination gate, and the total overlapping-gram hits — which crawls are leaking the eval set, not just which documents. Same broadcast-benchmark + hashed-3-gram semi-join shape as text_contamination, one extra tiny rollup",
+      (s, dir) => {
+        val base = T.documentsSpread(s, dir)
+          .select(col("doc_id"), col("source"),
+            graft.functions.HashedShinglesFunctions
+              .hashedShingles(tokens(col("text")), 3).as("gr"))
+        val bench = base.filter(col("doc_id") < 3)
+          .select(explode(col("gr")).as("g")).distinct()
+        val ex = base.filter(col("doc_id") >= 3)
+          .select(col("doc_id"), col("source"),
+            size(col("gr")).cast("long").as("n_grams"), explode(col("gr")).as("g"))
+        ex.join(broadcast(bench), Seq("g"))
+          .groupBy(col("doc_id"), col("source"), col("n_grams"))
+          .agg(count(lit(1)).as("n_hits"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_overlapping"),
+            sum(when(col("n_hits").cast("double") / col("n_grams").cast("double")
+              >= 0.1, 1L).otherwise(0L)).as("n_docs_contaminated"),
+            sum(col("n_hits")).as("total_hits"))
+          .orderBy(col("source"))
+      },
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, list_distinct(${TextOpsQueries.shinglesSql(TextOpsQueries.ToksSql, 3)}) AS gr
+         |  FROM documents),
+         |bench AS (
+         |  SELECT DISTINCT unnest(gr) AS g FROM docs WHERE doc_id < 3),
+         |ex AS (
+         |  SELECT doc_id, source, CAST(len(gr) AS BIGINT) AS n_grams,
+         |    unnest(gr) AS g
+         |  FROM docs WHERE doc_id >= 3),
+         |per AS (
+         |  SELECT doc_id, source, n_grams, COUNT(*) AS n_hits
+         |  FROM ex JOIN bench USING (g)
+         |  GROUP BY doc_id, source, n_grams)
+         |SELECT source, COUNT(*) AS n_docs_overlapping,
+         |  CAST(SUM(CASE WHEN CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         |    >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_contaminated,
+         |  CAST(SUM(n_hits) AS BIGINT) AS total_hits
+         |FROM per GROUP BY source ORDER BY source""".stripMargin),
+
+    "dedup_cluster_cohesion" -> Q(
+      "Near-dup cluster cohesion report: per CC cluster — member count, verified-edge count, min/max edge Jaccard, and edge density vs the complete graph — the over-merge audit for the banding scheme (a big cluster held together by one weak edge is a banding artifact, not a duplicate family). Cluster-table-sized work throughout; min/max are order-independent so the doubles hash exactly",
+      (s, dir) => {
+        val pairs = TextOpsQueries.lshNearDupPairs(s, dir).persist()
+        val cc = graft.operators.ConnectedComponents.resolve(pairs)
+        val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+        val edges = pairs
+          .join(cc.select(col("doc_id").as("a_id"), col("cluster_id")), Seq("a_id"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_edges"),
+            min(col("jac")).as("min_jac"), max(col("jac")).as("max_jac"))
+        sizes.join(edges, Seq("cluster_id"))
+          .select(col("cluster_id"), col("n_members"), col("n_edges"),
+            col("min_jac"), col("max_jac"),
+            (col("n_edges").cast("double")
+              / (col("n_members") * (col("n_members") - 1L)).cast("double")
+              * 2.0).as("density"))
+          .orderBy(col("cluster_id"))
+      },
+      s"""WITH RECURSIVE ${TextOpsQueries.LshPairsSqlCtes},
+         |$CcSqlCtes,
+         |sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM comp
+         |  GROUP BY cluster_id),
+         |cedges AS (
+         |  SELECT c.cluster_id, COUNT(*) AS n_edges,
+         |    MIN(p.jac) AS min_jac, MAX(p.jac) AS max_jac
+         |  FROM pairs p JOIN comp c ON c.id = p.a_id
+         |  GROUP BY c.cluster_id)
+         |SELECT s.cluster_id, s.n_members, e.n_edges, e.min_jac, e.max_jac,
+         |  CAST(e.n_edges AS DOUBLE)
+         |    / CAST(s.n_members * (s.n_members - 1) AS DOUBLE) * 2.0 AS density
+         |FROM sizes s JOIN cedges e USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin),
+
     "text_token_count_bpe" -> Q(
       "Token counting, all three pipeline flavors per document: whitespace tokens, BPE-ish regex pieces (GPT-2-style run segmentation — letter runs / digit runs / punctuation runs with optional leading space; lookahead-free so Java regex and RE2 agree), and the chars/4 estimator (reference F20 src/embeddings.py:95-107)",
       (s, dir) => {

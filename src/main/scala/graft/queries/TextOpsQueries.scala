@@ -1008,6 +1008,26 @@ object TextOpsQueries {
         |      substr(text, 1, 200))) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    "f3_phrase_search" -> Q(
+      "F3 phrase search (tsquery's FOLLOWED-BY operator semantics): documents containing the exact adjacent-token phrase 'key agg', with first match position and the space-bounded non-overlapping occurrence count — a row-local string scan, zero shuffle, fully pushdown-friendly (at scale a bloom/ngram index would pre-filter the scan; the scan itself is the fallback every engine needs)",
+      (s, dir) => {
+        val needle = " key agg "
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        T.documents(s, dir)
+          .select(col("doc_id"),
+            instr(padded, needle).cast("long").as("first_pos"),
+            (size(split(padded, needle)) - 1).cast("long").as("n_occur"))
+          .filter(col("n_occur") > 0L)
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(strpos(' ' || text || ' ', ' key agg ') AS BIGINT) AS first_pos,
+        |  CAST(len(string_split(' ' || text || ' ', ' key agg ')) - 1 AS BIGINT)
+        |    AS n_occur
+        |FROM documents
+        |WHERE len(string_split(' ' || text || ' ', ' key agg ')) - 1 > 0
+        |ORDER BY doc_id""".stripMargin),
+
     "rank_bm25" -> Q(
       "BM25 ranked retrieval (k1=1.2, b=0.75) over the corpus for the fixed query terms, with the rational-odds idf (N-df+0.5)/(df+0.5) — the inside of BM25's log, same ranking monotonicity in df, zero transcendentals so the scores hash bit-for-bit. Corpus statistics (N, avgdl, per-term df) come from ONE aggregation that broadcasts as a single row; scoring is then row-local tf/length arithmetic and the result is a TakeOrdered top-10 — at 100 TB this is a scan plus a k-row sort, no shuffle beyond the stats row",
       (s, dir) => {

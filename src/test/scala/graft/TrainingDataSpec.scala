@@ -378,6 +378,40 @@ class TrainingDataSpec extends SparkSpec {
     assert(covered == (0L until 200L).toSet)
   }
 
+  test("f3_phrase_search: space-bounded non-overlapping occurrence semantics") {
+    val dir = docsFixture(Seq(
+      1L -> "x key agg y key agg z",   // 2 bounded occurrences
+      2L -> "key agg key agg",         // adjacent: only the first is space-bounded
+      3L -> "key nothing agg here",    // tokens present, phrase absent
+      4L -> "prefix key agg"))         // 1 occurrence at the end
+    val out = SparkEntry.queries("f3_phrase_search")(spark, dir)
+      .select($"doc_id", $"n_occur").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 4L -> 1L),
+      s"phrase counts mismatch: $out")
+  }
+
+  test("report_contamination_matrix: contaminated totals reconcile with text_contamination") {
+    val matrix = SparkEntry.queries("report_contamination_matrix")(spark, sf)
+      .select($"n_docs_contaminated").as[Long].collect().sum
+    val perDoc = SparkEntry.queries("text_contamination")(spark, sf).count()
+    assert(matrix == perDoc,
+      s"per-source contaminated sum ($matrix) must equal the per-doc gate rows ($perDoc)")
+  }
+
+  test("dedup_cluster_cohesion: edges bounded by the complete graph, jaccards above the verify threshold") {
+    val rows = SparkEntry.queries("dedup_cluster_cohesion")(spark, sf)
+      .select($"n_members", $"n_edges", $"min_jac", $"max_jac", $"density")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, e, lo, hi, d) =>
+      assert(n >= 2, "clusters are non-trivial by construction")
+      assert(e >= n - 1, "a connected component has at least a spanning tree")
+      assert(e <= n * (n - 1) / 2, "edges bounded by the complete graph")
+      assert(lo >= 0.8 && hi <= 1.0 && lo <= hi, "verified-edge jaccard range")
+      assert(d > 0.0 && d <= 1.0, s"density $d out of range")
+    }
+  }
+
   test("dedup_lsh_tuning: candidate count shrinks and precision rises as rows-per-band grow") {
     val rows = SparkEntry.queries("dedup_lsh_tuning")(spark, sf)
       .select($"n_bands", $"n_candidates", $"n_verified", $"precision")
