@@ -915,6 +915,87 @@ object AnalyticsQueries {
         |FROM cohort JOIN weeks ON cohort.user_id = weeks.user_id
         |GROUP BY cohort_week ORDER BY cohort_week""".stripMargin),
 
+    "g8_cohort_matrix" -> Q(
+      "Full cohort retention matrix (the product-analytics triangle g6 summarizes one diagonal of): per (first-active week, week offset) — distinct returning users and the retention rate against the cohort's size. One distinct (user, week) table feeds both the cohort assignment and the activity join; the matrix is weeks² rows, trivially small at any event volume",
+      (s, dir) => {
+        val weeks = T.events(s, dir)
+          .select(col("user_id"),
+            date_trunc("week", date_trunc("second", col("ts"))).as("week"))
+          .distinct()
+        val cohort = weeks.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        val sizes = cohort.groupBy(col("cohort_week"))
+          .agg(countDistinct(col("user_id")).as("cohort_size"))
+        cohort.join(weeks, Seq("user_id"))
+          .select(col("cohort_week"),
+            datediff(col("week"), col("cohort_week")).cast("long")
+              .divide(7L).cast("long").as("week_offset"),
+            col("user_id"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sizes), Seq("cohort_week"))
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("cohort_size"),
+            (col("n_active").cast("double") / col("cohort_size").cast("double"))
+              .as("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    date_trunc('week', date_trunc('second', ts)) AS week
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+        |  FROM cohort GROUP BY cohort_week),
+        |m AS (
+        |  SELECT c.cohort_week,
+        |    CAST(CAST(date_diff('day', c.cohort_week, w.week) AS BIGINT) / 7
+        |      AS BIGINT) AS week_offset,
+        |    COUNT(DISTINCT w.user_id) AS n_active
+        |  FROM cohort c JOIN weeks w ON c.user_id = w.user_id
+        |  GROUP BY 1, 2)
+        |SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+        |  CAST(m.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+        |    AS retention
+        |FROM m JOIN sizes s ON m.cohort_week = s.cohort_week
+        |ORDER BY m.cohort_week, m.week_offset""".stripMargin),
+
+    "g9_interarrival" -> Q(
+      "Inter-arrival-time profile per user: median and p90 gap between consecutive events plus the max silent stretch — the churn/engagement signal. A per-entity LAG window (sessionize shuffle) feeds grouped exact percentiles; the per-user output is entity-table-sized",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val gaps = T.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            date_trunc("second", col("ts")).as("ts_sec"))
+          .withColumn("prev", lag(col("ts_sec"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("user_id"),
+            (unix_timestamp(col("ts_sec")) - unix_timestamp(col("prev")))
+              .as("gap_s"))
+        gaps.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_s, 0.5)").as("median_gap_s"),
+            expr("percentile(gap_s, 0.9)").as("p90_gap_s"),
+            max(col("gap_s")).as("max_gap_s"))
+          .orderBy(col("user_id"))
+      },
+      """WITH gaps AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('second',
+        |      LAG(date_trunc('second', ts), 1) OVER (PARTITION BY user_id
+        |        ORDER BY date_trunc('second', ts), event_id),
+        |      date_trunc('second', ts)) AS BIGINT) AS gap_s
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |  quantile_cont(gap_s, 0.5) AS median_gap_s,
+        |  quantile_cont(gap_s, 0.9) AS p90_gap_s,
+        |  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        |FROM gaps WHERE gap_s IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     "samp1_stratified" -> Q(
       "Deterministic stratified sampling: ~25% of documents per source by md5 hash bucket — reproducible on any engine, no RNG state",
       (s, dir) => {

@@ -115,6 +115,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("g8_cohort_matrix: offset-0 retention is 1.0 and offset-1 matches g6_retention") {
+    import spark.implicits._
+    val m = SparkEntry.queries("g8_cohort_matrix")(spark, sf)
+      .select($"cohort_week".cast("string"), $"week_offset", $"n_active",
+        $"cohort_size", $"retention")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(m.nonEmpty)
+    m.foreach { case (_, off, na, cs, r) =>
+      assert(na <= cs && r <= 1.0 + 1e-12 && off >= 0)
+    }
+    m.filter(_._2 == 0L).foreach { case (w, _, na, cs, r) =>
+      assert(na == cs && r == 1.0, s"cohort $w: every member is active in week 0")
+    }
+    val g6 = SparkEntry.queries("g6_retention")(spark, sf)
+      .select($"cohort_week".cast("string"), $"retained_next_week")
+      .as[(String, Long)].collect().toMap
+    val off1 = m.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    g6.foreach { case (w, retained) =>
+      assert(off1.getOrElse(w, 0L) == retained,
+        s"cohort $w: matrix offset-1 must equal g6's retained_next_week")
+    }
+  }
+
+  test("g9_interarrival: gap quantiles ordered, gap counts reconcile with event counts") {
+    import spark.implicits._
+    val out = SparkEntry.queries("g9_interarrival")(spark, sf)
+      .select($"user_id", $"n_gaps", $"median_gap_s", $"p90_gap_s", $"max_gap_s")
+      .as[(Long, Long, Double, Double, Long)].collect()
+    val counts = Tables.events(spark, sf).groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (u, n, med, p90, mx) =>
+      assert(n == counts(u) - 1, s"user $u: gaps = events - 1")
+      assert(med <= p90 + 1e-9 && p90 <= mx + 1e-9, s"user $u: quantile order")
+      assert(med >= 0.0)
+    }
+  }
+
   test("c14_quartiles_approx: sketch quartiles land within 1% of the exact ones") {
     import spark.implicits._
     def rows(name: String) = SparkEntry.queries(name)(spark, sf)
