@@ -1008,6 +1008,36 @@ object TextOpsQueries {
         |      substr(text, 1, 200))) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    "text_ngram_novelty" -> Q(
+      "Contribution scoring: the fraction of each document's distinct 3-grams not seen in any LOWER-id document (arrival order = doc_id) — the marginal-novelty signal behind contribution-based pruning: boilerplate re-crawls score near 0, fresh content near 1. One (gram → min doc_id) aggregation, grams as xxhash64 longs, then a row-count-bounded join back — the same two-pass shape as text_lm_quality's model join",
+      (s, dir) => {
+        val grams = T.documentsSpread(s, dir)
+          .select(col("doc_id"),
+            explode(graft.functions.HashedShinglesFunctions
+              .hashedShingles(tokens(col("text")), 3)).as("g"))
+        val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        grams.join(first, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_grams").cast("double"))
+              .as("novelty"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH grams AS (
+         |  SELECT doc_id, unnest(list_distinct(${shinglesSql(ToksSql, 3)})) AS g
+         |  FROM documents),
+         |first AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+         |FROM grams JOIN first USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     "f3_phrase_search" -> Q(
       "F3 phrase search (tsquery's FOLLOWED-BY operator semantics): documents containing the exact adjacent-token phrase 'key agg', with first match position and the space-bounded non-overlapping occurrence count — a row-local string scan, zero shuffle, fully pushdown-friendly (at scale a bloom/ngram index would pre-filter the scan; the scan itself is the fallback every engine needs)",
       (s, dir) => {

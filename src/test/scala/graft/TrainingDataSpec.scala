@@ -378,6 +378,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(covered == (0L until 200L).toSet)
   }
 
+  test("text_ngram_novelty: first arrival scores 1, verbatim re-crawl scores 0") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = docsFixture(Seq(
+      1L -> a,                                       // all grams first-seen
+      2L -> a,                                       // verbatim duplicate
+      3L -> "alpha beta gamma kappa lambda mu nu"))  // partial overlap
+    val out = SparkEntry.queries("text_ngram_novelty")(spark, dir)
+      .select($"doc_id", $"novelty").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0, "the first document is all novel")
+    assert(out(2L) == 0.0, "a verbatim re-crawl contributes nothing")
+    assert(out(3L) > 0.0 && out(3L) < 1.0, "partial overlap lands in between")
+  }
+
   test("f3_phrase_search: space-bounded non-overlapping occurrence semantics") {
     val dir = docsFixture(Seq(
       1L -> "x key agg y key agg z",   // 2 bounded occurrences
