@@ -272,6 +272,56 @@ object VectorSearchQueries {
          |WHERE sim >= 0.2
          |ORDER BY sim DESC, vec_id""".stripMargin),
 
+    "select_prototypes" -> Q(
+      "Per-class medoid prototype selection (herding/distillation shape): within each label class, the member with the highest total cosine similarity to its peers — the single example that best represents its class. Label-blocked pairwise similarities (the dedup_embedding blocking argument: classes bound the quadratic term), then a pinned-order fold per candidate (list ORDER BY peer id) so the double sums hash bit-for-bit; classes need >= 2 members to have peers",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val a = emb.select(col("label"), col("vec_id").as("a_id"),
+          col("embedding").as("ea"))
+        val b = emb.select(col("label"), col("vec_id").as("b_id"),
+          col("embedding").as("eb"))
+        val sims = a.join(b, Seq("label"))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("label"), col("a_id"), col("b_id"),
+            cosineSim(col("ea"), col("eb")).as("sim"))
+        val tot = sims.groupBy(col("label"), col("a_id"))
+          .agg(
+            aggregate(
+              transform(sort_array(collect_list(struct(col("b_id"), col("sim")))),
+                x => x.getField("sim")),
+              lit(0.0), (acc, x) => acc + x).as("total_sim"),
+            count(lit(1)).as("n_peers"))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("total_sim").desc, col("a_id"))
+        tot.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("label"), col("a_id").as("prototype_id"),
+            (col("n_peers") + 1L).as("class_size"),
+            (col("total_sim") / col("n_peers").cast("double")).as("avg_sim"))
+          .orderBy(col("label"))
+      },
+      s"""WITH e AS (
+         |  SELECT label, vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |sims AS (
+         |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |tot AS (
+         |  SELECT label, a_id,
+         |    list_reduce(list_prepend(0.0, list(sim ORDER BY b_id)),
+         |      (acc, x) -> acc + x) AS total_sim,
+         |    COUNT(*) AS n_peers
+         |  FROM sims GROUP BY label, a_id)
+         |SELECT label, a_id AS prototype_id,
+         |  CAST(n_peers + 1 AS BIGINT) AS class_size,
+         |  total_sim / CAST(n_peers AS DOUBLE) AS avg_sim
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+         |    ORDER BY total_sim DESC, a_id) AS rn
+         |  FROM tot)
+         |WHERE rn = 1 ORDER BY label""".stripMargin),
+
     "d5_mmr" -> Q(
       "Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): exact top-50 candidates by cosine (distributed TakeOrdered), then the greedy λ·relevance − (1−λ)·max-sim-to-selected pick over that BOUNDED candidate set on the driver (the same ≤k-row boundary as the RAG context) — diversity-aware retrieval that skips near-duplicate hits a plain top-k stacks. λ=0.7; rows-only (the greedy is inherently iterative — its λ=1 exactness twin below carries the family's oracle hash)",
       (s, dir) => mmrRerank(s, dir, 0.7),

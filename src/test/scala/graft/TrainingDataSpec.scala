@@ -378,6 +378,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(covered == (0L until 200L).toSet)
   }
 
+  test("select_prototypes: the medoid is the tight-cluster member, not the straggler") {
+    // label 0: three aligned vectors and one anti-aligned — a member of
+    // the aligned triple must win; the straggler cannot.
+    val dir = tmpDir("proto")
+    def v(xs: Float*): Array[Float] = xs.toArray.padTo(4, 0.0f)
+    Seq(
+      (1L, v(1.0f), 0), (2L, v(0.98f, 0.2f), 0), (3L, v(0.99f, -0.1f), 0),
+      (4L, v(-1.0f), 0),
+      (10L, v(0.0f, 1.0f), 1), (11L, v(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("select_prototypes")(spark, dir)
+      .select($"label", $"prototype_id", $"class_size")
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(Set(1L, 2L, 3L).contains(out(0)._1),
+      s"label 0 prototype must come from the aligned triple, got ${out(0)}")
+    assert(out(0)._2 == 4L && out(1)._2 == 2L)
+    assert(Set(10L, 11L).contains(out(1)._1))
+  }
+
   test("text_ngram_novelty: first arrival scores 1, verbatim re-crawl scores 0") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val dir = docsFixture(Seq(
