@@ -72,6 +72,45 @@ object SelectionQueries {
   private def bigramsCappedSql: String =
     s"list_filter(${shinglesSql(ToksSql, 2)}, x -> len(string_split(x, ' ')) = 2)[1:$FeatCap]"
 
+  /** Tercile cut fractions for the CCNet band pair — the SAME Scala
+    * doubles are printed into both the Spark `percentile` literal and the
+    * DuckDB `quantile_cont` literal, so both engines interpolate against
+    * bit-identical fractions. */
+  private val CcnetCutFracs: String =
+    Seq(1.0 / 3.0, 2.0 / 3.0).mkString(",")
+
+  /** Shared scoring stage of the select_ccnet_band pair: each scorable
+    * document's corpus-common bigram fraction (the text_lm_quality
+    * signal — an integer ratio, no logs). Docs with no valid bigram
+    * (single-token) are unscorable and excluded on both engines. */
+  private[queries] def ccnetScored(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val grams = T.documentsSpread(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(shingles(tokens(col("text")), 2),
+          g => size(split(g, " ")) === 2)).as("g"))
+    val pair = grams.groupBy(col("g")).agg(count(lit(1)).as("c_g"))
+    grams.join(pair, Seq("g"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((sum(when(col("c_g") >= 3L, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("score"))
+  }
+
+  /** DuckDB CTE chain mirroring [[ccnetScored]]; terminal CTE is
+    * `scored(doc_id, lang, score)`. */
+  private val CcnetScoredSqlCtes: String =
+    s"""grams AS (
+       |  SELECT doc_id, lang, g FROM (
+       |    SELECT doc_id, lang, unnest(${shinglesSql(ToksSql, 2)}) AS g
+       |    FROM documents)
+       |  WHERE len(string_split(g, ' ')) = 2),
+       |pair AS (SELECT g, COUNT(*) AS c_g FROM grams GROUP BY g),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    CAST(SUM(CASE WHEN c_g >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS score
+       |  FROM grams JOIN pair USING (g) GROUP BY doc_id, lang)""".stripMargin
+
   /** Deterministic uniform draw in [0,1): the top 52 bits of
     * md5("dsir|"+doc_id) over 2^52 — exact in a double, no RNG state. */
   private def uniformDraw(id: Column): Column =
@@ -463,21 +502,9 @@ object SelectionQueries {
         |ORDER BY doc_id""".stripMargin),
 
     "select_ccnet_band" -> Q(
-      "CCNet-style perplexity-band selection (Wenzek et al. 2020), made bit-portable: each scorable document's fluency score is its corpus-common bigram fraction (the text_lm_quality signal — an integer ratio, no logs), documents are cut into per-language terciles by NTILE(3) over (score desc, doc_id), and the head+middle bands are kept while the tail is dropped — the language-stratified band filter CCNet applies with a real LM. The per-language window is the exact small-SF form; at 100 TB the two cut scores come from ONE percentile aggregate per language and the band label goes row-local, the feat1_quantile_bins_scale pattern",
+      "CCNet-style perplexity-band selection (Wenzek et al. 2020), made bit-portable: each scorable document's fluency score is its corpus-common bigram fraction (the text_lm_quality signal — an integer ratio, no logs), documents are cut into per-language terciles by NTILE(3) over (score desc, doc_id), and the head+middle bands are kept while the tail is dropped — the language-stratified band filter CCNet applies with a real LM. The per-language window is the exact small-SF twin of select_ccnet_band_scale, whose percentile-cut form is the one to run beyond memory scale",
       (s, dir) => {
-        // Same model shape as text_lm_quality: bigram counts over ONE
-        // corpus gram stream, joined back to score each document. Docs
-        // with no valid bigram (single-token) are unscorable and excluded
-        // on both engines.
-        val grams = T.documentsSpread(s, dir)
-          .select(col("doc_id"), col("lang"),
-            explode(filter(shingles(tokens(col("text")), 2),
-              g => size(split(g, " ")) === 2)).as("g"))
-        val pair = grams.groupBy(col("g")).agg(count(lit(1)).as("c_g"))
-        val scored = grams.join(pair, Seq("g"))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg((sum(when(col("c_g") >= 3L, 1L).otherwise(0L)).cast("double")
-            / count(lit(1)).cast("double")).as("score"))
+        val scored = ccnetScored(s, dir)
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("score").desc, col("doc_id"))
         scored
@@ -485,23 +512,43 @@ object SelectionQueries {
           .withColumn("keep", col("band") <= 2L)
           .orderBy(col("doc_id"))
       },
-      s"""WITH grams AS (
-         |  SELECT doc_id, lang, g FROM (
-         |    SELECT doc_id, lang, unnest(${shinglesSql(ToksSql, 2)}) AS g
-         |    FROM documents)
-         |  WHERE len(string_split(g, ' ')) = 2),
-         |pair AS (SELECT g, COUNT(*) AS c_g FROM grams GROUP BY g),
-         |scored AS (
-         |  SELECT doc_id, lang,
-         |    CAST(SUM(CASE WHEN c_g >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
-         |      / CAST(COUNT(*) AS DOUBLE) AS score
-         |  FROM grams JOIN pair USING (g) GROUP BY doc_id, lang)
+      s"""WITH $CcnetScoredSqlCtes
          |SELECT doc_id, lang, score,
          |  CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
          |    AS BIGINT) AS band,
          |  NTILE(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) <= 2
          |    AS keep
          |FROM scored ORDER BY doc_id""".stripMargin),
+
+    "select_ccnet_band_scale" -> Q(
+      "Scale-safe CCNet band selection: the two per-language cut scores come from ONE percentile aggregate per language (a few doubles, broadcast), and the band label is a row-local comparison — no per-language total-order window. This is the form that survives 100 TB: the NTILE twin above sorts every language partition globally (the repo's worst measured 10x ratio before this landed); here the only shuffles are the scoring joins both forms share plus one tiny per-language aggregate. Value-boundary semantics: ties AT a cut score share a band (NTILE splits them by doc_id), so band populations need not be exactly n/3 — the spec pins agreement with the NTILE form away from cut ties. At 100 TB swap percentile -> approx_percentile: identical plumbing, sketch-mergeable cuts",
+      (s, dir) => {
+        // percentile() is bit-identical to DuckDB quantile_cont (pinned
+        // by the c14_quartiles / feat1_quantile_bins_scale anchors), so
+        // strict `>` comparisons against the cuts agree cross-engine.
+        // cuts ascending [q1/3, q2/3]; score above both -> band 1 (head),
+        // above one -> 2 (middle), else 3 (tail): 3 - #cuts-beaten.
+        val scored = ccnetScored(s, dir)
+        val cuts = scored.groupBy(col("lang"))
+          .agg(expr(s"percentile(score, array($CcnetCutFracs))").as("cs"))
+        scored
+          .join(broadcast(cuts), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("score"),
+            (lit(3) - size(filter(col("cs"), c => col("score") > c)))
+              .cast("long").as("band"))
+          .withColumn("keep", col("band") <= 2L)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $CcnetScoredSqlCtes,
+         |cuts AS (
+         |  SELECT lang, quantile_cont(score, [$CcnetCutFracs]) AS cs
+         |  FROM scored GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.score,
+         |  CAST(3 - len(list_filter(c.cs, x -> s.score > x)) AS BIGINT) AS band,
+         |  CAST(3 - len(list_filter(c.cs, x -> s.score > x)) AS BIGINT) <= 2
+         |    AS keep
+         |FROM scored s JOIN cuts c USING (lang)
+         |ORDER BY doc_id""".stripMargin),
 
     "report_drift" -> Q(
       "Distribution-drift monitor: each source's 256-bucket hashed-token distribution vs the corpus mixture, as total-variation distance Σ|p_src − p_all| (unobserved buckets contribute their full corpus mass: the identity Σ_miss p_all = 1 − Σ_obs p_all keeps the computation on the source's own buckets, no dense grid). The data-quality alarm that catches a crawler or source going off-distribution; histograms are bucket-count-bounded, the corpus side broadcasts, and the per-source sums fold in pinned bucket order so the doubles hash bit-for-bit",

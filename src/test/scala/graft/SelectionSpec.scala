@@ -250,6 +250,38 @@ class SelectionSpec extends SparkSpec {
     assert(out.filter(_._2 == "zh").map(_._4).sorted.toSeq == Seq(1, 2))
   }
 
+  test("select_ccnet_band_scale: percentile-cut bands agree with the NTILE form away from ties") {
+    // Distinct scores, language populations divisible by 3: with n = 3k
+    // distinct scores the interpolated 1/3 and 2/3 cuts fall strictly
+    // BETWEEN order statistics, so the row-local band comparison selects
+    // exactly NTILE's k-per-band split — the only divergence the scale
+    // form permits is AT a cut tie, and this fixture plants none.
+    // Doc i = one corpus-common bigram + (i-1) unique junk tokens
+    // => score 1/i (the bridge bigram into the junk is unique per doc).
+    def doc(id: Long, common: String, junkPrefix: String, k: Int, lang: String) =
+      (id, (common + " " + (0 until k).map(j => s"$junkPrefix$j").mkString(" ")).trim,
+        lang, "s0")
+    val dir = docsFixture(
+      (1 to 6).map(i => doc(i.toLong, "alpha beta", s"u$i-", i - 1, "en")) ++
+        (1 to 3).map(i => doc(10L + i, "zeta eta", s"v$i-", i - 1, "zh")))
+    val exact = q("select_ccnet_band")(dir)
+      .select($"doc_id", $"band").as[(Long, Long)].collect().toMap
+    val scale = q("select_ccnet_band_scale")(dir)
+      .select($"doc_id", $"lang", $"score", $"band", $"keep")
+      .as[(Long, String, Double, Long, Boolean)].collect().sortBy(_._1)
+    assert(scale.length == 9)
+    scale.foreach { case (id, _, _, band, keep) =>
+      assert(band == exact(id), s"doc $id: scale band $band != ntile ${exact(id)}")
+      assert(keep == (band <= 2), s"doc $id: keep must be band <= 2")
+    }
+    // en: scores 1, 1/2 head; 1/3, 1/4 middle; 1/5, 1/6 tail
+    val en = scale.filter(_._2 == "en").map(t => t._1 -> t._4).toMap
+    assert(en == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 3L))
+    // zh gets its OWN cuts: scores 1, 1/2, 1/3 -> bands 1, 2, 3
+    val zh = scale.filter(_._2 == "zh").map(t => t._1 -> t._4).toMap
+    assert(zh == Map(11L -> 1L, 12L -> 2L, 13L -> 3L))
+  }
+
   test("report_drift: on-distribution sources read ~0, a divergent source reads high") {
     // s0/s1 share the same token mixture (drift ~ 0 up to per-bucket
     // rounding); s2 speaks a disjoint vocabulary — its total-variation
