@@ -106,6 +106,69 @@ object MultiModal {
       }
   }
 
+  /** 16-bit dHash-style perceptual hash over an opaque binary payload —
+    * the row-local bridge between the multimodal family and the dedup
+    * family: hash here, band/verify with exactly the SimHash machinery
+    * (4×4-bit blocks, Hamming ≤ 3 lossless by pigeonhole).
+    *
+    * Geometry (the "resize" a real dHash does with an image library,
+    * expressed over the deterministic byte surface so it is oracle-able):
+    * the payload is downsampled to a 4×5 grid of CELL SUMS, each cell the
+    * sum of [[PHashProbes]] bytes probed on an evenly spaced
+    * [[PHashPoints]]-point grid (integer positions, exact on both
+    * engines); each of the 16 bits is the sign of one horizontal
+    * adjacent-cell gradient — 4 gradients per row × 4 rows, dHash's
+    * "is the left cell darker than the right" rule. Local byte edits
+    * move one cell sum by at most ±255·probes-hit, so near-identical
+    * payloads land within a few Hamming bits while any byte-level
+    * checksum (multimodal_meta's sha256) scatters. All arithmetic is
+    * integer compare/sum over hex-probe parses: whole-stage codegen,
+    * zero shuffle, identical semantics in DuckDB for the oracle row.
+    *
+    * At 100 TB the same geometry reads the bytes directly in a custom
+    * codegen Expression instead of via hex() strings (hex doubles the
+    * bytes touched); the probe positions, cell sums, and bit rule — the
+    * semantics — are what this builder pins.
+    */
+  val PHashRows = 4
+  val PHashCols = 5
+  val PHashProbes = 4
+  val PHashCells: Int = PHashRows * PHashCols
+  val PHashPoints: Int = PHashCells * PHashProbes
+
+  /** Engine-neutral cell-sum projections. `byteAt(g)` spells "unsigned
+    * byte value at 0-indexed position (g·nm1) div (points−1)" given
+    * columns `hx` (lowercase hex of the payload) and `nm1`
+    * (octet_length − 1, BIGINT). */
+  def pHashCellExprs(byteAt: Int => String): Seq[String] =
+    (0 until PHashCells).map { k =>
+      (0 until PHashProbes).map(j => byteAt(k * PHashProbes + j))
+        .mkString("(", " + ", s") AS c$k")
+    }
+
+  /** Engine-neutral 16-bit assembly from the cell columns c0..c19. */
+  def pHashBitsExpr: String =
+    (for { r <- 0 until PHashRows; c <- 0 until PHashCols - 1 } yield {
+      val bit = r * (PHashCols - 1) + c
+      s"(CASE WHEN c${r * PHashCols + c} < c${r * PHashCols + c + 1} THEN ${1L << bit} ELSE 0 END)"
+    }).mkString("CAST(", " + ", " AS BIGINT)")
+
+  private def sparkByteAt(g: Int): String =
+    s"CAST(conv(substring(hx, (($g * nm1) div ${PHashPoints - 1}) * 2 + 1, 2), 16, 10) AS BIGINT)"
+
+  /** (doc_id, phash) for every non-empty payload; empty payloads have no
+    * pixel surface and are excluded (the same unscorable-row rule the
+    * text scorers apply). */
+  def pHash16(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val base = df.selectExpr(
+      s"CAST($idCol AS BIGINT) AS doc_id",
+      s"lower(hex(CAST($blobCol AS BINARY))) AS hx",
+      s"CAST(octet_length(CAST($blobCol AS BINARY)) AS BIGINT) - 1 AS nm1")
+      .where(col("nm1") >= 0)
+    base.selectExpr(("doc_id" +: pHashCellExprs(sparkByteAt)): _*)
+      .selectExpr("doc_id", s"$pHashBitsExpr AS phash")
+  }
+
   /** Media feature row: the binary → dense-vector bridge into the ANN
     * operators (D family) — decode, then embed. */
   final case class MediaFeatures(doc_id: Long, features: Array[Float])

@@ -86,7 +86,73 @@ object TrainingDataQueries {
        |FROM toks ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.operators.MultiModal.pHash16]] over the
+    * documents payload surrogate (text cast to bytes, the multimodal_meta
+    * convention — DuckDB substr is character-based so the byte probes
+    * slice the hex of the UTF-8 encoding, exactly like Spark's substring
+    * over the binary cast). Terminal CTE: ph(doc_id, phash). */
+  private val PHashSqlCtes: String = {
+    import graft.operators.MultiModal
+    val duckByteAt = (g: Int) =>
+      s"CAST(('0x' || substr(hx, ((($g * nm1) // ${MultiModal.PHashPoints - 1}) * 2 + 1), 2)) AS BIGINT)"
+    s"""pbase AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) - 1 AS nm1
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |pcells AS (
+       |  SELECT doc_id, ${MultiModal.pHashCellExprs(duckByteAt).mkString(",\n    ")}
+       |  FROM pbase),
+       |ph AS (SELECT doc_id, ${MultiModal.pHashBitsExpr} AS phash FROM pcells)""".stripMargin
+  }
+
   val all: Seq[(String, Q)] = Seq(
+
+    "multimodal_phash" -> Q(
+      "Perceptual hash of the binary payload column: 16-bit dHash over a 4x5 cell-sum downsample of the byte surface (80 evenly spaced probes, integer arithmetic) — the row-local binary->hash expression that lets multimodal payloads enter the SAME banded near-dup machinery as text SimHash. Zero shuffle; at 100 TB the hex-probe spelling becomes a direct-byte codegen Expression with identical semantics",
+      (s, dir) => graft.operators.MultiModal
+        .pHash16(T.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      s"""WITH $PHashSqlCtes
+         |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin),
+
+    "dedup_image_phash" -> Q(
+      "Image near-dup dedup: perceptual-hash (dHash) signatures banded into 4x4-bit blocks (lossless for Hamming <= 3 by pigeonhole, the dedup_simhash_near geometry) with exact bit_count verify — catches re-encoded / lightly-edited payload copies whose byte checksum (multimodal_meta sha256) differs in every bit. Histogram output: the templated fixture byte-surface collides like the text corpus does, and the operator's cost shape (banded candidates, O(max distance) output) is what's under test",
+      (s, dir) => {
+        val ph = graft.operators.MultiModal
+          .pHash16(T.documents(s, dir), "doc_id", "text").persist()
+        val bands = ph.select(col("doc_id"), col("phash"),
+            explode(array((0 until 4).map(lit): _*)).as("b"))
+          .withColumn("bv", expr("shiftright(phash, b * 4) % 16"))
+        val cand = bands.select(col("doc_id").as("a_id"), col("b"), col("bv"))
+          .join(bands.select(col("doc_id").as("b_id"), col("b"), col("bv")),
+            Seq("b", "bv"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        cand
+          .join(ph.select(col("doc_id").as("a_id"), col("phash").as("pa")), Seq("a_id"))
+          .join(ph.select(col("doc_id").as("b_id"), col("phash").as("pb")), Seq("b_id"))
+          .select(bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .groupBy(col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("hamming"))
+      },
+      s"""WITH $PHashSqlCtes,
+         |pbands AS (
+         |  SELECT doc_id, phash, g.b, (phash >> (g.b * 4)) % 16 AS bv
+         |  FROM ph, (SELECT unnest(range(0, 4)) AS b) g),
+         |pcand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM pbands x JOIN pbands y ON x.b = y.b AND x.bv = y.bv
+         |   AND x.doc_id < y.doc_id)
+         |SELECT hamming, COUNT(*) AS n_pairs FROM (
+         |  SELECT CAST(bit_count(xor(sa.phash, sb.phash)) AS BIGINT) AS hamming
+         |  FROM pcand
+         |  JOIN ph sa ON pcand.a_id = sa.doc_id
+         |  JOIN ph sb ON pcand.b_id = sb.doc_id)
+         |WHERE hamming <= 3
+         |GROUP BY hamming
+         |ORDER BY hamming""".stripMargin),
 
     "dedup_semantic" -> Q(
       "Semantic dedup (SemDeDup shape): embedding near-duplicates blocked by an ADAPTIVE-width hyperplane-LSH bucket — plane count ∝ log(corpus size), so mean block occupancy is bounded and candidate generation stays O(n·TargetBlock) instead of O(n²/2^p) — then connected-components cluster resolution with canonical min-id keep",

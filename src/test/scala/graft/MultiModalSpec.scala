@@ -66,6 +66,68 @@ class MultiModalSpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
 
+  /** Brute-force reference of the pHash16 geometry, straight from the
+    * documented rule: 20 cell sums over 80 evenly spaced probes, 16
+    * horizontal-gradient sign bits. */
+  private def refPhash(b: Array[Byte]): Long = {
+    val nm1 = b.length - 1
+    val cells = (0 until MultiModal.PHashCells).map { k =>
+      (0 until MultiModal.PHashProbes).map { j =>
+        val g = k * MultiModal.PHashProbes + j
+        b(((g.toLong * nm1) / (MultiModal.PHashPoints - 1)).toInt) & 0xff
+      }.sum.toLong
+    }
+    (for { r <- 0 until MultiModal.PHashRows; c <- 0 until MultiModal.PHashCols - 1 }
+      yield
+        if (cells(r * MultiModal.PHashCols + c) < cells(r * MultiModal.PHashCols + c + 1))
+          1L << (r * (MultiModal.PHashCols - 1) + c)
+        else 0L).sum
+  }
+
+  test("pHash16: SQL expression matches the brute-force geometry reference") {
+    val payloads = Seq[(Long, Array[Byte])](
+      (1L, (0 until 5000).map(i => ((i * 7 + 13) % 251).toByte).toArray),
+      (2L, { val r = new java.util.Random(42); val a = new Array[Byte](777); r.nextBytes(a); a }),
+      (3L, Array[Byte](99)), // single byte: every cell equal -> hash 0
+      (4L, "plain text payload surrogate".getBytes("UTF-8")))
+    val got = MultiModal.pHash16(payloads.toDF("doc_id", "payload"), "doc_id", "payload")
+      .as[(Long, Long)].collect().toMap
+    payloads.foreach { case (id, b) =>
+      assert(got(id) == refPhash(b), s"doc $id: ${got(id)} != ref ${refPhash(b)}")
+    }
+    assert(got(3L) == 0L)
+    // empty payloads have no pixel surface: excluded, not hashed to 0
+    val withEmpty = MultiModal.pHash16(
+      Seq((9L, Array.empty[Byte])).toDF("doc_id", "payload"), "doc_id", "payload")
+    assert(withEmpty.count() == 0L)
+  }
+
+  test("pHash16: a lightly edited payload the byte-hash misses stays within banding reach") {
+    // A: smooth deterministic byte surface; B: five scattered single-byte
+    // edits (a re-encode artifact); C: unrelated content.
+    val a = (0 until 10000).map(i => ((i / 64) % 256).toByte).toArray
+    val b = a.clone()
+    Seq(123, 2500, 5000, 7777, 9999).foreach(i => b(i) = (b(i) + 1).toByte)
+    val c = { val r = new java.util.Random(7); val x = new Array[Byte](10000); r.nextBytes(x); x }
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "payload")
+    // exact dedup misses the pair: checksums differ
+    val sums = df.select($"doc_id", sha2($"payload", 256).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(sums(1L) != sums(2L), "edited payload must evade the byte hash")
+    val ph = MultiModal.pHash16(df, "doc_id", "payload")
+      .as[(Long, Long)].collect().toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // perceptual hash holds: within the Hamming <= 3 banding guarantee,
+    // so the 4x4-bit block join MUST surface the pair (pigeonhole)
+    assert(hamming(ph(1L), ph(2L)) <= 3,
+      s"edited pair drifted: ${ph(1L)} vs ${ph(2L)}")
+    assert((0 until 4).exists(band =>
+      ((ph(1L) >> (band * 4)) & 15) == ((ph(2L) >> (band * 4)) & 15)))
+    // the unrelated payload reads far: outside banding reach of A
+    assert(hamming(ph(1L), ph(3L)) > 3,
+      s"unrelated payload too close: ${ph(1L)} vs ${ph(3L)}")
+  }
+
   test("sampleFrames: every-k explode shape; zero-frame items emit no rows") {
     val meta = Seq((1L, 10), (2L, 1), (3L, 0)).toDF("doc_id", "n_frames")
     val got = MultiModal.sampleFrames(meta, "doc_id", "n_frames", everyK = 4)
