@@ -182,6 +182,52 @@ object TextOpsQueries {
        |    FROM cand)
        |  WHERE jac >= 0.8)""".stripMargin
 
+  /** (doc_id, source, gr): sorted distinct hashed 2-shingles per document —
+    * the shared input of the containment candidate and verify stages. */
+  private[graft] def containmentShingled(s: SparkSession, dir: String): DataFrame =
+    T.documentsSpread(s, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashedShinglesFunctions
+          .hashedShingles(tokens(col("text")), 2).as("gr"))
+
+  /** Candidate (a_id, b_id) pairs for containment >= 0.5, hot-shingle-proof
+    * and LOSSLESS: each doc probes only its rarest-first PREFIX of
+    * n − ceil(n/2) + 1 shingles against the full per-source shingle index.
+    * If |A∩B| / min(|A|,|B|) >= 1/2 then the smaller doc shares
+    * >= ceil(min/2) shingles, which cannot all sit in its rarest-first
+    * suffix of ceil(min/2) − 1 — so one of them probes and the pair
+    * surfaces (the AllPairs prefix argument adapted to the asymmetric
+    * threshold: overlap is bounded by tau·min, not tau/(1+tau)·(n_a+n_b),
+    * so only the probe side prefixes; the index side stays full).
+    * The payoff is the hot-shingle guard: a boilerplate shingle every doc
+    * of a source shares has maximal document frequency, sorts LAST in
+    * every rarest-first order, and enters no prefix of any multi-shingle
+    * doc — the O(n²) candidate blowup the raw co-occurrence join suffers
+    * becomes zero extra pairs. Document frequency is per-source (both
+    * docs of any candidate share a source, so the order is consistent
+    * where it matters); the df table broadcasts at fixture scale and
+    * sort-merge-joins at 100 TB, same adjudication as dedup_ppjoin's. */
+  private[graft] def containmentCandidates(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"), col("source"), explode(col("gr")).as("g"))
+    val dfreq = ex.groupBy(col("source"), col("g")).agg(count(lit(1)).as("df"))
+    val prefixes = ex.join(broadcast(dfreq), Seq("source", "g"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("source")).as("source"),
+        sort_array(collect_list(struct(col("df"), col("g")))).as("ranked"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "slice(ranked, 1, size(ranked) - (size(ranked) + 1) div 2 + 1)"))
+          .as("p"))
+      .select(col("doc_id"), col("source"), col("p.g").as("g"))
+    prefixes.select(col("doc_id").as("p_id"), col("source"), col("g"))
+      .join(ex.select(col("doc_id").as("x_id"), col("source"), col("g")),
+        Seq("source", "g"))
+      .filter(col("p_id") =!= col("x_id"))
+      .select(least(col("p_id"), col("x_id")).as("a_id"),
+        greatest(col("p_id"), col("x_id")).as("b_id"))
+      .distinct()
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     "text_token_count" -> Q(
@@ -463,24 +509,18 @@ object TextOpsQueries {
          |ORDER BY a_id, b_id""".stripMargin),
 
     "dedup_containment" -> Q(
-      "Containment near-dup (Broder's asymmetric measure): shared shingles over the SMALLER set's size, |A∩B| / min(|A|,|B|) — catches doc-inside-doc inclusion (quotes, boilerplate wrapping, partial mirrors) that symmetric Jaccard dilutes away. Same scale-safe similarity-join shape as dedup_ngram_jaccard: hashed-long shingles, (doc, shingle) shuffle, no per-pair array ops",
+      "Containment near-dup (Broder's asymmetric measure): shared shingles over the SMALLER set's size, |A∩B| / min(|A|,|B|) — catches doc-inside-doc inclusion (quotes, boilerplate wrapping, partial mirrors) that symmetric Jaccard dilutes away. Candidates ride a rarest-first prefix probe against the full shingle index (lossless for the containment threshold: the smaller doc's shared shingles cannot all hide in its ceil(tau*n)-1 suffix), so a boilerplate shingle every doc shares generates ZERO candidate pairs instead of O(n^2); exact merge-intersect verify on the candidate set",
       (s, dir) => {
-        val docs = T.documentsSpread(s, dir)
-          .select(col("doc_id"), col("source"),
-            graft.functions.HashedShinglesFunctions
-              .hashedShingles(tokens(col("text")), 2).as("gr"))
-          .persist()
+        val docs = containmentShingled(s, dir).persist()
         val sizes = docs.select(col("doc_id"), size(col("gr")).as("n"))
-        val ex = docs.select(col("doc_id"), col("source"), explode(col("gr")).as("g"))
-        ex.select(col("doc_id").as("a_id"), col("source"), col("g"))
-          .join(ex.select(col("doc_id").as("b_id"), col("source"), col("g")),
-            Seq("source", "g"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+        containmentCandidates(docs)
+          .join(docs.select(col("doc_id").as("a_id"), col("gr").as("ga")), Seq("a_id"))
+          .join(docs.select(col("doc_id").as("b_id"), col("gr").as("gb")), Seq("b_id"))
           .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
           .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
           .select(col("a_id"), col("b_id"),
-            (col("c").cast("double") /
+            (graft.functions.ArrayFunctions.sortedIntersectSize(col("ga"), col("gb"))
+              .cast("double") /
               least(col("na"), col("nb")).cast("double")).as("containment"))
           .filter(col("containment") >= 0.5)
           .orderBy(col("a_id"), col("b_id"))

@@ -486,6 +486,34 @@ class TrainingDataSpec extends SparkSpec {
       "the Jaccard query at its threshold must miss this inclusion pair")
   }
 
+  test("dedup_containment: a boilerplate shingle every doc shares generates no candidate pairs") {
+    // 40 docs, each = the SAME boilerplate bigram + its own disjoint
+    // content. The raw co-occurrence join would emit all 780 pairs as
+    // candidates off the hot shingle alone; the rarest-first prefix probe
+    // sorts the hot shingle last (df = 40) so it enters no prefix, and
+    // the only candidates left are the planted inclusion pair's.
+    val n = 40
+    val boiler = "subscribe now"
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val rows = (1L to n.toLong).map { i =>
+      if (i == 1L) i -> s"$boiler $inner"
+      else if (i == 2L) i -> s"$boiler pad${i}a pad${i}b pad${i}c pad${i}d $inner"
+      else i -> s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+    }
+    val dir = docsFixture(rows)
+    val docs = graft.queries.TextOpsQueries.containmentShingled(spark, dir)
+    val cand = graft.queries.TextOpsQueries.containmentCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.size < n,
+      s"hot shingle must not explode candidates: ${cand.size} vs O(n^2) = ${n * (n - 1) / 2}")
+    assert(cand.contains(1L -> 2L), "the real inclusion pair must survive the prefix filter")
+    // end-to-end: the verified output is exactly the planted pair —
+    // identical to what the unfiltered brute-force semantics produce
+    val out = SparkEntry.queries("dedup_containment")(spark, dir)
+      .select($"a_id", $"b_id", $"containment").as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set(1L -> 2L), s"got ${out.toSeq}")
+  }
+
   test("ann_filtered_knn: equals brute-force top-10 within the query's label class") {
     val all = Tables.embeddings(spark, sf)
       .filter($"embedding".isNotNull)
