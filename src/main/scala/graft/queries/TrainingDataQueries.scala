@@ -407,6 +407,56 @@ object TrainingDataQueries {
          |SELECT vec_id, label, centroid_sim, (centroid_sim < 0.0) AS is_outlier
          |FROM sims ORDER BY vec_id""".stripMargin),
 
+    "select_prototypes_scale" -> Q(
+      "Scale-safe prototype selection: per-class centroid via EXACT 2^24 fixed-point aggregation (the select_embed_outliers pattern — order-independent integer sums, mergeable partials, oracle-hashable), broadcast back for row-local cosine scoring, and the per-class argmax taken with ONE max-of-struct aggregate (ties to the smaller vec_id) — no pairwise join, no per-class window sort. The O(class^2) exact medoid (select_prototypes) is the small-class twin: a medoid query over a 100M-member class is 10^16 pairs, this form is one n*d-row shuffle into c*d centroid cells plus a scan. Unlike the medoid form it also covers singleton classes (a lone member represents itself)",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val ex = emb.select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos"),
+            floor(col("col").cast("double") * lit(16777216.0)).cast("long").as("qv"))
+        val cent = ex.groupBy(col("label"), col("pos"))
+          .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            (col("sq").cast("double") / col("n") / lit(16777216.0)).as("c"))
+        val carr = cent.groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("carr"))
+        emb.join(broadcast(carr), Seq("label"))
+          .select(col("label"), col("vec_id"),
+            cosineSim(col("embedding"), col("carr")).as("centroid_sim"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("class_size"),
+            max(struct(col("centroid_sim"), (-col("vec_id")).as("nid"))).as("m"))
+          .select(col("label"),
+            (-col("m.nid")).as("prototype_id"),
+            col("class_size"),
+            col("m.centroid_sim").as("centroid_sim"))
+          .orderBy(col("label"))
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |ex AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16777216.0) AS BIGINT) AS qv
+         |  FROM e),
+         |cent AS (
+         |  SELECT label, pos, CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 16777216.0 AS c
+         |  FROM ex GROUP BY label, pos),
+         |carr AS (SELECT label, list(c ORDER BY pos) AS carr FROM cent GROUP BY label),
+         |sims AS (
+         |  SELECT e.label, e.vec_id,
+         |    ${VectorSearchQueries.cosSqlPublic("e.embedding", "carr.carr")} AS centroid_sim
+         |  FROM e JOIN carr ON carr.label = e.label)
+         |SELECT label, vec_id AS prototype_id, class_size, centroid_sim
+         |FROM (
+         |  SELECT label, vec_id, centroid_sim,
+         |    CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS class_size,
+         |    ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY centroid_sim DESC, vec_id) AS rn
+         |  FROM sims)
+         |WHERE rn = 1 ORDER BY label""".stripMargin),
+
     "ann_int8_knn" -> Q(
       "Quantized vector search: per-vector symmetric int8 codes (floor-rounded, scale = max|x|), cosine over the integer codes — 4x less scan bandwidth and an integer-dot hot loop at 100 TB; the estimate's fidelity vs float cosine is spec-pinned",
       (s, dir) => {

@@ -93,6 +93,35 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("select_prototypes_scale: centroid argmax agrees with the exact medoid on well-separated classes") {
+    // Two tight, well-separated clusters, each with one clearly-central
+    // member: the O(class^2) medoid and the one-pass centroid argmax must
+    // pick the same prototype. A third singleton class is covered only by
+    // the scale form (the medoid needs peers) — it represents itself.
+    val dir = tmpDir("protoscale")
+    def v(xs: Float*): Array[Float] = xs.toArray.padTo(4, 0.0f)
+    Seq(
+      (0L, v(1.0f), 0), (1L, v(0.8f, 0.2f), 0), (2L, v(0.8f, -0.2f), 0),
+      (10L, v(0.0f, 1.0f), 1), (11L, v(0.2f, 0.8f), 1), (12L, v(-0.2f, 0.8f), 1),
+      (20L, v(0.0f, 0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exact = SparkEntry.queries("select_prototypes")(spark, dir)
+      .select($"label", $"prototype_id").as[(Int, Long)].collect().toMap
+    val scale = SparkEntry.queries("select_prototypes_scale")(spark, dir)
+      .select($"label", $"prototype_id", $"class_size", $"centroid_sim")
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(exact.keySet == Set(0, 1), "medoid form needs >= 2 members")
+    assert(scale.keySet == Set(0, 1, 2), "scale form covers singletons too")
+    Seq(0, 1).foreach { l =>
+      assert(scale(l)._2 == exact(l),
+        s"class $l: centroid argmax ${scale(l)._2} != medoid ${exact(l)}")
+    }
+    assert(scale(0)._2 == 0L && scale(1)._2 == 10L, "the central members win")
+    assert(scale(2)._2 == 20L && scale(2)._3 == 1L)
+    assert(math.abs(scale(2)._4 - 1.0) < 1e-9, "a singleton IS its centroid")
+  }
+
   test("select_embed_outliers: the anti-aligned member is the outlier; aligned members are not") {
     // label 0: three vectors near +e1 and one at -e1 (the outlier);
     // label 1: two near +e2 — per-class centroids must separate them.
