@@ -551,7 +551,7 @@ object SelectionQueries {
          |ORDER BY doc_id""".stripMargin),
 
     "report_drift" -> Q(
-      "Distribution-drift monitor: each source's 256-bucket hashed-token distribution vs the corpus mixture, as total-variation distance Σ|p_src − p_all| (unobserved buckets contribute their full corpus mass: the identity Σ_miss p_all = 1 − Σ_obs p_all keeps the computation on the source's own buckets, no dense grid). The data-quality alarm that catches a crawler or source going off-distribution; histograms are bucket-count-bounded, the corpus side broadcasts, and the per-source sums fold in pinned bucket order so the doubles hash bit-for-bit",
+      "Distribution-drift monitor: each source's 256-bucket hashed-token distribution vs the corpus mixture, as L1 (Manhattan) distance Σ|p_src − p_all| — range [0, 2], twice the total-variation distance; same convention as the streaming monitor (unobserved buckets contribute their full corpus mass: the identity Σ_miss p_all = 1 − Σ_obs p_all keeps the computation on the source's own buckets, no dense grid). The data-quality alarm that catches a crawler or source going off-distribution; histograms are bucket-count-bounded, the corpus side broadcasts, and the per-source sums fold in pinned bucket order so the doubles hash bit-for-bit",
       (s, dir) => {
         val bucket = conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long")
         val toks = T.documentsSpread(s, dir)

@@ -174,7 +174,10 @@ object VectorSearchQueries {
         (id, e, sim, lam * sim - (1.0 - lam) * pen)
       }.maxBy { case (id, _, _, score) => (score, -id) }
       selected += best
-      remaining -= ((best._1, best._2, best._3))
+      // remove by unique vec_id — tuple equality would compare the
+      // Array[Float] by reference, a silent no-op the moment any
+      // refactor copies the embeddings
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
     }
     selected.zipWithIndex
       .map { case ((id, _, sim, score), i) => (i + 1L, id, sim, score) }

@@ -26,9 +26,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingAnomaly {
 
-  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class Ev(
+      event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class EwState(ewma: Double, ewvar: Double, n: Long, lastMs: Long)
   final case class Anomaly(
+      event_id: Long,
       user_id: Long,
       ts: java.sql.Timestamp,
       value: Double,
@@ -62,7 +64,11 @@ object StreamingAnomaly {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            // (ts, event_id) is the ORDERING CONTRACT every batch twin
+            // pins (ts2_ewma, g7_markov, a5_scd2) — same-timestamp ties
+            // fold identically here and there, and the emitted event_id
+            // joins a flag back to its exact source event.
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var st = state.getOption.getOrElse(EwState(0.0, 0.0, 0L, 0L))
             val out = Seq.newBuilder[Anomaly]
             sorted.foreach { e =>
@@ -70,7 +76,7 @@ object StreamingAnomaly {
               if (st.n >= warmup) {
                 val bound = k * math.sqrt(st.ewvar)
                 if (math.abs(x - st.ewma) > bound)
-                  out += Anomaly(userId, e.ts, x, st.ewma, bound)
+                  out += Anomaly(e.event_id, userId, e.ts, x, st.ewma, bound)
               }
               // EW Welford: the estimate absorbs every event, anomalous
               // or not — a level shift becomes the new normal instead of

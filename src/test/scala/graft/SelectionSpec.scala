@@ -284,8 +284,8 @@ class SelectionSpec extends SparkSpec {
 
   test("report_drift: on-distribution sources read ~0, a divergent source reads high") {
     // s0/s1 share the same token mixture (drift ~ 0 up to per-bucket
-    // rounding); s2 speaks a disjoint vocabulary — its total-variation
-    // distance from the corpus mixture must dominate.
+    // rounding); s2 speaks a disjoint vocabulary — its L1 distance
+    // from the corpus mixture must dominate.
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val dir = docsFixture(Seq(
       (1L, shared, "en", "s0"), (2L, shared, "en", "s0"),
@@ -295,7 +295,7 @@ class SelectionSpec extends SparkSpec {
       .select($"source", $"drift").as[(String, Double)].collect().toMap
     assert(out.keySet == Set("s0", "s1", "s2"))
     out.values.foreach(d => assert(d >= 0.0 && d <= 2.0 + 1e-9,
-      "total variation is bounded by 2"))
+      "L1 distance between distributions is bounded by 2"))
     // s0 and s1 have the identical token multiset => identical drift rows
     assert(out("s0") == out("s1"), s"same-mixture sources must read equal: $out")
     // s2 shares no tokens with the rest: its observed mass is only its own

@@ -5,12 +5,13 @@ import graft.streaming.StreamingDrift.Doc
 import org.apache.spark.sql.types._
 
 /** Streaming drift monitor: an on-mixture batch must read ~0 drift, an
-  * off-mixture batch must read high, and each micro-batch appends
-  * exactly one monitor row. */
+  * off-mixture batch must read high, each micro-batch owns exactly one
+  * monitor row, and a replayed batch lands on its own row instead of
+  * duplicating it. */
 class StreamingDriftSpec extends SparkSpec {
   import spark.implicits._
 
-  test("per-batch total-variation drift separates on-mixture from off-mixture batches") {
+  test("per-batch L1 drift separates on-mixture from off-mixture batches") {
     val refText = "alpha beta gamma delta epsilon zeta eta theta"
     val refDocs = Seq.tabulate(8)(i => (i.toLong, refText))
       .toDF("doc_id", "text")
@@ -28,18 +29,37 @@ class StreamingDriftSpec extends SparkSpec {
 
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val stream = spark.readStream
+    def stream = spark.readStream
       .option("maxFilesPerTrigger", 1)
       .schema(schema).parquet(in).as[Doc]
     StreamingDrift.monitor(stream, ref, out, ckpt)
 
     val rows = spark.read.parquet(out)
-      .select($"batch_id", $"n_tokens", $"drift")
+      .select($"batch_id".cast("long"), $"n_tokens", $"drift")
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(rows.length == 2, s"one monitor row per micro-batch, got ${rows.toSeq}")
     val drifts = rows.map(_._3)
     assert(drifts.min < 1e-9, "the on-mixture batch reads ~0")
-    assert(drifts.max > 1.5, "the disjoint-vocabulary batch reads near the TV bound")
+    // L1 = 2x total variation, so the bound is 2 and a disjoint
+    // vocabulary approaches it
+    assert(drifts.max > 1.5, "the disjoint-vocabulary batch reads near the L1 bound")
     rows.foreach { case (_, _, d) => assert(d >= 0.0 && d <= 2.0 + 1e-9) }
+
+    // Replay: a fresh checkpoint re-delivers the same batch ids (the
+    // at-least-once crash-recovery case). The batch_id-partitioned
+    // dynamic overwrite must land each replayed row on its own
+    // partition — still one row per batch, not appended duplicates.
+    StreamingDrift.monitor(stream, ref, out, tmpDir("drift-ckpt2"))
+    val replayed = spark.read.parquet(out)
+      .select($"batch_id".cast("long")).as[Long].collect().sorted
+    assert(replayed.toSeq == Seq(0L, 1L),
+      s"replayed batches must overwrite, not duplicate: ${replayed.toSeq}")
+  }
+
+  test("referenceMixture rejects a token-less corpus instead of returning NaNs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      StreamingDrift.referenceMixture(empty)
+    }
   }
 }
