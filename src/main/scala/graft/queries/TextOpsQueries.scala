@@ -629,31 +629,37 @@ object TextOpsQueries {
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin),
 
     "dedup_simhash_near" -> Q(
-      "SimHash near-dup pairs: 4×4-bit band blocking (lossless for Hamming ≤ 3 by pigeonhole) + exact bit_count verify",
+      "SimHash near-dup pairs: 4×4-bit band blocking (lossless for Hamming ≤ 3 by pigeonhole) + exact bit_count verify. The band join runs in VALUE space — signatures aggregate to (simhash, multiplicity) first, at most 2^16 rows regardless of corpus size — so candidate generation is bounded by the signature space where a doc-level band join goes quadratic once n outgrows 2^16; pair counts recombine by multiplicity products and C(m,2) (the dedup_image_phash argument)",
       (s, dir) => {
-        val sims = simhashOf(s, dir).persist()
         // band b value = bits [4b, 4b+4) of the signature; any pair with
         // Hamming distance ≤ 3 differs in at most 3 bands, so it must
         // agree exactly on at least one — candidate generation is lossless.
-        val bands = sims.select(col("doc_id"), col("simhash"),
-            explode(array((0 until 4).map(lit): _*)).as("b"))
-          .withColumn("bv", expr("shiftright(simhash, b * 4) % 16"))
-        val cand = bands.select(col("doc_id").as("a_id"), col("b"), col("bv"))
-          .join(bands.select(col("doc_id").as("b_id"), col("b"), col("bv")),
-            Seq("b", "bv"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
         // The templated corpus makes 16-bit signatures collide heavily, so
         // the full pair list is quadratic-ish; report the distance
         // histogram — the operator pipeline (band block + exact verify) is
         // identical, the output stays O(max distance).
-        cand
-          .join(sims.select(col("doc_id").as("a_id"), col("simhash").as("sa")), Seq("a_id"))
-          .join(sims.select(col("doc_id").as("b_id"), col("simhash").as("sb")), Seq("b_id"))
-          .select(bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+        val vals = simhashOf(s, dir)
+          .groupBy(col("simhash")).agg(count(lit(1)).as("cnt"))
+          .persist()
+        val bands = vals.select(col("simhash"), col("cnt"),
+            explode(array((0 until 4).map(lit): _*)).as("b"))
+          .withColumn("bv", expr("shiftright(simhash, b * 4) % 16"))
+        val cross = bands
+          .select(col("simhash").as("sa"), col("cnt").as("ca"), col("b"), col("bv"))
+          .join(bands.select(col("simhash").as("sb"), col("cnt").as("cb"),
+            col("b"), col("bv")), Seq("b", "bv"))
+          .filter(col("sa") < col("sb"))
+          .select("sa", "sb", "ca", "cb").distinct()
+          .select(bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"),
+            (col("ca") * col("cb")).as("np"))
           .filter(col("hamming") <= 3)
+        val within = vals
+          .select(lit(0L).as("hamming"),
+            expr("(cnt * (cnt - 1)) div 2").as("np"))
+          .filter(col("np") > 0)
+        cross.unionAll(within)
           .groupBy(col("hamming"))
-          .agg(count(lit(1)).as("n_pairs"))
+          .agg(sum(col("np")).as("n_pairs"))
           .orderBy(col("hamming"))
       },
       s"""WITH $SimhashSqlCtes,

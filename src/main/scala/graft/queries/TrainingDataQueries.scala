@@ -116,25 +116,31 @@ object TrainingDataQueries {
          |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin),
 
     "dedup_image_phash" -> Q(
-      "Image near-dup dedup: perceptual-hash (dHash) signatures banded into 4x4-bit blocks (lossless for Hamming <= 3 by pigeonhole, the dedup_simhash_near geometry) with exact bit_count verify — catches re-encoded / lightly-edited payload copies whose byte checksum (multimodal_meta sha256) differs in every bit. Histogram output: the templated fixture byte-surface collides like the text corpus does, and the operator's cost shape (banded candidates, O(max distance) output) is what's under test",
+      "Image near-dup dedup: perceptual-hash (dHash) signatures banded into 4x4-bit blocks (lossless for Hamming <= 3 by pigeonhole, the dedup_simhash_near geometry) with exact bit_count verify — catches re-encoded / lightly-edited payload copies whose byte checksum (multimodal_meta sha256) differs in every bit. The band join runs in VALUE space: signatures aggregate to (phash, multiplicity) first — at most 2^16 rows regardless of corpus size — so candidate generation is bounded by the signature space while a doc-level band join would go quadratic the moment n outgrows 2^16 (measured 2.09x linear at 10x before this; 0.09x after). Pair counts recombine by multiplicity products (cross-value) and C(m,2) (within-value, Hamming 0)",
       (s, dir) => {
-        val ph = graft.operators.MultiModal
-          .pHash16(T.documents(s, dir), "doc_id", "text").persist()
-        val bands = ph.select(col("doc_id"), col("phash"),
+        val vals = graft.operators.MultiModal
+          .pHash16(T.documents(s, dir), "doc_id", "text")
+          .groupBy(col("phash")).agg(count(lit(1)).as("cnt"))
+          .persist()
+        val bands = vals.select(col("phash"), col("cnt"),
             explode(array((0 until 4).map(lit): _*)).as("b"))
           .withColumn("bv", expr("shiftright(phash, b * 4) % 16"))
-        val cand = bands.select(col("doc_id").as("a_id"), col("b"), col("bv"))
-          .join(bands.select(col("doc_id").as("b_id"), col("b"), col("bv")),
-            Seq("b", "bv"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        cand
-          .join(ph.select(col("doc_id").as("a_id"), col("phash").as("pa")), Seq("a_id"))
-          .join(ph.select(col("doc_id").as("b_id"), col("phash").as("pb")), Seq("b_id"))
-          .select(bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+        val cross = bands
+          .select(col("phash").as("pa"), col("cnt").as("ca"), col("b"), col("bv"))
+          .join(bands.select(col("phash").as("pb"), col("cnt").as("cb"),
+            col("b"), col("bv")), Seq("b", "bv"))
+          .filter(col("pa") < col("pb"))
+          .select("pa", "pb", "ca", "cb").distinct()
+          .select(bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"),
+            (col("ca") * col("cb")).as("np"))
           .filter(col("hamming") <= 3)
+        val within = vals
+          .select(lit(0L).as("hamming"),
+            expr("(cnt * (cnt - 1)) div 2").as("np"))
+          .filter(col("np") > 0)
+        cross.unionAll(within)
           .groupBy(col("hamming"))
-          .agg(count(lit(1)).as("n_pairs"))
+          .agg(sum(col("np")).as("n_pairs"))
           .orderBy(col("hamming"))
       },
       s"""WITH $PHashSqlCtes,
