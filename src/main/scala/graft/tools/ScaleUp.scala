@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * are preserved per copy and independent across copies:
   *
   *  - `documents`: copy 0 is the original corpus byte-for-byte. Copy k>0
-  *    re-ids (`doc_id + k·10^6`) and applies a word-level salt (every
+  *    re-ids (`doc_id + k·stride`, stride = next power of 10 above the source's max id) and applies a word-level salt (every
   *    whitespace token gets the copy number appended). Within a copy the
   *    shingle/near-dup structure is IDENTICAL to the original — the salt
   *    is a bijection on the token alphabet, so two docs share a salted
@@ -20,30 +20,48 @@ import org.apache.spark.sql.functions._
   *    total near-dup pairs scale exactly linearly, and an inflation that
   *    just duplicated text (making 90% of the corpus exact dups) is
   *    avoided.
-  *  - `embeddings`: copy k>0 re-ids (`vec_id + k·10^6`) and applies ONE
+  *  - `embeddings`: copy k>0 re-ids (`vec_id + k·stride`) and applies ONE
   *    orthogonal transform per copy — a k-step dimension rotation times a
   *    per-(dim,copy) ±1 sign pattern. Orthogonality means every
   *    within-copy inner product (hence cosine) is bit-preserved, so the
   *    semantic-dedup rate and k-NN neighborhoods per copy equal the
   *    original's; across copies the transforms differ, decorrelating the
   *    copies. Norms are untouched.
-  *  - `lineitem`: copy k offsets `l_orderkey` (+k·10^8) and `l_partkey`
-  *    (+k·10^7): the part co-purchase graph becomes `factor` disjoint
+  *  - `lineitem`: copy k offsets `l_orderkey` and `l_partkey` by their own
+  *    collision-free strides: the part co-purchase graph becomes `factor` disjoint
   *    isomorphic components — PageRank/CC rounds stay constant while
   *    |V|,|E| scale linearly, the exact regime a 100 TB corpus graph is in.
-  *  - `events`: copy k offsets `event_id` (+k·10^8) and `user_id`
-  *    (+k·10^7); timestamps untouched (windows see factor× density).
+  *  - `events`: copy k offsets `event_id` and `user_id` by their own strides; timestamps untouched (windows see factor× density).
   *
   * All other tables are passed through unchanged (hard-linked/copied), so
   * any registry query runs against the output directory.
+  *
+  * ALWAYS inflate directly from the ORIGINAL fixture — never chain
+  * ScaleUp over its own output. Chaining breaks both invariants at once
+  * (found round 9, measured as a bogus 3.25×-linear third-decade
+  * reading): (a) id collisions — two chained 10× passes give
+  * `id + (a+b)·stride`, and a+b collides (a 500k-row chained "100×" held
+  * only 95k distinct doc_ids), exploding every verify join by id
+  * multiplicity; (b) salt collisions — copy (a=1, b=0) and (a=0, b=1)
+  * both produce the token salt "1", so different chain paths share
+  * vocabulary AND ids: the copies are no longer independent. The strides
+  * are now derived from the source's actual max id (next power of 10),
+  * and `main` fails loudly if an inflated table's ids are not unique —
+  * but the salt is inherently single-application, so direct generation
+  * is the contract, not just a recommendation.
   *
   * Usage: ScaleUp [srcDir] [outDir] [factor]; defaults
   * (/root/testdata/sf0.1, /root/repo/scale10, 10).
   */
 object ScaleUp {
-  private val DocStride   = 1000000L   // > max doc_id / vec_id at any sf here
-  private val OrderStride = 100000000L // > max l_orderkey at sf0.1 (~6e6)
-  private val PartStride  = 10000000L  // > max l_partkey at sf0.1 (~2e5)
+  /** Next power of 10 strictly greater than the column's max — collision-
+    * free re-id stride for any source, chained or not. */
+  private def strideFor(df: DataFrame, idCol: String): Long = {
+    val mx = df.agg(max(col(idCol))).collect()(0).getLong(0)
+    var s = 1L
+    while (s <= mx) s *= 10
+    s
+  }
 
   def inflateDocuments(df: DataFrame, factor: Int,
       salt: Boolean = true): DataFrame = {
@@ -51,7 +69,7 @@ object ScaleUp {
       .select(col("id").cast("int").as("copy"))
     df.crossJoin(broadcast(copies))
       .select(
-        (col("doc_id") + col("copy").cast("long") * DocStride).as("doc_id"),
+        (col("doc_id") + col("copy").cast("long") * strideFor(df, "doc_id")).as("doc_id"),
         when(col("copy") === 0 || lit(!salt), col("text")).otherwise(
           array_join(
             transform(split(col("text"), " "),
@@ -76,7 +94,7 @@ object ScaleUp {
           col("copy").cast("long"), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
     df.crossJoin(broadcast(copies))
       .select(
-        (col("vec_id") + col("copy").cast("long") * DocStride).as("vec_id"),
+        (col("vec_id") + col("copy").cast("long") * strideFor(df, "vec_id")).as("vec_id"),
         when(col("copy") === 0, col("embedding"))
           .otherwise(transformed.cast("array<float>")).as("embedding"),
         col("label"))
@@ -87,8 +105,8 @@ object ScaleUp {
       .select(col("id").cast("int").as("copy"))
     val k = col("copy").cast("long")
     df.crossJoin(broadcast(copies))
-      .withColumn("l_orderkey", col("l_orderkey") + k * OrderStride)
-      .withColumn("l_partkey", col("l_partkey") + k * PartStride)
+      .withColumn("l_orderkey", col("l_orderkey") + k * strideFor(df, "l_orderkey"))
+      .withColumn("l_partkey", col("l_partkey") + k * strideFor(df, "l_partkey"))
       .drop("copy")
   }
 
@@ -97,8 +115,8 @@ object ScaleUp {
       .select(col("id").cast("int").as("copy"))
     val k = col("copy").cast("long")
     df.crossJoin(broadcast(copies))
-      .withColumn("event_id", col("event_id") + k * OrderStride)
-      .withColumn("user_id", col("user_id") + k * PartStride)
+      .withColumn("event_id", col("event_id") + k * strideFor(df, "event_id"))
+      .withColumn("user_id", col("user_id") + k * strideFor(df, "user_id"))
       .drop("copy")
   }
 
@@ -127,6 +145,19 @@ object ScaleUp {
         .parquet(s"$out/$name.parquet")
       println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
+    // loud chaining/stride-bug tripwire: an inflated id column must stay
+    // unique (the round-9 chained fixture held 95k distinct ids in 500k
+    // rows and produced a bogus 3.25x-linear decade before this check)
+    def assertUnique(name: String, idCol: String): Unit = {
+      val df = spark.read.parquet(s"$out/$name.parquet")
+      val (n, nd) = {
+        val r = df.agg(count(lit(1)), countDistinct(col(idCol))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      require(n == nd,
+        s"$name.$idCol not unique after inflation: $nd distinct of $n rows " +
+          "(chained ScaleUp output? inflate directly from the original fixture)")
+    }
     def maybe(name: String, f: DataFrame => DataFrame): Unit = {
       val in = spark.read.parquet(s"$src/$name.parquet")
       write(if (inflate(name)) f(in) else in, name)
@@ -142,12 +173,15 @@ object ScaleUp {
         "documents")
     else
       maybe("documents", inflateDocuments(_, factor))
+    assertUnique("documents", "doc_id")
     maybe("embeddings", inflateEmbeddings(_, factor))
+    assertUnique("embeddings", "vec_id")
     maybe("lineitem", inflateLineitem(_, factor))
     // events.ts may be nanos parquet (Tables.events handles both); pass
     // the raw column through unchanged so the output round-trips.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     maybe("events", inflateEvents(_, factor))
+    assertUnique("events", "event_id")
     // Pass-through for the rest so every registry query resolves.
     val small = Seq("region", "nation", "customer", "supplier", "part", "orders")
     small.foreach { t =>

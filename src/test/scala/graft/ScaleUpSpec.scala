@@ -20,11 +20,15 @@ class ScaleUpSpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  // adaptive stride (round 9): next power of 10 above the source's max id
+  // — for these 4-row fixtures that is 10
+  private val stride = 10L
+
   test("documents: copy 0 verbatim, ids strided, per-copy dup structure preserved, cross-copy disjoint") {
     val out = ScaleUp.inflateDocuments(docs, 3).cache()
     assert(out.count() == 12)
     // copy 0 is the original byte-for-byte
-    val c0 = out.filter(col("doc_id") < 1000000L).orderBy("doc_id")
+    val c0 = out.filter(col("doc_id") < stride).orderBy("doc_id")
       .select("text").collect().map(_.getString(0))
     assert(c0.toSeq == docs.orderBy("doc_id").select("text").collect().map(_.getString(0)).toSeq)
     // exact-dup ROWS scale exactly with the factor: 1 dup row per copy
@@ -33,15 +37,15 @@ class ScaleUpSpec extends SparkSpec {
     assert(dupRows == 3, s"expected 3 exact-dup rows (1 per copy), got $dupRows")
     // cross-copy: no shingle (here: no word) collides between copies
     val words = out.select(explode(split(col("text"), " ")).as("w"),
-      (col("doc_id") / 1000000L).cast("int").as("copy"))
+      (col("doc_id") / stride).cast("int").as("copy"))
     val collisions = words.groupBy("w").agg(countDistinct("copy").as("nc"))
       .filter(col("nc") > 1).count()
     assert(collisions == 0, "salted copies must share no token")
     // the salt is a bijection per copy: within-copy word-level equality
     // structure is identical to the original in every copy
     (0 until 3).foreach { k =>
-      val c = out.filter(col("doc_id") >= k * 1000000L &&
-        col("doc_id") < (k + 1) * 1000000L)
+      val c = out.filter(col("doc_id") >= k * stride &&
+        col("doc_id") < (k + 1) * stride)
       val d = c.groupBy(md5(col("text"))).count()
         .filter(col("count") === 2).count()
       assert(d == 1, s"copy $k must contain exactly the original's one dup pair")
@@ -64,7 +68,7 @@ class ScaleUpSpec extends SparkSpec {
     def dot(a: Seq[Float], b: Seq[Float]): Double =
       a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
     val byCopy = out.collect()
-      .map(r => (r.getLong(0) / 1000000L, r.getLong(0) % 1000000L,
+      .map(r => (r.getLong(0) / stride, r.getLong(0) % stride,
         r.getSeq[Float](1)))
       .groupBy(_._1)
     val base = byCopy(0L).sortBy(_._2).map(_._3)
@@ -103,5 +107,20 @@ class ScaleUpSpec extends SparkSpec {
     val vocabOut = out.select(explode(split(col("text"), " "))).distinct().count()
     assert(vocabBase == vocabOut, s"no-salt vocab must not grow: $vocabBase vs $vocabOut")
     assert(out.count() == 20)
+  }
+
+  test("adaptive stride: ids stay unique even under (forbidden) chaining — the round-9 collision regression") {
+    // The fixed 10^6 stride collided ids when ScaleUp was chained over its
+    // own output (id + (a+b)·stride; a 500k-row chained "100×" held 95k
+    // distinct doc_ids and measured a bogus 3.25×-linear decade). The
+    // stride now derives from the source's actual max id, so even a
+    // chained second pass — still forbidden for the SALT (copy paths
+    // (1,0) and (0,1) share the token suffix "1") — can no longer
+    // collide ids.
+    val once = ScaleUp.inflateDocuments(docs, 3)
+    val twice = ScaleUp.inflateDocuments(once, 3)
+    val n = twice.count()
+    val nd = twice.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    assert(n == 36 && nd == 36, s"chained ids must stay unique: $nd of $n")
   }
 }
