@@ -767,5 +767,61 @@ object VectorSearchQueries {
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE sim >= 0.2
          |ORDER BY a_id, b_id""".stripMargin),
+
+    "embed_covariance" -> Q(
+      "Corpus embedding covariance matrix in ONE pass: vectors quantize to exact 2^20 fixed point (the select_prototypes_scale convention), a single VectorOuterSumAggregator job accumulates per-dimension sums and every upper-triangular product sum in a fixed-size mergeable buffer (d + d(d+1)/2 longs — shuffle volume is one ~17 KB buffer per partition regardless of corpus size, the big-n-small-d linear-algebra shape), and the sample-covariance formula runs on exact integer inputs so the doubles hash-match the DuckDB oracle bit-for-bit despite distributed merge order. The posexplode-self-join alternative would shuffle n*d(d+1)/2 rows — 4e12 at a billion 64-dim vectors vs 2080 cells here. Consumers: embed_pca (whitening / dimensionality reduction), drift diagnostics between corpus snapshots",
+      (s, dir) => {
+        val dim = 64
+        val o = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+          .select(graft.operators.PcaOps.quantized(col("embedding")).as("qv"))
+          .agg(graft.functions.VectorOuterSumAggregator.outerSums(dim, col("qv")).as("o"))
+          .select(col("o.n").as("n"), col("o.sums").as("sums"), col("o.prods").as("prods"))
+        // tiny (i, j>=i) -> flat-k map over the d(d+1)/2 buffer cells:
+        // k = i*d - i(i-1)/2 + (j - i); broadcast-joined to the
+        // posexploded single-row buffer
+        val ij = s.range(dim).toDF("i").crossJoin(s.range(dim).toDF("j"))
+          .filter(col("j") >= col("i"))
+          .withColumn("k", expr(s"i * ${dim}L - (i * (i - 1)) div 2 + j - i"))
+        o.select(col("n"), col("sums"), posexplode(col("prods")).as(Seq("k", "sp")))
+          .join(broadcast(ij), Seq("k"))
+          .select(col("i"), col("j"),
+            ((col("sp").cast("double")
+              - element_at(col("sums"), (col("i") + 1).cast("int")).cast("double")
+                * element_at(col("sums"), (col("j") + 1).cast("int")).cast("double")
+                / col("n"))
+              / (col("n") - 1) / lit(1099511627776.0)).as("cov"))
+          .orderBy(col("i"), col("j"))
+      },
+      """WITH e AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (SELECT row_number() OVER () AS rid, qv FROM e),
+        |ex AS (SELECT rid, CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS pos,
+        |         unnest(qv) AS v
+        |       FROM q),
+        |pairs AS (SELECT a.pos AS i, b.pos AS j, SUM(a.v * b.v) AS sp
+        |          FROM ex a JOIN ex b ON a.rid = b.rid AND b.pos >= a.pos
+        |          GROUP BY a.pos, b.pos),
+        |sm AS (SELECT pos AS i, SUM(v) AS sv FROM ex GROUP BY pos),
+        |n AS (SELECT COUNT(*) AS n FROM q)
+        |SELECT p.i, p.j,
+        |  (CAST(p.sp AS DOUBLE) - CAST(sa.sv AS DOUBLE) * CAST(sb.sv AS DOUBLE) / n.n)
+        |    / (n.n - 1) / 1099511627776.0 AS cov
+        |FROM pairs p
+        |JOIN sm sa ON sa.i = p.i
+        |JOIN sm sb ON sb.i = p.j
+        |CROSS JOIN n
+        |ORDER BY p.i, p.j""".stripMargin),
+
+    "embed_pca" -> Q(
+      "Distributed PCA projection: the embed_covariance one-pass moment aggregation feeds a driver-local power-iteration eigen solve (d x d, O(d^2 * iters) — the IvfIndex-centroid kind of bounded driver boundary, never corpus rows), then every vector projects onto the top-2 components ROW-LOCALLY via broadcast-literal component arrays (codegen'd zip_with/aggregate dots, no join, no UDF) — whitening / dimensionality reduction ahead of SemDeDup-style clustering or ANN indexing. Rows-only check: the eigen solve is not ANSI-SQL-expressible; exactness anchors are the hash-checked embed_covariance row (pins the only distributed stage bit-for-bit) and PcaSpec (planted principal-direction recovery, orthonormality, eigenvalue ordering, deterministic sign, projection == centered dot)",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val m = graft.operators.PcaOps.train(emb, "embedding", dim = 64, k = 2)
+        graft.operators.PcaOps.project(emb, "vec_id", "embedding", m)
+          .orderBy(col("vec_id"))
+      },
+      None),
   )
 }

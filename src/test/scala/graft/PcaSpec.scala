@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PcaOps
+
+/** Exactness and recovery properties of the PCA family that the DuckDB
+  * oracle can't express: the one-pass moment aggregation must equal a
+  * naive two-pass covariance of the SAME quantized values bit-for-bit
+  * (order-independence of the integer sums), and the power-iteration
+  * eigen solve must recover planted principal directions with the
+  * documented deterministic-sign convention. The distributed stage
+  * itself is hash-anchored by the embed_covariance oracle row. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** Planted rank-2 corpus: x = a·u + b·w with orthonormal u, w and
+    * var(a) >> var(b) — the top component must recover ±u. */
+  private def planted(n: Int): (Seq[(Long, Seq[Float])], Array[Double], Array[Double]) = {
+    val u = Array(0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0)
+    val w = Array(0.0, 0.0, 0.0, 0.0, 0.5, 0.5, 0.5, 0.5)
+    val rows = (0 until n).map { i =>
+      val a = (i % 21 - 10) * 0.1
+      val b = ((i * 7) % 5 - 2) * 0.02
+      val v = (0 until dim).map(d => (a * u(d) + b * w(d)).toFloat)
+      (i.toLong, v)
+    }
+    (rows, u, w)
+  }
+
+  test("covarianceFromSums equals a naive two-pass covariance of the quantized values exactly") {
+    val (rows, _, _) = planted(200)
+    val df = rows.toDF("vec_id", "embedding")
+    val m = PcaOps.train(df, "embedding", dim, k = 2)
+
+    // naive driver-side reference over the same floor(x * 2^20) longs
+    val q = rows.map(_._2.map(x => math.floor(x.toDouble * PcaOps.FixedPointScale).toLong))
+    val n = q.length
+    val sums = (0 until dim).map(d => q.map(_(d)).sum)
+    val one = df
+      .select(PcaOps.quantized(col("embedding")).as("qv"))
+      .agg(graft.functions.VectorOuterSumAggregator.outerSums(dim, col("qv")).as("o"))
+      .select(col("o.n"), col("o.sums"), col("o.prods")).collect()(0)
+    assert(one.getLong(0) == n)
+    assert(one.getSeq[Long](1) == sums)
+    val prods = one.getSeq[Long](2)
+    val cov = PcaOps.covarianceFromSums(dim, n, one.getSeq[Long](1), prods)
+    var k = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val sp = q.map(v => v(i) * v(j)).sum
+      assert(prods(k) == sp, s"product sum ($i,$j)")
+      val expect = (sp.toDouble - sums(i).toDouble * sums(j).toDouble / n) / (n - 1) /
+        (PcaOps.FixedPointScale * PcaOps.FixedPointScale)
+      // identical formula on identical exact inputs: bit-for-bit
+      assert(cov(i)(j) == expect, s"cov ($i,$j)")
+      k += 1
+    }
+    assert(m.n == n)
+  }
+
+  test("train recovers planted principal directions, ordered, orthonormal, sign-fixed") {
+    val (rows, u, w) = planted(200)
+    val df = rows.toDF("vec_id", "embedding")
+    val m = PcaOps.train(df, "embedding", dim, k = 2)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // recovery: component 1 spans u, component 2 spans w (quantization
+    // noise is ~2^-20 per element, far below the 1e-6 envelope)
+    assert(math.abs(dot(m.components(0), u)) > 1 - 1e-6, "pc1 recovers u")
+    assert(math.abs(dot(m.components(1), w)) > 1 - 1e-6, "pc2 recovers w")
+    // eigenvalues ordered and matching the planted variances' order
+    assert(m.eigenvalues(0) > m.eigenvalues(1) && m.eigenvalues(1) > 0)
+    // orthonormal
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1) < 1e-9)
+    assert(math.abs(dot(m.components(1), m.components(1)) - 1) < 1e-9)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-6)
+    // deterministic sign: largest-|entry| entry is positive
+    m.components.foreach { c =>
+      assert(c(c.indices.maxBy(i => math.abs(c(i)))) > 0, "sign convention")
+    }
+  }
+
+  test("project equals the centered dot product, row-locally") {
+    val (rows, _, _) = planted(60)
+    val df = rows.toDF("vec_id", "embedding")
+    val m = PcaOps.train(df, "embedding", dim, k = 2)
+    val got = PcaOps.project(df, "vec_id", "embedding", m)
+      .orderBy("vec_id").as[(Long, Double, Double)].collect()
+    rows.zip(got).foreach { case ((id, v), (gid, p1, p2)) =>
+      assert(id == gid)
+      val c = v.map(_.toDouble).zip(m.mean).map { case (x, mu) => x - mu }
+      val e1 = c.zip(m.components(0)).map { case (x, y) => x * y }.sum
+      val e2 = c.zip(m.components(1)).map { case (x, y) => x * y }.sum
+      assert(math.abs(p1 - e1) < 1e-9 && math.abs(p2 - e2) < 1e-9)
+    }
+  }
+
+  test("embed_covariance registry row: full upper triangle, PSD-consistent cells") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("embed_covariance")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 64 * 65 / 2)
+    val cells = got.map { case (i, j, c) => (i, j) -> c }.toMap
+    (0 until 64).foreach(i => assert(cells((i.toLong, i.toLong)) >= 0.0, s"var($i)"))
+    // Cauchy–Schwarz on the exact sample covariance: cov(i,j)^2 <= var_i var_j
+    got.foreach { case (i, j, c) =>
+      val bound = cells((i, i)) * cells((j, j))
+      assert(c * c <= bound * (1 + 1e-12) + 1e-300, s"CS at ($i,$j)")
+    }
+  }
+}
