@@ -114,6 +114,19 @@ object TextOpsQueries {
     * generator over a computed array makes Catalyst infer a
     * `size(bands) > 0` filter and push the whole minhash expression
     * tree below the projections, recomputing it per row per band. */
+  /** 60-bit integer band key from a band's concatenated-md5 value —
+    * `conv(substr(md5(v), 1, 15), 16, 10)` as BIGINT, mirrored bit-for-bit
+    * by the oracle's `('0x' || substr(md5(v), 1, 15))::BIGINT`. The band
+    * join on 64-char hex strings was the measured hot frame at the 5M-doc
+    * third decade (every SMJ compare walks the string); a long key makes
+    * the shuffle radix-sortable and the compare one instruction. Both
+    * engines derive the SAME key, so the (astronomically rare) 60-bit
+    * collision adds the same candidate pair on both sides — and a
+    * collision pair only reaches the output if it passes the exact
+    * Jaccard ≥ 0.8 verify, i.e. if it is a true near-dup anyway. */
+  private[graft] def bandKey(bandVal: Column): Column =
+    conv(substring(md5(bandVal), 1, 15), 16, 10).cast("long")
+
   private[graft] def lshStage(docsWithToks: DataFrame): (DataFrame, DataFrame) = {
     val staged = docsWithToks
       .select(col("doc_id"), col("toks"), shingles(col("toks"), 3).as("sh"))
@@ -127,10 +140,10 @@ object TextOpsQueries {
       .select(col("doc_id"), col("bands"),
         explode(array(lit(0), lit(1))).as("band_idx"))
       .select(col("doc_id"), col("band_idx"),
-        element_at(col("bands"), col("band_idx") + 1).as("band_val"))
-    val cand = bandRows.select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"))
-      .join(bandRows.select(col("doc_id").as("b_id"), col("band_idx"), col("band_val")),
-        Seq("band_idx", "band_val"))
+        bandKey(element_at(col("bands"), col("band_idx") + 1)).as("band_key"))
+    val cand = bandRows.select(col("doc_id").as("a_id"), col("band_idx"), col("band_key"))
+      .join(bandRows.select(col("doc_id").as("b_id"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     (staged, cand)
@@ -164,13 +177,15 @@ object TextOpsQueries {
           s"${minhashSql(shinglesSql(ToksSql, 3), seed)} AS m$seed").mkString(", ")}
        |  FROM documents),
        |bands AS (
-       |  SELECT doc_id, tset, 0 AS band_idx, m0 || m1 AS band_val FROM sigs
+       |  SELECT doc_id, tset, 0 AS band_idx,
+       |    ('0x' || substr(md5(m0 || m1), 1, 15))::BIGINT AS band_key FROM sigs
        |  UNION ALL
-       |  SELECT doc_id, tset, 1 AS band_idx, m2 || m3 AS band_val FROM sigs),
+       |  SELECT doc_id, tset, 1 AS band_idx,
+       |    ('0x' || substr(md5(m2 || m3), 1, 15))::BIGINT AS band_key FROM sigs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tset AS ta, b.tset AS tb
        |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
        |pairs AS (
        |  SELECT a_id, b_id, jac FROM (
@@ -427,17 +442,17 @@ object TextOpsQueries {
           .select(col("doc_id"), col("bands"),
             explode(array(lit(0), lit(1))).as("band_idx"))
           .select(col("doc_id"), col("band_idx"),
-            element_at(col("bands"), col("band_idx") + 1).as("band_val"))
+            bandKey(element_at(col("bands"), col("band_idx") + 1)).as("band_key"))
         // One-sided candidate join: delta bands probe ALL bands (base +
         // earlier delta), ordered a_id < b_id so each delta doc dedups
         // against the corpus AND against earlier arrivals in its own batch
         // — the same keep-first rule the full pipeline applies, at
         // delta-sized cost.
         val delta = bandRows.filter(col("doc_id") > split)
-          .select(col("doc_id").as("b_id"), col("band_idx"), col("band_val"))
+          .select(col("doc_id").as("b_id"), col("band_idx"), col("band_key"))
         val cand = bandRows
-          .select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"))
-          .join(delta, Seq("band_idx", "band_val"))
+          .select(col("doc_id").as("a_id"), col("band_idx"), col("band_key"))
+          .join(delta, Seq("band_idx", "band_key"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
         val dupIds = lshVerifiedPairs(staged, cand, 0.8)
