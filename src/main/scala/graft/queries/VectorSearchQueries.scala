@@ -823,5 +823,63 @@ object VectorSearchQueries {
           .orderBy(col("vec_id"))
       },
       None),
+
+    "embed_drift" -> Q(
+      "Embedding-distribution drift between two corpus snapshots (here: even vs odd vec_id halves — in production, last month's embeddings table vs this month's): BOTH snapshots' covariance matrices come from ONE grouped VectorOuterSumAggregator pass (groupBy parity, two fixed-size moment buffers total), and the report is the 10 covariance cells that moved most — |Δcov| ranked via TakeOrdered, every delta a row-local double on exact integer-derived inputs, so the whole report hash-matches DuckDB. The covariance-space companion of report_drift's token-mixture L1: token drift catches vocabulary shifts, covariance drift catches geometry shifts (a new embedding model, a domain mix change) that leave token stats untouched",
+      (s, dir) => {
+        val dim = 64
+        val o = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+          .select((col("vec_id") % 2).as("p"),
+            graft.operators.PcaOps.quantized(col("embedding")).as("qv"))
+          .groupBy(col("p"))
+          .agg(graft.functions.VectorOuterSumAggregator.outerSums(dim, col("qv")).as("o"))
+          .select(col("p"), col("o.n").as("n"), col("o.sums").as("sums"),
+            col("o.prods").as("prods"))
+        val ij = s.range(dim).toDF("i").crossJoin(s.range(dim).toDF("j"))
+          .filter(col("j") >= col("i"))
+          .withColumn("k", expr(s"i * ${dim}L - (i * (i - 1)) div 2 + j - i"))
+        val cells = o
+          .select(col("p"), col("n"), col("sums"),
+            posexplode(col("prods")).as(Seq("k", "sp")))
+          .join(broadcast(ij), Seq("k"))
+          .select(col("p"), col("i"), col("j"),
+            ((col("sp").cast("double")
+              - element_at(col("sums"), (col("i") + 1).cast("int")).cast("double")
+                * element_at(col("sums"), (col("j") + 1).cast("int")).cast("double")
+                / col("n"))
+              / (col("n") - 1) / lit(1099511627776.0)).as("cov"))
+        cells.filter(col("p") === 0).select(col("i"), col("j"), col("cov").as("cov_a"))
+          .join(cells.filter(col("p") === 1)
+            .select(col("i"), col("j"), col("cov").as("cov_b")), Seq("i", "j"))
+          .select(col("i"), col("j"), col("cov_a"), col("cov_b"),
+            (col("cov_a") - col("cov_b")).as("delta"))
+          .orderBy(abs(col("delta")).desc, col("i"), col("j"))
+          .limit(10)
+      },
+      """WITH e AS (
+        |  SELECT vec_id % 2 AS p, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (SELECT row_number() OVER () AS rid, p, qv FROM e),
+        |ex AS (SELECT rid, p, CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS pos,
+        |         unnest(qv) AS v
+        |       FROM q),
+        |pairs AS (SELECT a.p AS p, a.pos AS i, b.pos AS j, SUM(a.v * b.v) AS sp
+        |          FROM ex a JOIN ex b ON a.rid = b.rid AND b.pos >= a.pos
+        |          GROUP BY a.p, a.pos, b.pos),
+        |sm AS (SELECT p, pos AS i, SUM(v) AS sv FROM ex GROUP BY p, pos),
+        |n AS (SELECT p, COUNT(*) AS n FROM q GROUP BY p),
+        |cells AS (
+        |  SELECT pr.p, pr.i, pr.j,
+        |    (CAST(pr.sp AS DOUBLE) - CAST(sa.sv AS DOUBLE) * CAST(sb.sv AS DOUBLE) / n.n)
+        |      / (n.n - 1) / 1099511627776.0 AS cov
+        |  FROM pairs pr
+        |  JOIN sm sa ON sa.p = pr.p AND sa.i = pr.i
+        |  JOIN sm sb ON sb.p = pr.p AND sb.i = pr.j
+        |  JOIN n ON n.p = pr.p)
+        |SELECT a.i, a.j, a.cov AS cov_a, b.cov AS cov_b, a.cov - b.cov AS delta
+        |FROM cells a JOIN cells b ON a.i = b.i AND a.j = b.j AND a.p = 0 AND b.p = 1
+        |ORDER BY abs(a.cov - b.cov) DESC, a.i, a.j
+        |LIMIT 10""".stripMargin),
   )
 }

@@ -96,6 +96,43 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("embed_drift: identical snapshots read zero drift; a planted geometry shift surfaces its dimension") {
+    val dir = tmpDir("pcadrift")
+    // even/odd halves identical in distribution (same vectors re-idd):
+    // every delta must be exactly 0 (both halves produce identical exact
+    // integer sums, hence bit-identical covariance cells)
+    val base = (0 until 40).map { i =>
+      val a = (i % 7 - 3) * 0.1
+      (0 until 8).map(d => (if (d == 0) a else a * 0.5 / (d + 1)).toFloat)
+    }
+    val same = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, v), (2L * i + 1, v)) // same vector at even and odd ids
+    }
+    same.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // dim-64 padding is what the registry query expects; build a 64-dim
+    // variant by tiling the 8-dim pattern
+    val same64 = same.map { case (id, v) => (id, Seq.fill(8)(v).flatten) }
+    same64.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val zero = SparkEntry.queries("embed_drift")(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(zero.length == 10)
+    zero.foreach { case (_, _, ca, cb, d) => assert(d == 0.0 && ca == cb) }
+
+    // now shift the odd half's dimension 0 variance up: the top drift
+    // cell must be (0, 0)
+    val shifted = same64.map { case (id, v) =>
+      if (id % 2 == 1) (id, v.updated(0, v(0) * 3f)) else (id, v)
+    }
+    shifted.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = SparkEntry.queries("embed_drift")(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(top._1 == 0L && top._2 == 0L, s"top drift cell should be (0,0), got $top")
+    assert(top._5 < 0.0, "odd half has larger var(0), so cov_a - cov_b < 0")
+  }
+
   test("embed_covariance registry row: full upper triangle, PSD-consistent cells") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("embed_covariance")(spark, sf)
