@@ -881,5 +881,36 @@ object VectorSearchQueries {
         |FROM cells a JOIN cells b ON a.i = b.i AND a.j = b.j AND a.p = 0 AND b.p = 1
         |ORDER BY abs(a.cov - b.cov) DESC, a.i, a.j
         |LIMIT 10""".stripMargin),
+
+    "embed_jl_project" -> Q(
+      "Johnson-Lindenstrauss random projection 64 -> 16 dims: the UNTRAINED dimensionality-reduction rung under embed_pca — y_j = (1/sqrt(16)) * sum_i x_i * s_ij with a deterministic +/-1 sign matrix (md5 parity, the ann_lsh hyperplane primitive at an offset plane namespace), so there is no training pass at all: the projection is row-local, codegen'd (one zip_with/aggregate fold per output dim), identical on any engine, and the whole output hash-matches DuckDB because the sign matrix is inlined as literals on BOTH sides and the fold order is the cosSql sequential convention. The JL lemma bounds pairwise-distance distortion, which is what downstream ANN/clustering actually consumes; spec pins projection == a pure-Scala reference bit-for-bit and measures the planted distortion envelope",
+      (s, dir) => {
+        val dim = 64; val k = 16
+        val emb = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+        val xs = col("embedding").cast("array<double>")
+        val proj = array((0 until k).map { j =>
+          val signs = array((0 until dim).map(i => lit(planeWeight(100 + j, i))): _*)
+          (aggregate(zip_with(xs, signs, (x, sgn) => x * sgn),
+            lit(0.0), (acc, x) => acc + x) / lit(4.0))
+        }: _*)
+        emb.select(col("vec_id"), posexplode(proj).as(Seq("dim", "y")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
+          .orderBy(col("vec_id"), col("dim"))
+      }, {
+        val terms = (0 until 16).map { j =>
+          val lits = (0 until 64).map(i => planeWeight(100 + j, i).toString)
+            .mkString("[", ", ", "]")
+          s"SELECT vec_id, CAST($j AS BIGINT) AS dim, " +
+            s"list_sum(list_transform(range(1, least(len(embedding), 64) + 1), " +
+            s"i -> embedding[i]::DOUBLE * ($lits)[i])) / 4.0 AS y " +
+            "FROM e"
+        }
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE embedding IS NOT NULL AND len(embedding) = 64)
+           |${terms.mkString("\nUNION ALL\n")}
+           |ORDER BY vec_id, dim""".stripMargin
+      }),
   )
 }

@@ -133,6 +133,51 @@ class PcaSpec extends SparkSpec {
     assert(top._5 < 0.0, "odd half has larger var(0), so cov_a - cov_b < 0")
   }
 
+  test("embed_jl_project: bit-exact vs a pure-Scala reference; planted pairwise-distance distortion bounded") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+      .filter($"embedding".isNotNull && size($"embedding") === 64)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).take(20).toMap
+    def sign(j: Int, i: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${100 + j}|$i".getBytes("UTF-8"))
+      if ((d(0) & 1) == 1) 1.0 else -1.0
+    }
+    def refProj(v: Seq[Float]): Array[Double] =
+      Array.tabulate(16) { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) { acc += v(i).toDouble * sign(j, i); i += 1 }
+        acc / 4.0
+      }
+    val got = SparkEntry.queries("embed_jl_project")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3)
+      }
+    emb.foreach { case (id, v) =>
+      val expect = refProj(v)
+      val g = got(id)
+      assert(g.length == 16)
+      // identical sequential double fold: bit-for-bit
+      (0 until 16).foreach(j => assert(g(j) == expect(j), s"vec $id dim $j"))
+    }
+    // distortion envelope on the fixture's own pairs: JL with k=16 is a
+    // coarse sketch, but squared distances should stay within a generous
+    // constant factor for the measured (deterministic) sign matrix
+    val ids = emb.keys.toSeq.sorted.take(8)
+    for (a <- ids; b <- ids if a < b) {
+      val d0 = emb(a).zip(emb(b)).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      val d1 = got(a).zip(got(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      if (d0 > 1e-12) {
+        val ratio = d1 / d0
+        assert(ratio > 0.1 && ratio < 4.0,
+          s"JL distortion out of envelope for ($a,$b): $ratio")
+      }
+    }
+  }
+
   test("embed_covariance registry row: full upper triangle, PSD-consistent cells") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("embed_covariance")(spark, sf)
