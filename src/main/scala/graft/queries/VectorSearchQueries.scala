@@ -838,6 +838,9 @@ object VectorSearchQueries {
         val ij = s.range(dim).toDF("i").crossJoin(s.range(dim).toDF("j"))
           .filter(col("j") >= col("i"))
           .withColumn("k", expr(s"i * ${dim}L - (i * (i - 1)) div 2 + j - i"))
+        // persisted (Q contract: builders may persist, callers clear):
+        // both parity branches below read these 2 x 2080 cells — without
+        // it each branch would re-run the corpus scan + aggregation
         val cells = o
           .select(col("p"), col("n"), col("sums"),
             posexplode(col("prods")).as(Seq("k", "sp")))
@@ -848,6 +851,7 @@ object VectorSearchQueries {
                 * element_at(col("sums"), (col("j") + 1).cast("int")).cast("double")
                 / col("n"))
               / (col("n") - 1) / lit(1099511627776.0)).as("cov"))
+          .persist()
         cells.filter(col("p") === 0).select(col("i"), col("j"), col("cov").as("cov_a"))
           .join(cells.filter(col("p") === 1)
             .select(col("i"), col("j"), col("cov").as("cov_b")), Seq("i", "j"))

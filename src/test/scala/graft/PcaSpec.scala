@@ -108,10 +108,7 @@ class PcaSpec extends SparkSpec {
     val same = base.zipWithIndex.flatMap { case (v, i) =>
       Seq((2L * i, v), (2L * i + 1, v)) // same vector at even and odd ids
     }
-    same.toDF("vec_id", "embedding").withColumn("label", lit(0))
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    // dim-64 padding is what the registry query expects; build a 64-dim
-    // variant by tiling the 8-dim pattern
+    // dim-64 is what the registry query expects; tile the 8-dim pattern
     val same64 = same.map { case (id, v) => (id, Seq.fill(8)(v).flatten) }
     same64.toDF("vec_id", "embedding").withColumn("label", lit(0))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
