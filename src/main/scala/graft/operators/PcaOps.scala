@@ -161,4 +161,31 @@ object PcaOps {
     }
     df.select(col(idCol) +: pcs: _*)
   }
+
+  /** PCA whitening: the projection with each component divided by the
+    * square root of its eigenvalue, so the output coordinates have unit
+    * variance and zero cross-covariance (the standard normalization
+    * before distance-threshold clustering — SemDeDup-style semantic
+    * dedup — or Mahalanobis-flavored outlier scoring). Still entirely
+    * row-local: the 1/√λ scale folds into the same broadcast-literal
+    * component arrays. Components whose eigenvalue is ≤ `minVariance`
+    * carry no signal to normalize (dividing by ~0 would amplify float
+    * noise unboundedly) and are dropped, matching scikit-learn's
+    * whiten-with-rank-truncation behavior. */
+  def whiten(df: DataFrame, idCol: String, vecCol: String, model: PcaModel,
+      minVariance: Double = 1e-12): DataFrame = {
+    val kept = model.components.zip(model.eigenvalues)
+      .filter { case (_, ev) => ev > minVariance }
+    require(kept.nonEmpty,
+      "whiten: every component is below the variance floor — nothing to normalize")
+    val pcs = kept.zipWithIndex.map { case ((comp, ev), ci) =>
+      val inv = 1.0 / math.sqrt(ev)
+      val lits = array(comp.map(c => lit(c * inv)): _*)
+      val meanDot = comp.zip(model.mean).map { case (c, m) => c * m }.sum * inv
+      (aggregate(
+        zip_with(col(vecCol).cast("array<double>"), lits, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) - lit(meanDot)).as(s"w${ci + 1}")
+    }
+    df.select(col(idCol) +: pcs: _*)
+  }
 }

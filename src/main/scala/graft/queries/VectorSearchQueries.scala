@@ -916,5 +916,15 @@ object VectorSearchQueries {
            |${terms.mkString("\nUNION ALL\n")}
            |ORDER BY vec_id, dim""".stripMargin
       }),
+
+    "embed_whiten" -> Q(
+      "PCA whitening: the embed_pca projection with each component scaled by 1/sqrt(eigenvalue), so output coordinates have unit variance and zero cross-covariance — the standard normalization before distance-threshold clustering (SemDeDup) or Mahalanobis-flavored outlier scoring. The 1/sqrt(lambda) folds into the same broadcast-literal component arrays, so whitening costs exactly what projection costs: one codegen'd fold per component, row-local, no join. Rows-only check (the eigen solve is not SQL-expressible); exactness anchors are the embed_covariance hash row (pins the moment aggregation) and PcaSpec's identity-covariance assertion — the whitened output's own sample covariance must read ~I, a property that catches a wrong eigenvalue, a wrong scale, or a non-orthogonal basis in one number",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val m = graft.operators.PcaOps.train(emb, "embedding", dim = 64, k = 2)
+        graft.operators.PcaOps.whiten(emb, "vec_id", "embedding", m)
+          .orderBy(col("vec_id"))
+      },
+      None),
   )
 }

@@ -130,6 +130,33 @@ class PcaSpec extends SparkSpec {
     assert(top._5 < 0.0, "odd half has larger var(0), so cov_a - cov_b < 0")
   }
 
+  test("whiten: output covariance is the identity; zero-variance components are dropped") {
+    val (rows, _, _) = planted(200)
+    val df = rows.toDF("vec_id", "embedding")
+    val m = PcaOps.train(df, "embedding", dim, k = 2)
+    val w = PcaOps.whiten(df, "vec_id", "embedding", m)
+      .as[(Long, Double, Double)].collect()
+    val n = w.length
+    val (m1, m2) = (w.map(_._2).sum / n, w.map(_._3).sum / n)
+    val v1 = w.map(r => (r._2 - m1) * (r._2 - m1)).sum / (n - 1)
+    val v2 = w.map(r => (r._3 - m2) * (r._3 - m2)).sum / (n - 1)
+    val cv = w.map(r => (r._2 - m1) * (r._3 - m2)).sum / (n - 1)
+    // unit variance on both axes, zero cross-covariance: one assertion
+    // that catches a wrong eigenvalue, wrong scale, or skewed basis.
+    // Tolerance 1e-4: the model's eigenvalues come from the 2^20
+    // fixed-point covariance while the whitened output is computed from
+    // the raw floats, so the two disagree at the quantization level
+    // (measured ~1e-5 relative here) — far below any real defect.
+    assert(math.abs(v1 - 1.0) < 1e-4, s"var(w1) = $v1")
+    assert(math.abs(v2 - 1.0) < 1e-4, s"var(w2) = $v2")
+    assert(math.abs(cv) < 1e-4, s"cov(w1,w2) = $cv")
+    // a k beyond the data's rank: the ~zero-eigenvalue component must be
+    // dropped, not divided by ~0 into amplified float noise
+    val m4 = PcaOps.train(df, "embedding", dim, k = 4)
+    val cols = PcaOps.whiten(df, "vec_id", "embedding", m4, minVariance = 1e-9).columns
+    assert(cols.length == 3, s"rank-2 data must whiten to 2 components, got ${cols.toSeq}")
+  }
+
   test("embed_jl_project: bit-exact vs a pure-Scala reference; planted pairwise-distance distortion bounded") {
     val sf = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, sf)
