@@ -11,15 +11,17 @@ import org.apache.spark.sql.functions._
   * ahead of ANN indexing, and corpus drift diagnostics (how much variance
   * the top components explain, and whether it moves between snapshots).
   *
-  * Pipeline: quantize to exact 2²⁰ fixed point (the
-  * select_prototypes_scale convention) → ONE `VectorOuterSumAggregator`
-  * pass (fixed-size mergeable partials, order-independent integer sums)
-  * → covariance on the driver by the same textbook formula the
-  * `embed_covariance` oracle pins → power iteration with deflation for
-  * the top-k eigenpairs (deterministic: fixed start vector, fixed
-  * iteration count, double arithmetic on exact integer-derived inputs)
-  * → row-local projection with broadcast-literal components (codegen'd
-  * zip_with/aggregate dot products, no UDF).
+  * Pipeline: quantize to exact 2²⁰ fixed point (the scale the
+  * `embed_covariance` oracle pins; select_prototypes_scale uses a finer
+  * 2²⁴ — the two contracts are deliberately separate) → ONE
+  * `VectorOuterSumAggregator` pass (fixed-size mergeable partials,
+  * order-independent integer sums) → covariance on the driver by the
+  * same textbook formula the `embed_covariance` oracle pins → power
+  * iteration with deflation for the top-k eigenpairs (deterministic:
+  * fixed start-vector ladder, fixed iteration count, double arithmetic
+  * on exact integer-derived inputs) → row-local projection with
+  * broadcast-literal components (codegen'd zip_with/aggregate dot
+  * products, no UDF).
   *
   * The eigen step itself is not ANSI-SQL-expressible, so `embed_pca` is
   * a rows-only registry entry; its exactness anchors are the
@@ -29,7 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object PcaOps {
 
-  /** 2²⁰ fixed-point quantization scale shared with the covariance oracle. */
+  /** 2²⁰ fixed-point quantization scale — the contract the embed_covariance
+    * DuckDB oracle pins (select_prototypes_scale quantizes at 2²⁴; the two
+    * conventions are independent and must not be conflated). */
   val FixedPointScale = 1048576.0
 
   final case class PcaModel(
@@ -68,48 +72,136 @@ object PcaOps {
   }
 
   /** Top-k eigenpairs of a symmetric matrix by power iteration with
-    * deflation. Deterministic: fixed all-ones start, fixed `iters`,
-    * sign fixed so the largest-magnitude entry is positive (ties to the
-    * lowest index). */
+    * deflation. Deterministic: a fixed ladder of start vectors (all-ones,
+    * then the basis vectors of the largest deflated diagonals), fixed
+    * `iters`, sign fixed so the largest-magnitude entry is positive (ties
+    * to the lowest index).
+    *
+    * Robustness (not just determinism): a single fixed start can be
+    * (near-)orthogonal to the dominant eigenvector — e.g. a contrast
+    * direction whose entries sum to ~0 is exactly orthogonal to all-ones,
+    * and with a modest spectral gap `iters` rounds cannot amplify the
+    * ~1e-16 rounding leakage to O(1). So each component (a) re-
+    * orthogonalizes the iterate against the already-found components
+    * every round (kills deflation rounding drift), and (b) is accepted
+    * only if its Rayleigh residual ‖Av − λv‖ is small relative to the
+    * matrix scale; otherwise the next start on the ladder is tried and
+    * the smallest-residual candidate wins. */
   def topEigen(a: Array[Array[Double]], k: Int, iters: Int = 100)
       : (Array[Array[Double]], Array[Double]) = {
     val dim = a.length
     val m = a.map(_.clone())
     val comps = Array.ofDim[Double](k, dim)
     val vals = new Array[Double](k)
-    var c = 0
-    while (c < k) {
-      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    // scale anchor for the residual tolerance: the largest |entry| of the
+    // ORIGINAL matrix (deflation only shrinks the spectrum)
+    var mscale = 0.0
+    var mi = 0
+    while (mi < dim) {
+      var mj = 0
+      while (mj < dim) {
+        val x = math.abs(a(mi)(mj)); if (x > mscale) mscale = x; mj += 1
+      }
+      mi += 1
+    }
+    val tol = 1e-9 * math.max(mscale, java.lang.Double.MIN_NORMAL)
+
+    def matVec(v: Array[Double]): Array[Double] = {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += m(i)(j) * v(j); j += 1 }
+        w(i) = s
+        i += 1
+      }
+      w
+    }
+
+    // project out the components found so far (in place)
+    def orthogonalize(v: Array[Double], c: Int): Unit = {
+      var p = 0
+      while (p < c) {
+        val u = comps(p)
+        var d = 0.0
+        var i = 0
+        while (i < dim) { d += u(i) * v(i); i += 1 }
+        i = 0
+        while (i < dim) { v(i) -= d * u(i); i += 1 }
+        p += 1
+      }
+    }
+
+    // one full power-iteration run from `start`; returns (v, lambda,
+    // residual), or null when the start is degenerate (annihilated by the
+    // orthogonalization — e.g. all-ones when a previous component IS the
+    // all-ones direction; iterating on the cancellation noise would
+    // "converge" to a zero vector whose residual is spuriously perfect)
+    def run(start: Array[Double], c: Int): (Array[Double], Double, Double) = {
+      var v = start.clone()
+      orthogonalize(v, c)
+      val n0 = math.sqrt(v.map(x => x * x).sum)
+      if (n0 < 1e-12) return null
+      var t0 = 0
+      while (t0 < dim) { v(t0) /= n0; t0 += 1 }
       var it = 0
       while (it < iters) {
-        val w = new Array[Double](dim)
-        var i = 0
-        while (i < dim) {
-          var s = 0.0
-          var j = 0
-          while (j < dim) { s += m(i)(j) * v(j); j += 1 }
-          w(i) = s
-          i += 1
-        }
+        val w = matVec(v)
+        orthogonalize(w, c)
         val norm = math.sqrt(w.map(x => x * x).sum)
         // a (near-)annihilated iterate means the remaining spectrum is
         // ~zero; keep the current unit vector rather than dividing by 0
         if (norm > 1e-300) { var t = 0; while (t < dim) { w(t) /= norm; t += 1 }; v = w }
         it += 1
       }
-      // Rayleigh quotient on the deflated matrix = the eigenvalue
+      val av = matVec(v)
       var lambda = 0.0
       var i = 0
-      while (i < dim) {
-        var s = 0.0
-        var j = 0
-        while (j < dim) { s += m(i)(j) * v(j); j += 1 }
-        lambda += v(i) * s
-        i += 1
+      while (i < dim) { lambda += v(i) * av(i); i += 1 }
+      var r2 = 0.0
+      i = 0
+      while (i < dim) { val d = av(i) - lambda * v(i); r2 += d * d; i += 1 }
+      (v, lambda, math.sqrt(r2))
+    }
+
+    var c = 0
+    while (c < k) {
+      // start ladder: all-ones, then basis vectors of the largest |diag|
+      // entries of the current deflated matrix (deterministic order)
+      val diagOrder = (0 until dim).sortBy(i => (-math.abs(m(i)(i)), i))
+      val starts: Seq[Array[Double]] =
+        Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)) +:
+          diagOrder.take(3).map { bi =>
+            val e = new Array[Double](dim); e(bi) = 1.0; e
+          }
+      // run the WHOLE ladder: a small residual only certifies "an
+      // eigenpair", not "the dominant one" — a start that happens to BE a
+      // minor eigenvector converges to it with residual 0 (the all-ones /
+      // contrast-direction trap). Among residual-acceptable candidates the
+      // largest |λ| wins; if none is acceptable, the smallest residual.
+      // Ladder and tie-breaks are fixed, so the solve stays deterministic.
+      var best: (Array[Double], Double, Double) = null
+      var bestOk = false
+      var si = 0
+      while (si < starts.length) {
+        val cand = run(starts(si), c)
+        if (cand != null) {
+          val ok = cand._3 <= tol
+          val better =
+            if (best == null) true
+            else if (ok != bestOk) ok
+            else if (ok) math.abs(cand._2) > math.abs(best._2)
+            else cand._3 < best._3
+          if (better) { best = cand; bestOk = ok }
+        }
+        si += 1
       }
+      require(best != null, s"topEigen: every start degenerated for component $c")
+      val (v, lambda, _) = best
       // deterministic sign: largest-|entry| positive, ties to lowest index
       var bi = 0
-      i = 1
+      var i = 1
       while (i < dim) { if (math.abs(v(i)) > math.abs(v(bi))) bi = i; i += 1 }
       if (v(bi) < 0) { var t = 0; while (t < dim) { v(t) = -v(t); t += 1 } }
       comps(c) = v
@@ -127,8 +219,10 @@ object PcaOps {
   }
 
   /** ONE distributed aggregation + driver eigen solve. `df(vecCol)` is an
-    * array&lt;float&gt; column; null/short vectors are skipped by the
-    * aggregator (callers filter if they need strictness). */
+    * array&lt;float&gt; column; nulls are skipped by the aggregator, a
+    * non-null vector of the wrong length throws (callers pre-filter on
+    * `size(vec) === dim` if mixed lengths are expected — the oracle-parity
+    * contract documented on `VectorOuterSumAggregator`). */
   def train(df: DataFrame, vecCol: String, dim: Int, k: Int, iters: Int = 100): PcaModel = {
     import graft.functions.VectorOuterSumAggregator
     // 1-row driver boundary (the IvfIndex-centroid kind): the collected

@@ -56,11 +56,23 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   /** Next power of 10 strictly greater than the column's max — collision-
     * free re-id stride for any source, chained or not. */
-  private def strideFor(df: DataFrame, idCol: String): Long = {
-    val mx = df.agg(max(col(idCol))).collect()(0).getLong(0)
-    var s = 1L
-    while (s <= mx) s *= 10
-    s
+  private def strideFor(df: DataFrame, idCol: String): Long =
+    stridesFor(df, idCol).head
+
+  /** All requested strides from ONE max() scan (lineitem/events re-id two
+    * columns; one job instead of one per column), failing loudly on an
+    * empty source (max = NULL) instead of NPE-ing. */
+  private def stridesFor(df: DataFrame, idCols: String*): Seq[Long] = {
+    val row = df.agg(max(col(idCols.head)), idCols.tail.map(c => max(col(c))): _*)
+      .collect()(0)
+    idCols.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(i),
+        s"strideFor($c): source table is empty (max is NULL) — nothing to inflate")
+      val mx = row.getLong(i)
+      var s = 1L
+      while (s <= mx) s *= 10
+      s
+    }
   }
 
   def inflateDocuments(df: DataFrame, factor: Int,
@@ -104,9 +116,10 @@ object ScaleUp {
     val copies = df.sparkSession.range(0, factor.toLong)
       .select(col("id").cast("int").as("copy"))
     val k = col("copy").cast("long")
+    val Seq(orderStride, partStride) = stridesFor(df, "l_orderkey", "l_partkey")
     df.crossJoin(broadcast(copies))
-      .withColumn("l_orderkey", col("l_orderkey") + k * strideFor(df, "l_orderkey"))
-      .withColumn("l_partkey", col("l_partkey") + k * strideFor(df, "l_partkey"))
+      .withColumn("l_orderkey", col("l_orderkey") + k * orderStride)
+      .withColumn("l_partkey", col("l_partkey") + k * partStride)
       .drop("copy")
   }
 
@@ -114,9 +127,10 @@ object ScaleUp {
     val copies = df.sparkSession.range(0, factor.toLong)
       .select(col("id").cast("int").as("copy"))
     val k = col("copy").cast("long")
+    val Seq(eventStride, userStride) = stridesFor(df, "event_id", "user_id")
     df.crossJoin(broadcast(copies))
-      .withColumn("event_id", col("event_id") + k * strideFor(df, "event_id"))
-      .withColumn("user_id", col("user_id") + k * strideFor(df, "user_id"))
+      .withColumn("event_id", col("event_id") + k * eventStride)
+      .withColumn("user_id", col("user_id") + k * userStride)
       .drop("copy")
   }
 

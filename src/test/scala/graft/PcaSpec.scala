@@ -202,6 +202,47 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("topEigen recovers a dominant contrast direction orthogonal to the all-ones start") {
+    // v1 = (1,-1,0,...)/sqrt(2) sums to 0 — EXACTLY orthogonal to the
+    // all-ones start — with a modest 5-vs-4 spectral gap: (5/4)^100
+    // amplifies the ~1e-16 rounding leakage only to ~5e-7, so a single
+    // all-ones start silently returns the SECOND eigenvector as pc1.
+    // The residual-checked start ladder must recover the true order.
+    val d = 8
+    val v1 = Array.tabulate(d)(i => if (i == 0) 1.0 else if (i == 1) -1.0 else 0.0)
+      .map(_ / math.sqrt(2.0))
+    val v2 = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    val a = Array.tabulate(d, d)((i, j) => 5.0 * v1(i) * v1(j) + 4.0 * v2(i) * v2(j))
+    val (comps, vals) = PcaOps.topEigen(a, k = 2)
+    def dot(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(math.abs(vals(0) - 5.0) < 1e-9 && math.abs(vals(1) - 4.0) < 1e-9,
+      s"eigenvalues must come back ordered (5, 4), got ${vals.toSeq}")
+    assert(math.abs(dot(comps(0), v1)) > 1 - 1e-9, "pc1 must be the contrast direction")
+    assert(math.abs(dot(comps(1), v2)) > 1 - 1e-9, "pc2 must be the all-ones direction")
+    // Rayleigh residuals near zero — the acceptance criterion itself
+    for (c <- 0 until 2) {
+      val av = a.map(row => dot(row, comps(c)))
+      val r = math.sqrt(av.zip(comps(c)).map { case (x, v) => val e = x - vals(c) * v; e * e }.sum)
+      assert(r < 1e-8, s"residual for component $c: $r")
+    }
+  }
+
+  test("outer-sum aggregator: nulls skipped, wrong-length vectors throw, not silently dropped") {
+    val ok = Seq((1L, Seq(1L, 2L, 3L)), (2L, null.asInstanceOf[Seq[Long]]), (3L, Seq(4L, 5L, 6L)))
+      .toDF("id", "qv")
+      .agg(graft.functions.VectorOuterSumAggregator.outerSums(3, col("qv")).as("o"))
+      .select(col("o.n"), col("o.sums")).collect()(0)
+    assert(ok.getLong(0) == 2 && ok.getSeq[Long](1) == Seq(5L, 7L, 9L))
+    val bad = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(1L, 2L)))
+      .toDF("id", "qv")
+      .agg(graft.functions.VectorOuterSumAggregator.outerSums(3, col("qv")).as("o"))
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("vector of length 2")), s"got: ${msgs(e)}")
+  }
+
   test("embed_covariance registry row: full upper triangle, PSD-consistent cells") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("embed_covariance")(spark, sf)
