@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column, built for exact
+  * cross-engine reproducibility: every arithmetic step is integer-only in
+  * a 2²⁴ fixed-point space, so the full clustering — init, every
+  * assignment, every centroid update — hash-matches a DuckDB oracle that
+  * unrolls the same rounds as CTEs. The training-data uses: cluster-
+  * balanced corpus selection (sample evenly across semantic clusters, the
+  * DataComp/SemDeDup recipe), cluster-level dedup blocking, and per-
+  * cluster quality auditing.
+  *
+  * Determinism contract (every choice is portable ANSI SQL):
+  *  - quantize: q = floor(x·2²⁴) per dimension — exact longs both engines;
+  *  - init: the quantized vectors of the k smallest vec_ids (a bounded
+  *    TakeOrdered driver boundary, k·d longs — at 100 TB you would seed
+  *    from a sample, which is one extra deterministic filter);
+  *  - assignment: argmin over squared L2 in quantized space (|Δq|² ≤ 2⁵⁰,
+  *    64 dims ⇒ ≤ 2⁵⁶ — exact in a long), ties to the lowest cluster id;
+  *  - update: per-cluster per-dimension floor-divided integer mean
+  *    (Math.floorDiv here == `(s - ((s%n)+n)%n) // n` in DuckDB — exact
+  *    multiple, so floor and truncate agree);
+  *  - a cluster that loses all members drops out (standard Lloyd
+  *    degeneracy), and both engines drop it identically.
+  *
+  * Scale shape per round: assignment is ROW-LOCAL (k·d codegen'd integer
+  * ops per row against broadcast-literal centroids — no join, no
+  * shuffle); the update is `groupBy(cluster)` over a fixed-size
+  * [[graft.functions.VectorSumAggregator]] buffer (k·partitions buffers
+  * shuffled, NOT n·d exploded rows); the driver sees k·(d+1) longs per
+  * round. Rounds are a fixed small constant — the standard curation
+  * pipelines run 2–10 Lloyd rounds on a sample, then one assignment pass
+  * over the corpus.
+  */
+object KmeansOps {
+
+  /** 2²⁴ fixed-point scale (the select_prototypes_scale convention — fine
+    * enough that quantization error ~6e-8 per element is far below any
+    * cluster-boundary resolution, coarse enough that squared distances
+    * stay exact in longs at d = 64). */
+  val Scale = 16777216.0
+
+  /** Quantized view of a float-vector column: floor(x·2²⁴) as long. */
+  def quantized(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(Scale)).cast("long"))
+
+  /** Surviving centroids, ordered by cluster id (ids are stable across
+    * rounds even when a cluster empties out and drops). */
+  final case class Model(centroids: Seq[(Long, Array[Long])]) {
+    def clusterIds: Seq[Long] = centroids.map(_._1)
+  }
+
+  /** Exact squared L2 distance between a quantized vector column and a
+    * literal centroid — one codegen'd zip_with/aggregate integer fold. */
+  private def distSq(qv: Column, c: Array[Long]): Column =
+    aggregate(
+      zip_with(qv, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Adds `cluster` (argmin centroid, ties to the lowest id) and `dist_q`
+    * (exact squared distance to it) to a frame with a `qv` column. */
+  def assigned(df: DataFrame, model: Model): DataFrame = {
+    val darr = array(model.centroids.map { case (_, c) => distSq(col("qv"), c) }: _*)
+    val ids = array(model.clusterIds.map(lit): _*)
+    df.withColumn("dmin", array_min(darr))
+      .withColumn("cluster",
+        element_at(ids, array_position(darr, col("dmin")).cast("int")))
+      .withColumnRenamed("dmin", "dist_q")
+  }
+
+  /** One centroid update: per-cluster exact long sums via the fixed-size
+    * aggregator, floor-divided on the driver (k·(d+1) longs — a bounded
+    * driver boundary of the IvfIndex-centroid kind). */
+  private def updated(assignedDf: DataFrame, dim: Int): Model = {
+    import graft.functions.VectorSumAggregator
+    val rows = assignedDf
+      .groupBy(col("cluster"))
+      .agg(VectorSumAggregator.vectorSum(dim, col("qv")).as("o"))
+      .select(col("cluster"), col("o.n"), col("o.sums"))
+      .collect()
+    val cents = rows.map { r =>
+      val n = r.getLong(1)
+      val sums = r.getSeq[Long](2)
+      (r.getLong(0), sums.map(s => Math.floorDiv(s, n)).toArray)
+    }
+    Model(cents.sortBy(_._1).toSeq)
+  }
+
+  /** Deterministic init: the quantized vectors of the k smallest vec_ids. */
+  def init(df: DataFrame, idCol: String, k: Int): Model = {
+    val rows = df.orderBy(col(idCol)).limit(k)
+      .select(col("qv")).collect()
+    Model(rows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Long](0).toArray)
+    }.toSeq)
+  }
+
+  /** `rounds` assignment passes (centroids update after every pass but
+    * the last); returns the final assigned frame — (idCol, cluster,
+    * dist_q) — and the model that produced it. `df(vecCol)` must be
+    * non-null, length-`dim` vectors (callers filter — the aggregator
+    * throws on violations rather than diverging from the oracle). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      rounds: Int): (DataFrame, Model) = {
+    require(rounds >= 1, s"kmeans needs at least one assignment round, got $rounds")
+    val q = df.select(col(idCol), quantized(col(vecCol)).as("qv")).persist()
+    var model = init(q, idCol, k)
+    var r = 1
+    while (r < rounds) {
+      model = updated(assigned(q, model), dim)
+      r += 1
+    }
+    (assigned(q, model).select(col(idCol), col("cluster"), col("dist_q")), model)
+  }
+}

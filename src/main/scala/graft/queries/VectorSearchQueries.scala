@@ -926,5 +926,87 @@ object VectorSearchQueries {
           .orderBy(col("vec_id"))
       },
       None),
+
+    "embed_kmeans" -> Q(
+      "Distributed Lloyd k-means (k = 8, 2 assignment rounds) over the embedding corpus, exact end-to-end: quantize to 2^24 fixed point, init from the k smallest vec_ids, row-local integer argmin assignment against broadcast-literal centroids (ties to the lowest cluster id), and a centroid update that shuffles only fixed-size VectorSumAggregator buffers (k x partitions (d+1)-long buffers — NOT n*d exploded rows), floor-divided on the driver. Every step is integer arithmetic, so the full clustering hash-matches a DuckDB oracle that unrolls the identical rounds as CTEs — no exactness twin needed, the REAL iterative operator is the hash-checked one. The curation consumers: cluster-balanced selection (select_cluster_balanced), cluster-level dedup blocking, per-cluster quality audits. Scale: each round is one codegen'd k*d-op scan plus one k-buffer shuffle; rounds are a small constant (production runs Lloyd on a sample, then one assignment pass over the corpus)",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+        graft.operators.KmeansOps.fit(emb, "vec_id", "embedding", dim = 64, k = 8,
+          rounds = 2)._1.orderBy(col("vec_id"))
+      },
+      s"""$kmeansCtes
+         |SELECT vec_id, cluster, dist_q FROM a2 ORDER BY vec_id""".stripMargin),
+
+    "embed_kmeans_stats" -> Q(
+      "Per-cluster k-means summary — member count, smallest member id, and floor-divided mean squared distance in quantized space (integer-exact: no cross-row double sums anywhere) — the cluster-size/cohesion report a curation run reads before trusting cluster-balanced sampling: a huge low-cohesion cluster means k is too small, a near-empty one means the init was degenerate. Same fit as embed_kmeans (shared arithmetic contract), one extra tiny groupBy over the n-row assignment",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+        graft.operators.KmeansOps.fit(emb, "vec_id", "embedding", dim = 64, k = 8,
+          rounds = 2)._1
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec_id"),
+            sum(col("dist_q")).as("sd"))
+          .select(col("cluster"), col("n"), col("min_vec_id"),
+            expr("CAST(sd div n AS BIGINT)").as("avg_dist_q"))
+          .orderBy(col("cluster"))
+      },
+      s"""$kmeansCtes
+         |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS min_vec_id,
+         |  CAST(SUM(dist_q) // COUNT(*) AS BIGINT) AS avg_dist_q
+         |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin),
+
+    "select_cluster_balanced" -> Q(
+      "Cluster-balanced corpus selection: the top-3 most-prototypical members (smallest squared distance to their centroid, ties to the smaller vec_id) of EVERY k-means cluster — the even-across-semantic-space sampling recipe (DataComp-style) that a plain quality-score top-n cannot produce because it collapses onto the densest cluster. Rides the embed_kmeans assignment; the per-cluster pick is one bounded window (k groups deep at rank <= 3), and at 100 TB the window partitions by cluster — no global sort",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+        val a = graft.operators.KmeansOps.fit(emb, "vec_id", "embedding", dim = 64,
+          k = 8, rounds = 2)._1
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("dist_q"), col("vec_id"))
+        a.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("cluster"), col("rn"), col("vec_id"), col("dist_q"))
+          .orderBy(col("cluster"), col("rn"))
+      },
+      s"""$kmeansCtes
+         |SELECT cluster, rn, vec_id, dist_q FROM (
+         |  SELECT cluster, vec_id, dist_q,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+         |      ORDER BY dist_q, vec_id) AS BIGINT) AS rn
+         |  FROM a2)
+         |WHERE rn <= 3 ORDER BY cluster, rn""".stripMargin),
   )
+
+  /** Shared oracle CTEs unrolling the embed_kmeans Lloyd rounds (k = 8,
+    * 2 assignment rounds) in the exact integer arithmetic the Spark
+    * operator uses — see [[graft.operators.KmeansOps]] for the
+    * determinism contract each line mirrors. */
+  private def kmeansCtes: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |vex AS (SELECT vec_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS x FROM q),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, qv
+      |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+      |c0x AS (SELECT c, generate_subscripts(qv, 1) AS pos, unnest(qv) AS x FROM c0),
+      |d1 AS (SELECT v.vec_id, c.c, SUM((v.x - c.x) * (v.x - c.x)) AS d
+      |       FROM vex v JOIN c0x c USING (pos) GROUP BY v.vec_id, c.c),
+      |a1 AS (SELECT vec_id, c AS cluster FROM (
+      |         SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1x AS (SELECT a.cluster AS c, v.pos,
+      |          CAST((SUM(v.x) - ((SUM(v.x) % COUNT(*)) + COUNT(*)) % COUNT(*))
+      |            // COUNT(*) AS BIGINT) AS x
+      |        FROM vex v JOIN a1 a USING (vec_id) GROUP BY a.cluster, v.pos),
+      |d2 AS (SELECT v.vec_id, c.c, SUM((v.x - c.x) * (v.x - c.x)) AS d
+      |       FROM vex v JOIN c1x c USING (pos) GROUP BY v.vec_id, c.c),
+      |a2 AS (SELECT vec_id, cluster, CAST(d AS BIGINT) AS dist_q FROM (
+      |         SELECT vec_id, c AS cluster, d,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |         FROM d2) WHERE rn = 1)""".stripMargin
 }
