@@ -769,7 +769,7 @@ object VectorSearchQueries {
          |ORDER BY a_id, b_id""".stripMargin),
 
     "embed_covariance" -> Q(
-      "Corpus embedding covariance matrix in ONE pass: vectors quantize to exact 2^20 fixed point (the select_prototypes_scale convention), a single VectorOuterSumAggregator job accumulates per-dimension sums and every upper-triangular product sum in a fixed-size mergeable buffer (d + d(d+1)/2 longs — shuffle volume is one ~17 KB buffer per partition regardless of corpus size, the big-n-small-d linear-algebra shape), and the sample-covariance formula runs on exact integer inputs so the doubles hash-match the DuckDB oracle bit-for-bit despite distributed merge order. The posexplode-self-join alternative would shuffle n*d(d+1)/2 rows — 4e12 at a billion 64-dim vectors vs 2080 cells here. Consumers: embed_pca (whitening / dimensionality reduction), drift diagnostics between corpus snapshots",
+      "Corpus embedding covariance matrix in ONE pass: vectors quantize to exact 2^20 fixed point (this oracle's own contract — select_prototypes_scale uses a finer 2^24; the conventions are independent), a single VectorOuterSumAggregator job accumulates per-dimension sums and every upper-triangular product sum in a fixed-size mergeable buffer (d + d(d+1)/2 longs — shuffle volume is one ~17 KB buffer per partition regardless of corpus size, the big-n-small-d linear-algebra shape), and the sample-covariance formula runs on exact integer inputs so the doubles hash-match the DuckDB oracle bit-for-bit despite distributed merge order. The posexplode-self-join alternative would shuffle n*d(d+1)/2 rows — 4e12 at a billion 64-dim vectors vs 2080 cells here. Consumers: embed_pca (whitening / dimensionality reduction), drift diagnostics between corpus snapshots",
       (s, dir) => {
         val dim = 64
         val o = T.embeddings(s, dir).filter(col("embedding").isNotNull)
