@@ -125,10 +125,11 @@ object MultiModal {
     * integer compare/sum over hex-probe parses: whole-stage codegen,
     * zero shuffle, identical semantics in DuckDB for the oracle row.
     *
-    * At 100 TB the same geometry reads the bytes directly in a custom
-    * codegen Expression instead of via hex() strings (hex doubles the
-    * bytes touched); the probe positions, cell sums, and bit rule — the
-    * semantics — are what this builder pins.
+    * The Spark path reads the bytes DIRECTLY in the codegen'd
+    * [[graft.functions.PHash16Expression]] (80 array reads in one
+    * WholeStageCodegen loop — no hex string 2× the payload per row); the
+    * DuckDB oracle keeps the hex-probe spelling via [[pHashCellExprs]],
+    * and MultiModalSpec pins the two byte-identical.
     */
   val PHashRows = 4
   val PHashCols = 5
@@ -153,21 +154,15 @@ object MultiModal {
       s"(CASE WHEN c${r * PHashCols + c} < c${r * PHashCols + c + 1} THEN ${1L << bit} ELSE 0 END)"
     }).mkString("CAST(", " + ", " AS BIGINT)")
 
-  private def sparkByteAt(g: Int): String =
-    s"CAST(conv(substring(hx, (($g * nm1) div ${PHashPoints - 1}) * 2 + 1, 2), 16, 10) AS BIGINT)"
 
   /** (doc_id, phash) for every non-empty payload; empty payloads have no
     * pixel surface and are excluded (the same unscorable-row rule the
     * text scorers apply). */
-  def pHash16(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
-    val base = df.selectExpr(
-      s"CAST($idCol AS BIGINT) AS doc_id",
-      s"lower(hex(CAST($blobCol AS BINARY))) AS hx",
-      s"CAST(octet_length(CAST($blobCol AS BINARY)) AS BIGINT) - 1 AS nm1")
-      .where(col("nm1") >= 0)
-    base.selectExpr(("doc_id" +: pHashCellExprs(sparkByteAt)): _*)
-      .selectExpr("doc_id", s"$pHashBitsExpr AS phash")
-  }
+  def pHash16(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.PHashExpression.pHash16Col(col(blobCol).cast("binary"))
+          .as("phash"))
+      .where(col("phash").isNotNull)
 
   /** Media feature row: the binary → dense-vector bridge into the ANN
     * operators (D family) — decode, then embed. */

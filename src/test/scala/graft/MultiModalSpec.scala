@@ -94,6 +94,8 @@ class MultiModalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     payloads.foreach { case (id, b) =>
       assert(got(id) == refPhash(b), s"doc $id: ${got(id)} != ref ${refPhash(b)}")
+      // interpreted eval path (constant folding etc.) == codegen path
+      assert(graft.functions.PHashCompute.compute(b) == refPhash(b), s"eval path, doc $id")
     }
     assert(got(3L) == 0L)
     // empty payloads have no pixel surface: excluded, not hashed to 0
