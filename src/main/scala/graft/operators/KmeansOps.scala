@@ -52,22 +52,29 @@ object KmeansOps {
     def clusterIds: Seq[Long] = centroids.map(_._1)
   }
 
-  /** Exact squared L2 distance between a quantized vector column and a
-    * literal centroid — one codegen'd zip_with/aggregate integer fold. */
-  private def distSq(qv: Column, c: Array[Long]): Column =
-    aggregate(
-      zip_with(qv, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
   /** Adds `cluster` (argmin centroid, ties to the lowest id) and `dist_q`
-    * (exact squared distance to it) to a frame with a `qv` column. */
+    * (exact squared distance to it) to a frame with a `qv` column.
+    *
+    * The centroid table rides a ONE-ROW broadcast join (surviving ids +
+    * the flattened k×d long matrix as DATA — k literal expressions would
+    * blow the plan tree up at the adaptive-k sizes dedup blocking needs,
+    * ~3k centroids at the 100× fixture), and the per-row argmin is the
+    * codegen'd allocation-free loop of
+    * [[graft.functions.NearestCentroidExpression]] (a transform/zip_with
+    * chain allocates k·d longs of garbage per row and measured as the
+    * whole operator at k ≈ 3000). Exact integer arithmetic, first-minimum
+    * tie-break — the `ORDER BY d, c` oracle rule. */
   def assigned(df: DataFrame, model: Model): DataFrame = {
-    val darr = array(model.centroids.map { case (_, c) => distSq(col("qv"), c) }: _*)
-    val ids = array(model.clusterIds.map(lit): _*)
-    df.withColumn("dmin", array_min(darr))
-      .withColumn("cluster",
-        element_at(ids, array_position(darr, col("dmin")).cast("int")))
-      .withColumnRenamed("dmin", "dist_q")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centRow = Seq((model.clusterIds, model.centroids.flatMap(_._2.toSeq)))
+      .toDF("cids", "cflat")
+    df.crossJoin(broadcast(centRow))
+      .withColumn("nc",
+        graft.functions.NearestCentroidExpression.nearestCentroid(col("qv"), col("cflat")))
+      .withColumn("dist_q", col("nc.dist"))
+      .withColumn("cluster", element_at(col("cids"), col("nc.idx") + 1))
+      .drop("nc", "cids", "cflat")
   }
 
   /** One centroid update: per-cluster exact long sums via the fixed-size
@@ -87,6 +94,16 @@ object KmeansOps {
     }
     Model(cents.sortBy(_._1).toSeq)
   }
+
+  /** Occupancy-targeted cluster count: ceil(n / target) — the
+    * adaptive-planes argument applied to Lloyd blocking. A FIXED k makes
+    * within-cluster candidate pairs O(n²/k) (measured: 250k pairs at 2k
+    * vectors but 2.5e9 at 200k with k = 8); k = ceil(n/target) bounds
+    * them at O(n·target) — linear — at the price of an O(n·k·d)
+    * assignment scan, the same trade SemDeDup's reference implementation
+    * makes (50k faiss clusters at 1.7B docs). */
+  def adaptiveK(n: Long, targetOccupancy: Long = 64L): Int =
+    math.max(1L, (n + targetOccupancy - 1) / targetOccupancy).toInt
 
   /** Deterministic init: the quantized vectors of the k smallest vec_ids. */
   def init(df: DataFrame, idCol: String, k: Int): Model = {

@@ -243,6 +243,45 @@ object TrainingDataQueries {
          |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
          |FROM comp ORDER BY vec_id""".stripMargin),
 
+    "dedup_semantic_kmeans" -> Q(
+      "Semantic dedup blocked by k-means clusters — the literal SemDeDup recipe (Abbas et al. 2023: k-means the embeddings, then prune near-duplicates WITHIN each cluster): embed_kmeans assignment as the blocking key, exact cosine verify >= 0.35 inside each cluster, connected-components resolution with canonical min-id keep. The LSH-blocked dedup_semantic is the drop-in alternative when no trained clustering exists; this form concentrates candidate pairs where the geometry actually is (clusters track density; fixed hyperplane buckets do not). k is ADAPTIVE — ceil(n/64), the occupancy-targeted rule KmeansProbe motivated: a fixed k measured O(n^2/k) candidate pairs (2.5e9 at the 100x fixture), ceil(n/64) bounds them at O(64n), with the O(n*k*d) assignment scan as the price — the same trade SemDeDup's own 50k-cluster faiss setup makes at 1.7B docs. The whole chain — integer Lloyd rounds, double cosine, CC — hash-matches DuckDB end-to-end",
+      (s, dir) => {
+        import graft.operators.KmeansOps
+        val emb = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+        val assigned = KmeansOps
+          .fit(emb, "vec_id", "embedding", dim = 64,
+            k = KmeansOps.adaptiveK(emb.count()), rounds = 2)._1
+          .select(col("vec_id"), col("cluster"))
+        val withC = emb.select(col("vec_id"), col("embedding"))
+          .join(assigned, Seq("vec_id")).persist()
+        val a = withC.select(col("vec_id").as("a_id"), col("cluster"),
+          col("embedding").as("va"))
+        val b = withC.select(col("vec_id").as("b_id"), col("cluster"),
+          col("embedding").as("vb"))
+        val pairs = a.join(b, Seq("cluster"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            cosineSim(col("va"), col("vb")).as("sim"))
+          .filter(col("sim") >= 0.35)
+          .select(col("a_id"), col("b_id"))
+        graft.operators.ConnectedComponents.resolve(pairs)
+          .select(col("doc_id").as("vec_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH RECURSIVE ${VectorSearchQueries.kmeansCtesAdaptive},
+         |pairs AS (
+         |  SELECT ea.vec_id AS a_id, eb.vec_id AS b_id
+         |  FROM a2 xa JOIN a2 xb ON xa.cluster = xb.cluster
+         |   AND xa.vec_id < xb.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = xa.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = xb.vec_id
+         |  WHERE ${VectorSearchQueries.cosSqlPublic("ea.embedding", "eb.embedding")} >= 0.35),
+         |${PipelineQueries.CcSqlCtes}
+         |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
+         |FROM comp ORDER BY vec_id""".stripMargin),
+
     "dedup_semantic_banded" -> Q(
       "Semantic dedup with BANDED hyperplane LSH (OR-amplification): L=2 independent 8-plane tables, candidate = bucket match in ANY band, then exact cosine verify + CC — the recall path past the single-table plane clamp (recall 1-(1-s^b)^L vs 1-... single-table s^p; same AND-OR shape as the token MinHash banding)",
       (s, dir) => {

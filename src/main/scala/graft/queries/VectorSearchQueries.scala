@@ -935,7 +935,7 @@ object VectorSearchQueries {
         graft.operators.KmeansOps.fit(emb, "vec_id", "embedding", dim = 64, k = 8,
           rounds = 2)._1.orderBy(col("vec_id"))
       },
-      s"""$kmeansCtes
+      s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, dist_q FROM a2 ORDER BY vec_id""".stripMargin),
 
     "embed_kmeans_stats" -> Q(
@@ -952,7 +952,7 @@ object VectorSearchQueries {
             expr("CAST(sd div n AS BIGINT)").as("avg_dist_q"))
           .orderBy(col("cluster"))
       },
-      s"""$kmeansCtes
+      s"""WITH $kmeansCtes
          |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS min_vec_id,
          |  CAST(SUM(dist_q) // COUNT(*) AS BIGINT) AS avg_dist_q
          |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin),
@@ -972,7 +972,7 @@ object VectorSearchQueries {
           .select(col("cluster"), col("rn"), col("vec_id"), col("dist_q"))
           .orderBy(col("cluster"), col("rn"))
       },
-      s"""$kmeansCtes
+      s"""WITH $kmeansCtes
          |SELECT cluster, rn, vec_id, dist_q FROM (
          |  SELECT cluster, vec_id, dist_q,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
@@ -984,15 +984,28 @@ object VectorSearchQueries {
   /** Shared oracle CTEs unrolling the embed_kmeans Lloyd rounds (k = 8,
     * 2 assignment rounds) in the exact integer arithmetic the Spark
     * operator uses — see [[graft.operators.KmeansOps]] for the
-    * determinism contract each line mirrors. */
-  private def kmeansCtes: String =
-    """WITH q AS (
+    * determinism contract each line mirrors. Bare CTE list (no WITH), so
+    * consumers can prepend WITH or WITH RECURSIVE and append their own
+    * CTEs (dedup_semantic_kmeans chains the connected-components ones). */
+  private[queries] def kmeansCtes: String = kmeansCtesCore(
+    """c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, qv
+      |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),""".stripMargin)
+
+  /** The adaptive-k variant (dedup blocking): k = ceil(n/64), mirroring
+    * [[graft.operators.KmeansOps.adaptiveK]]'s integer ceil-div exactly. */
+  private[queries] def kmeansCtesAdaptive: String = kmeansCtesCore(
+    """nk AS (SELECT GREATEST(CAST(1 AS BIGINT), (COUNT(*) + 63) // 64) AS k FROM q),
+      |c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS c, qv FROM
+      |         (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn FROM q), nk
+      |       WHERE rn <= nk.k),""".stripMargin)
+
+  private def kmeansCtesCore(c0Cte: String): String =
+    s"""q AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS qv
       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
       |vex AS (SELECT vec_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS x FROM q),
-      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, qv
-      |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+      |$c0Cte
       |c0x AS (SELECT c, generate_subscripts(qv, 1) AS pos, unnest(qv) AS x FROM c0),
       |d1 AS (SELECT v.vec_id, c.c, SUM((v.x - c.x) * (v.x - c.x)) AS d
       |       FROM vex v JOIN c0x c USING (pos) GROUP BY v.vec_id, c.c),
