@@ -609,5 +609,49 @@ object SelectionQueries {
         |  + (1.0 - list_reduce(list_prepend(0.0,
         |      list(p_all ORDER BY bucket)), (acc, v) -> acc + v)) AS drift
         |FROM j GROUP BY source ORDER BY source""".stripMargin),
+
+    "report_dataset_card" -> Q(
+      "Per-source dataset card: the one-table summary a corpus release ships with (datasheets-for-datasets shape) — document count, character totals, floor-divided mean length, language count, and the dominant language with its document count (ties to the alphabetically first language). Everything is integer counting or string picking, so the card hash-matches DuckDB exactly; one grouped scan plus a languages-deep window — the card for a 100 TB corpus costs one aggregation pass",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = T.documents(s, dir)
+        val stats = d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("n_chars")).as("max_doc_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("lang_docs").desc, col("lang"))
+        val top = d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("lang_docs"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"),
+            col("lang_docs").as("top_lang_docs"))
+        stats.join(top, Seq("source"))
+          .select(col("source"), col("n_docs"), col("total_chars"),
+            expr("CAST(total_chars div n_docs AS BIGINT)").as("avg_chars"),
+            col("max_doc_chars"), col("n_langs"), col("top_lang"),
+            col("top_lang_docs"))
+          .orderBy(col("source"))
+      },
+      """WITH stats AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(MAX(n_chars) AS BIGINT) AS max_doc_chars,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM documents GROUP BY source),
+        |top AS (
+        |  SELECT source, lang AS top_lang, lang_docs AS top_lang_docs FROM (
+        |    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS lang_docs,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY COUNT(*) DESC, lang) AS rn
+        |    FROM documents GROUP BY source, lang)
+        |  WHERE rn = 1)
+        |SELECT s.source, s.n_docs, s.total_chars,
+        |  CAST(s.total_chars // s.n_docs AS BIGINT) AS avg_chars,
+        |  s.max_doc_chars, s.n_langs, t.top_lang, t.top_lang_docs
+        |FROM stats s JOIN top t USING (source)
+        |ORDER BY source""".stripMargin),
   )
 }

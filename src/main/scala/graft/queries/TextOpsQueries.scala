@@ -471,6 +471,30 @@ object TextOpsQueries {
          |WHERE d.doc_id > split.s
          |ORDER BY doc_id""".stripMargin),
 
+    "dedup_fuzzy_entity" -> Q(
+      "Fuzzy entity resolution (record-linkage dedup): blocked pairwise Levenshtein over contact-like records — the classic Fellegi-Sunter blocking discipline (pair only within a domain-attribute block, here nation x market segment; in an email corpus: the address domain) with exact edit distance <= 2 as the match rule. Edit distance catches the typo/truncation near-dups that token- and shingle-set similarity (dedup_ngram_jaccard, dedup_ppjoin) miss on SHORT strings, where one character edit moves Jaccard by whole steps. Integer distances, so the full pair list hash-matches DuckDB. Scale: blocking bounds pairs at O(sum block^2); blocks come from data attributes, so the 100 TB dial is the blocking key's granularity (add length bands / name q-grams the PPJoin way) — the recall/cost trade every ER system exposes",
+      (s, dir) => {
+        val c = T.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+        val a = c.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        val b = c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        a.join(b, Seq("nk", "seg"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+          .filter(col("dist") <= 2)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin),
+
     "dedup_ngram_jaccard" -> Q(
       "n-gram Jaccard near-dup: source-blocked pairwise 2-gram shingle-set similarity",
       (s, dir) => {
