@@ -77,6 +77,100 @@ object KmeansOps {
       .drop("nc", "cids", "cflat")
   }
 
+  /** Driver-local Lloyd k-means over a SMALL point set (the coarse rung of
+    * routed assignment: the points are the k fine centroids, k ≤ ~10⁵, so
+    * the O(points·k'·d·rounds) loop is a driver detail). Same determinism
+    * rules as the distributed operator: first-k init in input order,
+    * first-minimum assignment, floor-divided integer centroid updates. */
+  private[graft] def localKmeans(points: Array[Array[Long]], k: Int, rounds: Int)
+      : (Array[Array[Long]], Array[Int]) = {
+    require(points.nonEmpty && k >= 1 && rounds >= 1)
+    val kk = math.min(k, points.length)
+    var cents = points.take(kk).map(_.clone())
+    var assign = new Array[Int](points.length)
+    def assignAll(): Unit = {
+      var i = 0
+      while (i < points.length) {
+        var best = 0
+        var bestD = Long.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          var s = 0L
+          var t = 0
+          val p = points(i); val c = cents(j)
+          while (t < p.length) { val d = p(t) - c(t); s += d * d; t += 1 }
+          if (s < bestD) { bestD = s; best = j }
+          j += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+    }
+    var r = 1
+    assignAll()
+    while (r < rounds) {
+      // floor-divided integer means; empty cells keep their old centroid
+      val dim = points(0).length
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < points.length) {
+        val a = assign(i); val p = points(i)
+        var t = 0
+        while (t < dim) { sums(a)(t) += p(t); t += 1 }
+        counts(a) += 1
+        i += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old
+        else sums(j).map(s => Math.floorDiv(s, counts(j)))
+      }
+      assignAll()
+      r += 1
+    }
+    (cents, assign)
+  }
+
+  /** Routed (IVF-style two-level) assignment — the beyond-brute path for
+    * LARGE k: cluster the k fine centroids into k' = ceil(√k) coarse
+    * cells driver-side, then each row does TWO NearestCentroid argmins —
+    * coarse (k'·d ops) and fine within its cell (~k/k'·d ops) — instead
+    * of one k·d brute scan: ~2√k·d per row, a 28× op cut at k ≈ 3000.
+    * APPROXIMATE at cell boundaries (a vector whose true centroid lives
+    * in a neighboring cell gets that cell's best); `assigned` is the
+    * exact twin, and the spec pins routed == exact on separated data.
+    * All structures ride ONE broadcast row as data (nested arrays):
+    * coarse matrix + per-cell flattened member matrices + member ids. */
+  def assignedRouted(df: DataFrame, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fine = model.centroids.map(_._2).toArray
+    val kPrime = math.max(1, math.ceil(math.sqrt(fine.length.toDouble)).toInt)
+    val (coarse, route) = localKmeans(fine, kPrime, rounds = 3)
+    // cells in coarse order; empty cells carry one dummy member (their own
+    // coarse centroid with an id of -1) so element_at stays total — a
+    // query can never route to them anyway only via ties on equal dists
+    val byCell = (0 until coarse.length).map { c =>
+      val members = route.zipWithIndex.filter(_._1 == c).map(_._2)
+      if (members.isEmpty) (Seq(-1L), coarse(c).toSeq)
+      else (members.map(m => model.centroids(m)._1).toSeq,
+        members.flatMap(m => fine(m).toSeq).toSeq)
+    }
+    val row = (coarse.flatMap(_.toSeq).toSeq,
+      byCell.map(_._1), byCell.map(_._2))
+    val centRow = Seq(row).toDF("coarse_flat", "cell_ids", "cell_flats")
+    import graft.functions.NearestCentroidExpression.nearestCentroid
+    df.crossJoin(broadcast(centRow))
+      .withColumn("cell",
+        nearestCentroid(col("qv"), col("coarse_flat")).getField("idx") + 1)
+      .withColumn("nc",
+        nearestCentroid(col("qv"), element_at(col("cell_flats"), col("cell"))))
+      .withColumn("dist_q", col("nc.dist"))
+      .withColumn("cluster",
+        element_at(element_at(col("cell_ids"), col("cell")), col("nc.idx") + 1))
+      .drop("nc", "cell", "coarse_flat", "cell_ids", "cell_flats")
+  }
+
   /** One centroid update: per-cluster exact long sums via the fixed-size
     * aggregator, floor-divided on the driver (k·(d+1) longs — a bounded
     * driver boundary of the IvfIndex-centroid kind). */

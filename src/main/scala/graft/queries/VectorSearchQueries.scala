@@ -979,6 +979,21 @@ object VectorSearchQueries {
          |      ORDER BY dist_q, vec_id) AS BIGINT) AS rn
          |  FROM a2)
          |WHERE rn <= 3 ORDER BY cluster, rn""".stripMargin),
+
+    "embed_kmeans_routed" -> Q(
+      "Routed (IVF-style two-level) k-means assignment — the beyond-brute path when k is large: the k fine centroids cluster driver-side into ceil(sqrt(k)) coarse cells, and each row does TWO codegen'd NearestCentroid argmins (coarse, then fine within its cell) instead of one k-wide brute scan — ~2*sqrt(k)*d integer ops per row vs k*d, a 28x cut at the adaptive-k sizes dedup blocking reaches (k ~ 3000 at the 100x fixture). Approximate at cell boundaries by construction (a vector whose true centroid sits in a neighboring cell gets its own cell's best), so rows-only: the exactness anchors are embed_kmeans (the brute twin on the SAME model) and KmeansRoutedSpec — routed == exact on separated data, routed dist >= exact dist on ANY data (the invariant a boundary miss cannot violate), agreement tripwire on the fixture. Uses adaptive k (ceil(n/64)) — the regime the op exists for",
+      (s, dir) => {
+        import graft.operators.KmeansOps
+        val emb = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+        val (_, model) = KmeansOps.fit(emb, "vec_id", "embedding", dim = 64,
+          k = KmeansOps.adaptiveK(emb.count()), rounds = 2)
+        val q = emb.select(col("vec_id"), KmeansOps.quantized(col("embedding")).as("qv"))
+        KmeansOps.assignedRouted(q, model)
+          .select(col("vec_id"), col("cluster"), col("dist_q"))
+          .orderBy(col("vec_id"))
+      },
+      None),
   )
 
   /** Shared oracle CTEs unrolling the embed_kmeans Lloyd rounds (k = 8,

@@ -36,6 +36,28 @@ object KmeansProbe {
       println(f"KMPROBE dir=$dir n=$n fit=$fitS%.2fs candPairs=$candPairs " +
         s"sizes=${sizes.map { case (c, m) => s"$c:$m" }.mkString(",")}")
       spark.catalog.clearCache()
+
+      // brute vs routed assignment at the adaptive-k operating point —
+      // the large-k regime assignedRouted exists for
+      import graft.operators.KmeansOps
+      val k = KmeansOps.adaptiveK(n)
+      val (_, model) = KmeansOps.fit(emb, "vec_id", "embedding", 64, k, rounds = 2)
+      val q = emb.select(col("vec_id"), KmeansOps.quantized(col("embedding")).as("qv"))
+        .persist()
+      q.count()
+      def time(f: => Unit): Double = {
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      // warm both, then min-of-2
+      noop(KmeansOps.assigned(q, model)); noop(KmeansOps.assignedRouted(q, model))
+      val brute = (1 to 2).map(_ => time(noop(KmeansOps.assigned(q, model)))).min
+      val routed = (1 to 2).map(_ => time(noop(KmeansOps.assignedRouted(q, model)))).min
+      println(f"KMROUTE dir=$dir n=$n k=$k brute=$brute%.2fs routed=$routed%.2fs " +
+        f"speedup=${brute / routed}%.1fx")
+      q.unpersist()
+      spark.catalog.clearCache()
     }
   }
 }
