@@ -447,6 +447,58 @@ object SelectionQueries {
         |    / CAST(n_docs AS DOUBLE) AS rate
         |FROM c, z ORDER BY lang""".stripMargin),
 
+    "mix_cluster_budget" -> Q(
+      "Temperature-flattened SEMANTIC mixture (α=0.5): the mix_temperature dial keyed by k-means cluster instead of language — per-cluster token budgets ∝ sqrt(cluster token mass), the DataComp/SemDeDup-style rebalancing that damps the dominant semantic cluster and upsamples rare ones even when language and source mixtures look flat (doc_id ≡ vec_id joins the embedding clustering onto the text token counts). The cluster table is k rows: one kmeans fit + one corpus token aggregation, then a pinned cluster-ordered sqrt fold for the normalizer — sqrt/÷ on exact integer counts only, so the doubles hash-match DuckDB through the whole unrolled Lloyd + join + fold chain",
+      (s, dir) => {
+        import graft.operators.KmeansOps
+        val emb = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+        val assigned = KmeansOps
+          .fit(emb, "vec_id", "embedding", dim = 64, k = 8, rounds = 2)._1
+          .select(col("vec_id").as("doc_id"), col("cluster"))
+        val counts = T.documentsSpread(s, dir)
+          .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+          .join(assigned, Seq("doc_id"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        val zrow = counts.agg(
+          aggregate(
+            sort_array(collect_list(struct(col("cluster"), col("n_tokens")))),
+            lit(0.0),
+            (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double")))
+            .as("z"),
+          sum(col("n_tokens")).as("total"))
+        val w = sqrt(col("n_tokens").cast("double")) / col("z")
+        counts.crossJoin(broadcast(zrow))
+          .select(col("cluster"), col("n_docs"), col("n_tokens"),
+            w.as("weight"),
+            (w * col("total").cast("double")).as("expected_tokens"),
+            (w * col("total").cast("double") / col("n_tokens").cast("double"))
+              .as("rate"))
+          .orderBy(col("cluster"))
+      },
+      s"""WITH ${VectorSearchQueries.kmeansCtes},
+        |tc AS (
+        |  SELECT a2.cluster, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+        |  GROUP BY a2.cluster),
+        |z AS (
+        |  SELECT
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list(n_tokens ORDER BY cluster),
+        |        n -> sqrt(CAST(n AS DOUBLE)))),
+        |      (acc, x) -> acc + x) AS z,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total
+        |  FROM tc)
+        |SELECT cluster, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / z.z AS weight,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / z.z * CAST(z.total AS DOUBLE)
+        |    AS expected_tokens,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / z.z * CAST(z.total AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) AS rate
+        |FROM tc, z ORDER BY cluster""".stripMargin),
+
     "select_soft_dedup" -> Q(
       "Soft dedup: instead of hard-dropping near-dup cluster members, weight every document by 1/cluster_size for weighted sampling at training time (the SoftDeDup trade — duplicated content contributes ONE document's worth of expected gradient mass without discarding whichever copy a hard keep-rule would). Singletons weigh 1; weights ride the same CC labels as the hard-dedup path",
       (s, dir) => {
