@@ -147,17 +147,18 @@ object KmeansOps {
     val fine = model.centroids.map(_._2).toArray
     val kPrime = math.max(1, math.ceil(math.sqrt(fine.length.toDouble)).toInt)
     val (coarse, route) = localKmeans(fine, kPrime, rounds = 3)
-    // cells in coarse order; empty cells carry one dummy member (their own
-    // coarse centroid with an id of -1) so element_at stays total — a
-    // query can never route to them anyway only via ties on equal dists
-    val byCell = (0 until coarse.length).map { c =>
+    // EMPTY cells (no fine centroid mapped to them) are dropped from the
+    // broadcast outright: a query vector nearest to an empty cell's coarse
+    // centroid would otherwise route into a cell with no real members and
+    // come back with a fabricated cluster id
+    val byCell = (0 until coarse.length).flatMap { c =>
       val members = route.zipWithIndex.filter(_._1 == c).map(_._2)
-      if (members.isEmpty) (Seq(-1L), coarse(c).toSeq)
-      else (members.map(m => model.centroids(m)._1).toSeq,
-        members.flatMap(m => fine(m).toSeq).toSeq)
+      if (members.isEmpty) None
+      else Some((coarse(c).toSeq,
+        members.map(m => model.centroids(m)._1).toSeq,
+        members.flatMap(m => fine(m).toSeq).toSeq))
     }
-    val row = (coarse.flatMap(_.toSeq).toSeq,
-      byCell.map(_._1), byCell.map(_._2))
+    val row = (byCell.flatMap(_._1), byCell.map(_._2), byCell.map(_._3))
     val centRow = Seq(row).toDF("coarse_flat", "cell_ids", "cell_flats")
     import graft.functions.NearestCentroidExpression.nearestCentroid
     df.crossJoin(broadcast(centRow))

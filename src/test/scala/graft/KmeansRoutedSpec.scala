@@ -68,6 +68,21 @@ class KmeansRoutedSpec extends SparkSpec {
       s"agreement collapsed: $agree/${routed.size}")
   }
 
+  test("empty coarse cells are dropped: duplicate centroids cannot fabricate a cluster id") {
+    // three identical fine centroids: localKmeans's first-k init makes
+    // every coarse seed the same point, so all but one coarse cell empty
+    // out — a routed query must still land on a REAL cluster id
+    val c = Array.fill(4)(500000L)
+    val model = KmeansOps.Model(Seq((7L, c), (9L, c.clone()), (11L, c.clone())))
+    val q = Seq((1L, Seq(0.1f, 0.1f, 0.1f, 0.1f)), (2L, Seq(0.9f, 0.9f, 0.9f, 0.9f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), KmeansOps.quantized(col("embedding")).as("qv"))
+    val got = KmeansOps.assignedRouted(q, model)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    got.values.foreach(cl => assert(Seq(7L, 9L, 11L).contains(cl),
+      s"fabricated cluster id: $got"))
+  }
+
   test("localKmeans: k clamped to point count, deterministic, empty-cell centroids persist") {
     val pts = Array(Array(0L, 0L), Array(100L, 0L), Array(0L, 100L))
     val (cents, assign) = KmeansOps.localKmeans(pts, k = 5, rounds = 3)
