@@ -215,15 +215,31 @@ object KmeansOps {
     * non-null, length-`dim` vectors (callers filter — the aggregator
     * throws on violations rather than diverging from the oracle). */
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
-      rounds: Int): (DataFrame, Model) = {
+      rounds: Int): (DataFrame, Model) =
+    fitWith(df, idCol, vecCol, dim, k, rounds, assigned)
+
+  /** `fit` with ROUTED assignment inside the training rounds too — the
+    * whole Lloyd loop at O(n·√k·d) per round instead of O(n·k·d), which
+    * is what makes large-k training feasible at all (k = 31k at the
+    * 1000× fixture would cost minutes PER BRUTE PASS). Approximate at
+    * cell boundaries exactly like `assignedRouted` (identical on
+    * separated data — KmeansRoutedSpec); the oracle-checked queries stay
+    * on the brute `fit`. */
+  def fitRouted(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      rounds: Int): (DataFrame, Model) =
+    fitWith(df, idCol, vecCol, dim, k, rounds, assignedRouted)
+
+  private def fitWith(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, rounds: Int,
+      assignFn: (DataFrame, Model) => DataFrame): (DataFrame, Model) = {
     require(rounds >= 1, s"kmeans needs at least one assignment round, got $rounds")
     val q = df.select(col(idCol), quantized(col(vecCol)).as("qv")).persist()
     var model = init(q, idCol, k)
     var r = 1
     while (r < rounds) {
-      model = updated(assigned(q, model), dim)
+      model = updated(assignFn(q, model), dim)
       r += 1
     }
-    (assigned(q, model).select(col(idCol), col("cluster"), col("dist_q")), model)
+    (assignFn(q, model).select(col(idCol), col("cluster"), col("dist_q")), model)
   }
 }

@@ -986,10 +986,10 @@ object VectorSearchQueries {
         import graft.operators.KmeansOps
         val emb = T.embeddings(s, dir)
           .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
-        val (_, model) = KmeansOps.fit(emb, "vec_id", "embedding", dim = 64,
-          k = KmeansOps.adaptiveK(emb.count()), rounds = 2)
-        val q = emb.select(col("vec_id"), KmeansOps.quantized(col("embedding")).as("qv"))
-        KmeansOps.assignedRouted(q, model)
+        // fitRouted: the TRAINING rounds route too — the whole pipeline is
+        // O(n*sqrt(k)*d) per round, the shape that holds at k = 31k
+        KmeansOps.fitRouted(emb, "vec_id", "embedding", dim = 64,
+          k = KmeansOps.adaptiveK(emb.count()), rounds = 2)._1
           .select(col("vec_id"), col("cluster"), col("dist_q"))
           .orderBy(col("vec_id"))
       },

@@ -68,6 +68,16 @@ class KmeansRoutedSpec extends SparkSpec {
       s"agreement collapsed: $agree/${routed.size}")
   }
 
+  test("fitRouted == fit end-to-end on separated blobs (training rounds route identically)") {
+    val rows = blobs(20, 6)
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = KmeansOps.fit(df, "vec_id", "embedding", dim, k = 6, rounds = 4)._1
+      .select("vec_id", "cluster", "dist_q").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val routed = KmeansOps.fitRouted(df, "vec_id", "embedding", dim, k = 6, rounds = 4)._1
+      .select("vec_id", "cluster", "dist_q").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(routed.toSeq == brute.toSeq)
+  }
+
   test("empty coarse cells are dropped: duplicate centroids cannot fabricate a cluster id") {
     // three identical fine centroids: localKmeans's first-k init makes
     // every coarse seed the same point, so all but one coarse cell empty
