@@ -48,6 +48,10 @@ case class NearestCentroidExpression(left: Expression, right: Expression)
     val qv = q.asInstanceOf[ArrayData]
     val cm = m.asInstanceOf[ArrayData]
     val d = qv.numElements()
+    if (d > 0 && cm.numElements() % d != 0)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: matrix length ${cm.numElements()} is not a multiple of " +
+          s"the query dimension $d — dimension mismatch between model and vectors")
     val k = if (d == 0) 0 else cm.numElements() / d
     if (k == 0) null
     else {
@@ -82,6 +86,12 @@ case class NearestCentroidExpression(left: Expression, right: Expression)
       val rowClass = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
       s"""
         |int $d = $q.numElements();
+        |if ($d > 0 && $m.numElements() % $d != 0) {
+        |  throw new IllegalArgumentException(
+        |    "nearest_centroid: matrix length " + $m.numElements() +
+        |    " is not a multiple of the query dimension " + $d +
+        |    " — dimension mismatch between model and vectors");
+        |}
         |int $k = ($d == 0) ? 0 : $m.numElements() / $d;
         |if ($k == 0) {
         |  ${ev.isNull} = true;

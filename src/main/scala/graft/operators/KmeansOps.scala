@@ -233,6 +233,7 @@ object KmeansOps {
       k: Int, rounds: Int,
       assignFn: (DataFrame, Model) => DataFrame): (DataFrame, Model) = {
     require(rounds >= 1, s"kmeans needs at least one assignment round, got $rounds")
+    require(k >= 1, s"kmeans needs at least one cluster, got $k")
     val q = df.select(col(idCol), quantized(col(vecCol)).as("qv")).persist()
     var model = init(q, idCol, k)
     var r = 1

@@ -456,11 +456,16 @@ object SelectionQueries {
         val assigned = KmeansOps
           .fit(emb, "vec_id", "embedding", dim = 64, k = 8, rounds = 2)._1
           .select(col("vec_id").as("doc_id"), col("cluster"))
+        // persisted (Q contract: builders may persist, callers clear):
+        // both the normalizer fold and the final projection read this
+        // k-row table — without it each branch re-runs the assignment
+        // scan and the token-count join (the embed_drift cells argument)
         val counts = T.documentsSpread(s, dir)
           .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
           .join(assigned, Seq("doc_id"))
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+          .persist()
         val zrow = counts.agg(
           aggregate(
             sort_array(collect_list(struct(col("cluster"), col("n_tokens")))),
@@ -697,7 +702,7 @@ object SelectionQueries {
         |  SELECT source, lang AS top_lang, lang_docs AS top_lang_docs FROM (
         |    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS lang_docs,
         |      ROW_NUMBER() OVER (PARTITION BY source
-        |        ORDER BY COUNT(*) DESC, lang) AS rn
+        |        ORDER BY COUNT(*) DESC, lang NULLS FIRST) AS rn
         |    FROM documents GROUP BY source, lang)
         |  WHERE rn = 1)
         |SELECT s.source, s.n_docs, s.total_chars,

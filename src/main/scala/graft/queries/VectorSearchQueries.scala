@@ -772,7 +772,8 @@ object VectorSearchQueries {
       "Corpus embedding covariance matrix in ONE pass: vectors quantize to exact 2^20 fixed point (this oracle's own contract — select_prototypes_scale uses a finer 2^24; the conventions are independent), a single VectorOuterSumAggregator job accumulates per-dimension sums and every upper-triangular product sum in a fixed-size mergeable buffer (d + d(d+1)/2 longs — shuffle volume is one ~17 KB buffer per partition regardless of corpus size, the big-n-small-d linear-algebra shape), and the sample-covariance formula runs on exact integer inputs so the doubles hash-match the DuckDB oracle bit-for-bit despite distributed merge order. The posexplode-self-join alternative would shuffle n*d(d+1)/2 rows — 4e12 at a billion 64-dim vectors vs 2080 cells here. Consumers: embed_pca (whitening / dimensionality reduction), drift diagnostics between corpus snapshots",
       (s, dir) => {
         val dim = 64
-        val o = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val o = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
           .select(graft.operators.PcaOps.quantized(col("embedding")).as("qv"))
           .agg(graft.functions.VectorOuterSumAggregator.outerSums(dim, col("qv")).as("o"))
           .select(col("o.n").as("n"), col("o.sums").as("sums"), col("o.prods").as("prods"))
@@ -795,7 +796,7 @@ object VectorSearchQueries {
       """WITH e AS (
         |  SELECT list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
         |q AS (SELECT row_number() OVER () AS rid, qv FROM e),
         |ex AS (SELECT rid, CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS pos,
         |         unnest(qv) AS v
@@ -817,7 +818,8 @@ object VectorSearchQueries {
     "embed_pca" -> Q(
       "Distributed PCA projection: the embed_covariance one-pass moment aggregation feeds a driver-local power-iteration eigen solve (d x d, O(d^2 * iters) — the IvfIndex-centroid kind of bounded driver boundary, never corpus rows), then every vector projects onto the top-2 components ROW-LOCALLY via broadcast-literal component arrays (codegen'd zip_with/aggregate dots, no join, no UDF) — whitening / dimensionality reduction ahead of SemDeDup-style clustering or ANN indexing. Rows-only check: the eigen solve is not ANSI-SQL-expressible; exactness anchors are the hash-checked embed_covariance row (pins the only distributed stage bit-for-bit) and PcaSpec (planted principal-direction recovery, orthonormality, eigenvalue ordering, deterministic sign, projection == centered dot)",
       (s, dir) => {
-        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val emb = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
         val m = graft.operators.PcaOps.train(emb, "embedding", dim = 64, k = 2)
         graft.operators.PcaOps.project(emb, "vec_id", "embedding", m)
           .orderBy(col("vec_id"))
@@ -828,7 +830,8 @@ object VectorSearchQueries {
       "Embedding-distribution drift between two corpus snapshots (here: even vs odd vec_id halves — in production, last month's embeddings table vs this month's): BOTH snapshots' covariance matrices come from ONE grouped VectorOuterSumAggregator pass (groupBy parity, two fixed-size moment buffers total), and the report is the 10 covariance cells that moved most — |Δcov| ranked via TakeOrdered, every delta a row-local double on exact integer-derived inputs, so the whole report hash-matches DuckDB. The covariance-space companion of report_drift's token-mixture L1: token drift catches vocabulary shifts, covariance drift catches geometry shifts (a new embedding model, a domain mix change) that leave token stats untouched",
       (s, dir) => {
         val dim = 64
-        val o = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val o = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
           .select((col("vec_id") % 2).as("p"),
             graft.operators.PcaOps.quantized(col("embedding")).as("qv"))
           .groupBy(col("p"))
@@ -863,7 +866,7 @@ object VectorSearchQueries {
       """WITH e AS (
         |  SELECT vec_id % 2 AS p, list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
         |q AS (SELECT row_number() OVER () AS rid, p, qv FROM e),
         |ex AS (SELECT rid, p, CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS pos,
         |         unnest(qv) AS v
@@ -920,7 +923,8 @@ object VectorSearchQueries {
     "embed_whiten" -> Q(
       "PCA whitening: the embed_pca projection with each component scaled by 1/sqrt(eigenvalue), so output coordinates have unit variance and zero cross-covariance — the standard normalization before distance-threshold clustering (SemDeDup) or Mahalanobis-flavored outlier scoring. The 1/sqrt(lambda) folds into the same broadcast-literal component arrays, so whitening costs exactly what projection costs: one codegen'd fold per component, row-local, no join. Rows-only check (the eigen solve is not SQL-expressible); exactness anchors are the embed_covariance hash row (pins the moment aggregation) and PcaSpec's identity-covariance assertion — the whitened output's own sample covariance must read ~I, a property that catches a wrong eigenvalue, a wrong scale, or a non-orthogonal basis in one number",
       (s, dir) => {
-        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val emb = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
         val m = graft.operators.PcaOps.train(emb, "embedding", dim = 64, k = 2)
         graft.operators.PcaOps.whiten(emb, "vec_id", "embedding", m)
           .orderBy(col("vec_id"))

@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   */
 object StreamingClusterMonitor {
 
-  final case class Emb(vec_id: Long, embedding: Seq[Float])
+  /** The embeddings-stream element — ONE definition for every streaming
+    * monitor (schema drift applied to one must reach the others). */
+  type Emb = StreamingEmbedDrift.Emb
+  val Emb: StreamingEmbedDrift.Emb.type = StreamingEmbedDrift.Emb
 
   /** Occupancy share per cluster id from a (cluster, ...) assignment
     * frame — the reference mixture a stream is judged against. */

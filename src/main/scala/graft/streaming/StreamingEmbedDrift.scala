@@ -35,7 +35,10 @@ object StreamingEmbedDrift {
     * against. One aggregation job; requires at least 2 non-null vectors. */
   def referenceCovariance(embs: DataFrame, dim: Int): Array[Double] = {
     import graft.functions.VectorOuterSumAggregator
-    val row = embs.filter(col("embedding").isNotNull)
+    // size filter: the aggregator THROWS on a wrong-length non-null vector
+    // (oracle-parity contract); the reference builder skips them instead,
+    // mirroring the embed_covariance registry filter
+    val row = embs.filter(col("embedding").isNotNull && size(col("embedding")) === dim)
       .select(graft.operators.PcaOps.quantized(col("embedding")).as("qv"))
       .agg(VectorOuterSumAggregator.outerSums(dim, col("qv")).as("o"))
       .select(col("o.n"), col("o.sums"), col("o.prods"))
@@ -94,8 +97,12 @@ object StreamingEmbedDrift {
       .foreachBatch { (batch: Dataset[Emb], batchId: Long) =>
         import batch.sparkSession.implicits._
         import graft.functions.VectorOuterSumAggregator
-        // bounded: exactly one moment-buffer row leaves the aggregation
-        val row = batch.toDF().filter(col("embedding").isNotNull)
+        // bounded: exactly one moment-buffer row leaves the aggregation.
+        // The size filter keeps one malformed vector in a batch from
+        // crashing the whole monitor (the aggregator throws on length
+        // mismatch by contract)
+        val row = batch.toDF()
+          .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
           .select(graft.operators.PcaOps.quantized(col("embedding")).as("qv"))
           .agg(VectorOuterSumAggregator.outerSums(dim, col("qv")).as("o"))
           .select(col("o.n"), col("o.sums"), col("o.prods"))
