@@ -474,8 +474,18 @@ object TextOpsQueries {
     "dedup_fuzzy_entity" -> Q(
       "Fuzzy entity resolution (record-linkage dedup): blocked pairwise Levenshtein over contact-like records — the classic Fellegi-Sunter blocking discipline (pair only within a domain-attribute block, here nation x market segment; in an email corpus: the address domain) with exact edit distance <= 2 as the match rule. Edit distance catches the typo/truncation near-dups that token- and shingle-set similarity (dedup_ngram_jaccard, dedup_ppjoin) miss on SHORT strings, where one character edit moves Jaccard by whole steps. Integer distances, so the full pair list hash-matches DuckDB. Scale: blocking bounds pairs at O(sum block^2); blocks come from data attributes, so the 100 TB dial is the blocking key's granularity (add length bands / name q-grams the PPJoin way) — the recall/cost trade every ER system exposes",
       (s, dir) => {
+        // spread the join input across cores before pairing (the
+        // documentsSpread discipline: CPU-dense work sizes its partitions
+        // by CORES, not input bytes — and ROUND-ROBIN, not by block key:
+        // the build side broadcasts, so each probe task's pair work is
+        // rows × matches and even row spread beats key locality, which
+        // concentrates whole 120²-pair blocks on single tasks). The
+        // one-file fixture otherwise ran the whole 900k-pair Levenshtein
+        // DP loop in ONE task: isolated min-of-3 measured 6.2 s single-
+        // task → 2.5 s key-partitioned → 2.0 s round-robin.
         val c = T.customer(s, dir)
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+          .repartition(s.sparkContext.defaultParallelism)
         val a = c.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"),
           col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
         val b = c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"),
