@@ -142,10 +142,14 @@ object Bench {
         "contention, gc attributed separately); multi-second readings are real"
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec_of_best_run":$fullGc,"drift":$driftJson,"inflation_note":"$inflationNote","sf":"$sfDir"}"""
-    try {
-      val p = java.nio.file.Paths.get("BENCH_FULL.json")
-      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // BENCH_FULL.json is the committed full-registry record — a filtered
+    // SPARK_GRAFT_BENCH_ONLY run must not clobber it with a subset
+    if (only.isEmpty) {
+      try {
+        val p = java.nio.file.Paths.get("BENCH_FULL.json")
+        java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     println("BENCH_FULL " + fullLine)
     val headline = Seq(
       "q1_agg", "q3_shipping", "q5_nation_revenue", "q6_anomaly",

@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   *    degeneracy), and both engines drop it identically.
   *
   * Scale shape per round: assignment is ROW-LOCAL (k·d codegen'd integer
-  * ops per row against broadcast-literal centroids — no join, no
-  * shuffle); the update is `groupBy(cluster)` over a fixed-size
+  * ops per row against a ONE-ROW broadcast of the centroid matrix — no
+  * shuffle of corpus rows); the update is `groupBy(cluster)` over a fixed-size
   * [[graft.functions.VectorSumAggregator]] buffer (k·partitions buffers
   * shuffled, NOT n·d exploded rows); the driver sees k·(d+1) longs per
   * round. Rounds are a fixed small constant — the standard curation
