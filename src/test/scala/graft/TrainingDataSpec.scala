@@ -192,6 +192,35 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic_kmeans: canonical clusters that refine the brute-force threshold graph") {
+    // same refinement property as the LSH-blocked form: k-means blocking
+    // only DROPS candidate edges (pairs straddling a cluster boundary),
+    // so every blocked cluster must sit inside ONE unblocked threshold
+    // component — the guarantee that the two semantic-dedup blockings
+    // are interchangeable up to recall, never up to correctness
+    val out = q("dedup_semantic_kmeans")
+      .select($"vec_id", $"cluster_id", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty, "sf0.001 embeddings should contain semantic near-dups at 0.35")
+    val byId = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (v, c, keep) =>
+      assert(c <= v && keep == (v == c) && byId(c) == c)
+    }
+    val emb = Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
+    val a = emb.select($"vec_id".as("a_id"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("b_id"), $"embedding".as("vb"))
+    val brutePairs = a.crossJoin(b).filter($"a_id" < $"b_id")
+      .filter(graft.functions.VectorFunctions.cosineSim($"va", $"vb") >= 0.35)
+      .select($"a_id", $"b_id")
+    val brute = graft.operators.ConnectedComponents.resolve(brutePairs)
+      .as[(Long, Long)].collect().toMap
+    out.groupBy(_._2).values.foreach { members =>
+      val bruteComponents = members.map(m => brute(m._1)).toSet
+      assert(bruteComponents.size == 1,
+        s"kmeans-blocked cluster spans brute-force components $bruteComponents")
+    }
+  }
+
   test("dedup_semantic: identical clusters at the 4-plane default and the pinned 8-plane block") {
     // Each group's members are POSITIVE scalar multiples of a shared base
     // vector: cosine is exactly 1 and every hyperplane dot keeps its
