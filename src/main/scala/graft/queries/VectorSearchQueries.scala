@@ -950,8 +950,12 @@ object VectorSearchQueries {
         graft.operators.KmeansOps.fit(emb, "vec_id", "embedding", dim = 64, k = 8,
           rounds = 2)._1
           .groupBy(col("cluster"))
+          // decimal(38,0) sum: dist_q cells reach ~2^54, so a long sum
+          // overflows (ANSI throw) past ~2^9 rows of worst-case distance —
+          // measured at the 2M-vector decade; DuckDB's SUM(BIGINT) is
+          // already HUGEINT, so values and hash are unchanged
           .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec_id"),
-            sum(col("dist_q")).as("sd"))
+            sum(col("dist_q").cast("decimal(38,0)")).as("sd"))
           .select(col("cluster"), col("n"), col("min_vec_id"),
             expr("CAST(sd div n AS BIGINT)").as("avg_dist_q"))
           .orderBy(col("cluster"))
