@@ -243,6 +243,44 @@ object TrainingDataQueries {
          |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
          |FROM comp ORDER BY vec_id""".stripMargin),
 
+    "contamination_semantic" -> Q(
+      "SEMANTIC decontamination screen: embedding-level train/eval overlap — for every training vector, its cosine hits against a held-out benchmark embedding set (vec_id < 25 here; in production the eval suites), with hit count, best similarity, and the best-matching eval item (ties to the smaller eval id). Catches the paraphrased/translated eval leakage the n-gram screen (text_contamination) is blind to — overlap in MEANING space survives rewording that destroys every 3-gram. Scale shape mirrors text_contamination exactly: the benchmark side is TINY and broadcasts (eval suites are MBs against a 100 TB corpus), the corpus side is one scan with |eval| row-local codegen'd cosines per row, no corpus shuffle at all; past ~10^5 eval vectors the same screen rides the LSH bucket join (dedup_semantic's blocking) instead of the dense broadcast",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+        val eval_ = emb.filter(col("vec_id") < 25)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("ve"))
+        val train = emb.filter(col("vec_id") >= 25)
+        train.crossJoin(broadcast(eval_))
+          .select(col("vec_id"), col("eval_id"),
+            cosineSim(col("embedding"), col("ve")).as("sim"))
+          .filter(col("sim") >= 0.35)
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_hits"),
+            max(struct(col("sim"), (-col("eval_id")).as("nid"))).as("m"))
+          .select(col("vec_id"), col("n_hits"),
+            col("m.sim").as("best_sim"), (-col("m.nid")).as("best_eval_id"))
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         |ev AS (SELECT vec_id AS eval_id, embedding AS ve FROM e WHERE vec_id < 25),
+         |hits AS (
+         |  SELECT t.vec_id, v.eval_id,
+         |    ${VectorSearchQueries.cosSqlPublic("t.embedding", "v.ve")} AS sim
+         |  FROM e t CROSS JOIN ev v
+         |  WHERE t.vec_id >= 25
+         |    AND ${VectorSearchQueries.cosSqlPublic("t.embedding", "v.ve")} >= 0.35),
+         |agg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY vec_id),
+         |best AS (
+         |  SELECT vec_id, sim AS best_sim, eval_id AS best_eval_id FROM (
+         |    SELECT vec_id, sim, eval_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+         |    FROM hits) WHERE rn = 1)
+         |SELECT a.vec_id, a.n_hits, b.best_sim, b.best_eval_id
+         |FROM agg a JOIN best b USING (vec_id) ORDER BY vec_id""".stripMargin),
+
     "dedup_semantic_kmeans" -> Q(
       "Semantic dedup blocked by k-means clusters — the literal SemDeDup recipe (Abbas et al. 2023: k-means the embeddings, then prune near-duplicates WITHIN each cluster): embed_kmeans assignment as the blocking key, exact cosine verify >= 0.35 inside each cluster, connected-components resolution with canonical min-id keep. The LSH-blocked dedup_semantic is the drop-in alternative when no trained clustering exists; this form concentrates candidate pairs where the geometry actually is (clusters track density; fixed hyperplane buckets do not). k is ADAPTIVE — ceil(n/64), the occupancy-targeted rule KmeansProbe motivated: a fixed k measured O(n^2/k) candidate pairs (2.5e9 at the 100x fixture), ceil(n/64) bounds them at O(64n), with the O(n*k*d) assignment scan as the price — the same trade SemDeDup's own 50k-cluster faiss setup makes at 1.7B docs. The whole chain — integer Lloyd rounds, double cosine, CC — hash-matches DuckDB end-to-end",
       (s, dir) => {
