@@ -471,6 +471,30 @@ object TextOpsQueries {
          |WHERE d.doc_id > split.s
          |ORDER BY doc_id""".stripMargin),
 
+    "dedup_cross_source" -> Q(
+      "Cross-source duplication matrix: the verified MinHash-LSH near-dup pairs rolled up by (source_a, source_b) — WHICH crawls duplicate each other, not just which documents are duplicated. The report that redirects a 100 TB ingest budget: a hot off-diagonal cell means two feeds ship the same content and one can be dropped at the source; a hot diagonal cell means a feed re-crawls itself. Rides the exact same verified pair set as dedup_minhash_lsh (ids-only pairs joined twice against the tiny doc->source map; source pair normalized so a<=b), one k^2-bounded rollup on top",
+      (s, dir) => {
+        val srcs = T.documentsSpread(s, dir).select(col("doc_id"), col("source"))
+        val pairs = lshNearDupPairs(s, dir)
+        pairs
+          .join(srcs.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+          .join(srcs.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      s"""WITH $LshPairsSqlCtes
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.a_id
+         |JOIN documents db ON db.doc_id = p.b_id
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin),
+
     "dedup_fuzzy_entity" -> Q(
       "Fuzzy entity resolution (record-linkage dedup): blocked pairwise Levenshtein over contact-like records — the classic Fellegi-Sunter blocking discipline (pair only within a domain-attribute block, here nation x market segment; in an email corpus: the address domain) with exact edit distance <= 2 as the match rule. Edit distance catches the typo/truncation near-dups that token- and shingle-set similarity (dedup_ngram_jaccard, dedup_ppjoin) miss on SHORT strings, where one character edit moves Jaccard by whole steps. Integer distances, so the full pair list hash-matches DuckDB. Scale: blocking bounds pairs at O(sum block^2); blocks come from data attributes, so the 100 TB dial is the blocking key's granularity (add length bands / name q-grams the PPJoin way) — the recall/cost trade every ER system exposes",
       (s, dir) => {
