@@ -3,16 +3,18 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.SparkBridge
 import org.apache.spark.sql.types._
 
 /** Exact nearest-centroid search for the k-means assignment step:
   * `struct(idx, dist)` of the centroid minimizing squared L2 distance to
   * a quantized vector, over a FLATTENED k×d centroid matrix (row-major
-  * array&lt;long&gt;, one broadcast row — data, not literals).
+  * array&lt;long&gt;, one broadcast row — data, not literals) with the
+  * model dimension `d` as an explicit literal argument.
   *
   * Why an expression and not transform/zip_with/aggregate: the HOF chain
   * allocates a d-long intermediate array per centroid per row — at the
@@ -21,22 +23,31 @@ import org.apache.spark.sql.types._
   * the whole operator. This loop is allocation-free and codegen'd: k·d
   * long subtract/multiply/adds per row, nothing else.
   *
+  * `d` is explicit — NOT inferred from the query vector — because
+  * inference cannot detect a model/vector dimension mismatch whenever
+  * the lengths happen to divide (a 3-dim model against 2-dim vectors
+  * reads 3 phantom 2-dim "centroids" from the same 6 longs); with `d`
+  * pinned, any query vector of the wrong length throws.
+  *
   * Semantics (MUST match the unrolled DuckDB oracle): exact integer
   * arithmetic, first minimum wins (ties to the lowest index — the
-  * `ORDER BY d, c` rule), 0-based idx into the matrix order. d is the
-  * query vector's length; the matrix length must be a multiple of it. */
-case class NearestCentroidExpression(left: Expression, right: Expression)
-    extends BinaryExpression {
+  * `ORDER BY d, c` rule), 0-based idx into the matrix order. */
+case class NearestCentroidExpression(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
+    val arraysOk = Seq(first, second).forall(_.dataType match {
       case ArrayType(LongType, _) => true
       case _                      => false
     })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint> inputs, " +
-        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    if (!arraysOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> vector/matrix inputs, " +
+          s"got ${first.dataType.sql} and ${second.dataType.sql}")
+    else if (third.dataType != IntegerType || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal int dimension, got ${third.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
   }
 
   override def dataType: DataType = StructType(Seq(
@@ -44,15 +55,16 @@ case class NearestCentroidExpression(left: Expression, right: Expression)
     StructField("dist", LongType, nullable = false)))
   override def prettyName: String = "nearest_centroid"
 
-  override def nullSafeEval(q: Any, m: Any): Any = {
+  override def nullSafeEval(q: Any, m: Any, dv: Any): Any = {
     val qv = q.asInstanceOf[ArrayData]
     val cm = m.asInstanceOf[ArrayData]
-    val d = qv.numElements()
-    if (d > 0 && cm.numElements() % d != 0)
+    val d = dv.asInstanceOf[Int]
+    if (qv.numElements() != d || d <= 0 || cm.numElements() % d != 0)
       throw new IllegalArgumentException(
-        s"nearest_centroid: matrix length ${cm.numElements()} is not a multiple of " +
-          s"the query dimension $d — dimension mismatch between model and vectors")
-    val k = if (d == 0) 0 else cm.numElements() / d
+        s"nearest_centroid: dimension mismatch between model and vectors — " +
+          s"expected d=$d, got a ${qv.numElements()}-element query vector and a " +
+          s"${cm.numElements()}-long matrix")
+    val k = cm.numElements() / d
     if (k == 0) null
     else {
       var best = 0
@@ -74,25 +86,24 @@ case class NearestCentroidExpression(left: Expression, right: Expression)
     }
   }
 
-  override def nullable: Boolean = true // empty inputs → null
+  override def nullable: Boolean = true // an empty matrix → null
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (q, m) => {
-      val d = ctx.freshName("d"); val k = ctx.freshName("k")
+    nullSafeCodeGen(ctx, ev, (q, m, dv) => {
+      val k = ctx.freshName("k")
       val j = ctx.freshName("j"); val i = ctx.freshName("i")
       val off = ctx.freshName("off"); val s = ctx.freshName("s")
       val delta = ctx.freshName("delta")
       val best = ctx.freshName("best"); val bestDist = ctx.freshName("bestDist")
       val rowClass = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
       s"""
-        |int $d = $q.numElements();
-        |if ($d > 0 && $m.numElements() % $d != 0) {
+        |if ($q.numElements() != $dv || $dv <= 0 || $m.numElements() % $dv != 0) {
         |  throw new IllegalArgumentException(
-        |    "nearest_centroid: matrix length " + $m.numElements() +
-        |    " is not a multiple of the query dimension " + $d +
-        |    " — dimension mismatch between model and vectors");
+        |    "nearest_centroid: dimension mismatch between model and vectors — " +
+        |    "expected d=" + $dv + ", got a " + $q.numElements() +
+        |    "-element query vector and a " + $m.numElements() + "-long matrix");
         |}
-        |int $k = ($d == 0) ? 0 : $m.numElements() / $d;
+        |int $k = $m.numElements() / $dv;
         |if ($k == 0) {
         |  ${ev.isNull} = true;
         |} else {
@@ -100,8 +111,8 @@ case class NearestCentroidExpression(left: Expression, right: Expression)
         |  long $bestDist = Long.MAX_VALUE;
         |  for (int $j = 0; $j < $k; $j++) {
         |    long $s = 0L;
-        |    int $off = $j * $d;
-        |    for (int $i = 0; $i < $d; $i++) {
+        |    int $off = $j * $dv;
+        |    for (int $i = 0; $i < $dv; $i++) {
         |      long $delta = $q.getLong($i) - $m.getLong($off + $i);
         |      $s += $delta * $delta;
         |    }
@@ -114,15 +125,17 @@ case class NearestCentroidExpression(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): NearestCentroidExpression =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression, newThird: Expression)
+      : NearestCentroidExpression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 object NearestCentroidExpression {
   /** Column form: struct(idx, dist) of the nearest centroid in the
     * flattened row-major matrix `cflat` (k·d longs) to the quantized
-    * vector `qv` (d longs). */
-  def nearestCentroid(qv: Column, cflat: Column): Column =
+    * vector `qv` (exactly `dim` longs — anything else throws). */
+  def nearestCentroid(qv: Column, cflat: Column, dim: Int): Column =
     SparkBridge.column(NearestCentroidExpression(
-      SparkBridge.expression(qv), SparkBridge.expression(cflat)))
+      SparkBridge.expression(qv), SparkBridge.expression(cflat),
+      SparkBridge.expression(lit(dim))))
 }

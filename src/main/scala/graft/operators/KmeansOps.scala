@@ -67,11 +67,13 @@ object KmeansOps {
   def assigned(df: DataFrame, model: Model): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(model.centroids.nonEmpty, "assigned: empty model")
+    val d = model.centroids.head._2.length
     val centRow = Seq((model.clusterIds, model.centroids.flatMap(_._2.toSeq)))
       .toDF("cids", "cflat")
     df.crossJoin(broadcast(centRow))
       .withColumn("nc",
-        graft.functions.NearestCentroidExpression.nearestCentroid(col("qv"), col("cflat")))
+        graft.functions.NearestCentroidExpression.nearestCentroid(col("qv"), col("cflat"), d))
       .withColumn("dist_q", col("nc.dist"))
       .withColumn("cluster", element_at(col("cids"), col("nc.idx") + 1))
       .drop("nc", "cids", "cflat")
@@ -145,6 +147,7 @@ object KmeansOps {
     val spark = df.sparkSession
     import spark.implicits._
     val fine = model.centroids.map(_._2).toArray
+    require(fine.nonEmpty, "assignedRouted: empty model")
     val kPrime = math.max(1, math.ceil(math.sqrt(fine.length.toDouble)).toInt)
     val (coarse, route) = localKmeans(fine, kPrime, rounds = 3)
     // EMPTY cells (no fine centroid mapped to them) are dropped from the
@@ -161,11 +164,12 @@ object KmeansOps {
     val row = (byCell.flatMap(_._1), byCell.map(_._2), byCell.map(_._3))
     val centRow = Seq(row).toDF("coarse_flat", "cell_ids", "cell_flats")
     import graft.functions.NearestCentroidExpression.nearestCentroid
+    val d = fine(0).length
     df.crossJoin(broadcast(centRow))
       .withColumn("cell",
-        nearestCentroid(col("qv"), col("coarse_flat")).getField("idx") + 1)
+        nearestCentroid(col("qv"), col("coarse_flat"), d).getField("idx") + 1)
       .withColumn("nc",
-        nearestCentroid(col("qv"), element_at(col("cell_flats"), col("cell"))))
+        nearestCentroid(col("qv"), element_at(col("cell_flats"), col("cell")), d))
       .withColumn("dist_q", col("nc.dist"))
       .withColumn("cluster",
         element_at(element_at(col("cell_ids"), col("cell")), col("nc.idx") + 1))

@@ -93,6 +93,19 @@ class KmeansRoutedSpec extends SparkSpec {
       s"fabricated cluster id: $got"))
   }
 
+  test("nearest_centroid throws on a model/vector dimension mismatch instead of truncating") {
+    // a 64-dim model against 32-dim vectors used to read half-centroid
+    // slices as phantom centroids and fabricate assignments silently
+    val model = KmeansOps.Model(Seq((0L, Array.fill(3)(1L)), (1L, Array.fill(3)(5L))))
+    val q = Seq((1L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), KmeansOps.quantized(col("embedding")).as("qv"))
+    val e = intercept[Exception](KmeansOps.assigned(q, model).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimension mismatch between model and vectors")),
+      s"got: ${msgs(e)}")
+  }
+
   test("localKmeans: k clamped to point count, deterministic, empty-cell centroids persist") {
     val pts = Array(Array(0L, 0L), Array(100L, 0L), Array(0L, 100L))
     val (cents, assign) = KmeansOps.localKmeans(pts, k = 5, rounds = 3)
