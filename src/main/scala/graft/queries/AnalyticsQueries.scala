@@ -1349,6 +1349,36 @@ object AnalyticsQueries {
         |SELECT n_vertices, n_edges, n_triangles, n_wedges,
         |  CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE) AS clustering
         |FROM st, tri""".stripMargin),
+
+    "report_k_anonymity" -> Q(
+      "k-anonymity privacy audit over the quasi-identifier (nation, market " +
+        "segment) — the training-data governance check before releasing or " +
+        "training on records with demographic columns (Sweeney 2002): every " +
+        "QI equivalence class with its size k, an at-risk flag (k < 5, the " +
+        "conventional re-identification threshold), and each class's share " +
+        "of the table. One grouped scan; the total joins back as a 1-row " +
+        "broadcast, so the audit is a single aggregation pass at any scale",
+      (s, dir) => {
+        val grp = T.customer(s, dir)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("k"))
+        val total = T.customer(s, dir).agg(count(lit(1)).as("n_total"))
+        grp.crossJoin(broadcast(total))
+          .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+            (col("k") < 5L).as("at_risk"),
+            (col("k").cast("double") / col("n_total").cast("double"))
+              .as("share"))
+          .orderBy(col("k"), col("c_nationkey"), col("c_mktsegment"))
+      },
+      """WITH grp AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS k
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+        |tot AS (SELECT COUNT(*) AS n_total FROM customer)
+        |SELECT c_nationkey, c_mktsegment, k,
+        |  k < 5 AS at_risk,
+        |  CAST(k AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM grp CROSS JOIN tot
+        |ORDER BY k, c_nationkey, c_mktsegment""".stripMargin),
   )
 
   /** DuckDB oracle for `graph_pagerank`: the 5 power-iteration rounds

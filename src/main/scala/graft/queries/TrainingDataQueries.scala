@@ -65,26 +65,36 @@ object TrainingDataQueries {
     * is exhaustive. With left != right, occurrences are disjoint in
     * symbol space, so "merge them all" IS the left-to-right
     * non-overlapping semantics. */
-  private lazy val BpeEncodeFixedSql: String = {
+  /** chr(31)-delimited symbolization of a single word `w` with every
+    * [[FixedEncodeMerges]] merge applied — the shared fold behind the
+    * `bpe_encode_fixed` and `bpe_fertility` oracles. */
+  private lazy val BpeFixedMergedSql: String = {
     val us = "chr(31)"
     val s0 = s"$us || array_to_string(list_transform(range(1, length(w) + 1), " +
       s"i -> CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>' " +
       s"ELSE substr(w, i, 1) END), $us) || $us"
-    val merged = FixedEncodeMerges.foldLeft(s0) { case (acc, (a, b)) =>
+    FixedEncodeMerges.foldLeft(s0) { case (acc, (a, b)) =>
       val pat = s"$us || '$a' || $us || '$b' || $us"
       val rep = s"$us || '$a$b' || $us"
       s"replace(replace($acc, $pat, $rep), $pat, $rep)"
     }
+  }
+
+  /** The trainer's word segmentation, DuckDB-side ([^a-z]+ after lower()
+    * equals the engine's \p{L} split on this ASCII corpus). */
+  private val BpeWordsSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')"
+
+  private lazy val BpeEncodeFixedSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    flatten(list_transform(
-       |      list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> ''),
-       |      w -> list_filter(string_split($merged, chr(31)), x -> x <> ''))) AS tk
+       |      $BpeWordsSql,
+       |      w -> list_filter(string_split($BpeFixedMergedSql, chr(31)), x -> x <> ''))) AS tk
        |  FROM documents)
        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
        |  array_to_string(tk, ' ') AS toks_str
        |FROM toks ORDER BY doc_id""".stripMargin
-  }
 
   /** DuckDB mirror of [[graft.operators.MultiModal.pHash16]] over the
     * documents payload surrogate (text cast to bytes, the multimodal_meta
@@ -975,5 +985,202 @@ object TrainingDataQueries {
          |FROM pairs
          |WHERE string_split(pr, '|')[1] <= string_split(pr, '|')[2]
          |GROUP BY 1, 2 ORDER BY gate_a, gate_b""".stripMargin),
+
+    "dedup_paragraph" -> Q(
+      "C4-style span-level dedup with document REASSEMBLY (Raffel et al. 2020 " +
+        "removed any thrice-repeated three-sentence span corpus-wide; here the " +
+        "span is a non-overlapping 16-token tile): every tile occurring more " +
+        "than once in the corpus is dropped except its first occurrence " +
+        "(smallest (doc_id, tile_idx)), and each document is rebuilt from its " +
+        "surviving tiles in order — the operator that EDITS documents rather " +
+        "than scoring them (dedup_substring) or dropping them whole " +
+        "(dedup_exact). Scale shape: tiles are row-local; the duplicate-winner " +
+        "table holds only tiles seen twice (a small fraction of a real corpus) " +
+        "so the back-join's build side stays broadcast-sized; tiles travel as " +
+        "xxhash64 longs on the engine (the dedup_substring collision argument) " +
+        "while the string-tile oracle agrees below hash-collision resolution; " +
+        "reassembly is a per-document bounded sort, never global",
+      (s, dir) => {
+        val P = 16
+        val tiles = T.documentsSpread(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(CAST(0 AS BIGINT), (size(toks) - 1) div $P), " +
+              s"i -> array_join(slice(toks, int(i * $P + 1), $P), ' '))"))
+            .as(Seq("idx", "tile")))
+          .withColumn("key", col("doc_id") * 1048576L + col("idx"))
+          .withColumn("g", xxhash64(col("tile")))
+        val winners = tiles.groupBy(col("g"))
+          .agg(count(lit(1)).as("cnt"), min(col("key")).as("wkey"))
+          .filter(col("cnt") > 1L)
+          .select(col("g"), col("wkey"))
+        tiles.join(winners, Seq("g"), "left")
+          .withColumn("keep", col("wkey").isNull || col("key") === col("wkey"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tiles"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+            array_join(transform(
+              array_sort(collect_list(when(col("keep"),
+                struct(col("idx"), col("tile"))))),
+              t => t.getField("tile")), " ").as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tiles AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(list_slice(toks, idx * 16 + 1, idx * 16 + 16), ' ') AS tile,
+        |    doc_id * 1048576 + idx AS key
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range((len(toks) + 15) // 16)) AS idx FROM base)),
+        |win AS (SELECT tile, COUNT(*) AS cnt, MIN(key) AS wkey
+        |        FROM tiles GROUP BY tile),
+        |flagged AS (
+        |  SELECT t.doc_id, t.idx, t.tile,
+        |    (w.cnt = 1 OR t.key = w.wkey) AS keep
+        |  FROM tiles t JOIN win w ON t.tile = w.tile)
+        |SELECT doc_id, COUNT(*) AS n_tiles,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN keep THEN tile END, ' ' ORDER BY idx), '')
+        |    AS clean_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "dedup_winnowing" -> Q(
+      "Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken 2003 — the " +
+        "MOSS scheme): per document, hash every 4-token gram to a 32-bit md5 " +
+        "value, slide a window of 4 consecutive gram hashes, and select each " +
+        "window's minimum with LEFTMOST tie-break (packed as h*2^20+pos so one " +
+        "integer MIN is the whole argmin — deterministic on both engines); the " +
+        "distinct selected hashes are the document's fingerprints, guaranteeing " +
+        "any shared token run of length >= w+k-1 = 7 produces a shared " +
+        "fingerprint — a positional-locality guarantee MinHash (whole-doc " +
+        "similarity) does not give. The report: top-20 document pairs by shared " +
+        "fingerprints with containment-style sim = shared/min(|fp|). Scale " +
+        "shape: hashing and selection are row-local + one per-document bounded " +
+        "window; fingerprints are ~2/(w+1) of gram count; the pair join rides " +
+        "an inverted fingerprint index with a document-frequency cap (df<=64, " +
+        "the MOSS \"too common to be interesting\" rule) so a boilerplate " +
+        "fingerprint can never generate O(n^2) candidate pairs",
+      (s, dir) => {
+        val K = 4; val W = 4; val DfCap = 64L
+        val grams = T.documentsSpread(s, dir)
+          .select(col("doc_id"), shingles(tokens(col("text")), K).as("sh"))
+          .select(col("doc_id"), size(col("sh")).as("n_g"),
+            posexplode(col("sh")).as(Seq("p", "g")))
+          .select(col("doc_id"), col("n_g"), col("p"),
+            (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") * 1048576L
+              + col("p")).as("packed"))
+        val wspec = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+          .rowsBetween(Window.currentRow, W - 1)
+        val fps = grams
+          .withColumn("sel", min(col("packed")).over(wspec))
+          .filter(col("p") <= col("n_g") - W)
+          .select(col("doc_id"), expr("sel div 1048576").as("h"))
+          .distinct()
+        val nfp = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+        val shared = fps.join(
+          fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2L && col("df") <= DfCap)
+            .select(col("h")),
+          Seq("h"))
+        val pairs = shared.select(col("h"), col("doc_id").as("d1"))
+          .join(shared.select(col("h"), col("doc_id").as("d2")), Seq("h"))
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+        pairs
+          .join(nfp.select(col("doc_id").as("d1"), col("n_fp").as("n1")), Seq("d1"))
+          .join(nfp.select(col("doc_id").as("d2"), col("n_fp").as("n2")), Seq("d2"))
+          .select(col("d1"), col("d2"), col("shared"),
+            (col("shared").cast("double") /
+              least(col("n1"), col("n2")).cast("double")).as("sim"))
+          .orderBy(col("shared").desc, col("d1"), col("d2"))
+          .limit(20)
+      },
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(ToksSql, 4)} AS sh FROM documents),
+         |grams AS (
+         |  SELECT doc_id, n_g, p, h32 * 1048576 + p AS packed FROM (
+         |    SELECT doc_id, len(sh) AS n_g,
+         |      generate_subscripts(sh, 1) - 1 AS p,
+         |      CAST(('0x' || substr(md5(unnest(sh)), 1, 8)) AS BIGINT) AS h32
+         |    FROM sh)),
+         |sel AS (
+         |  SELECT doc_id, n_g, p,
+         |    MIN(packed) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+         |  FROM grams),
+         |fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS h
+         |       FROM sel WHERE p <= n_g - 4),
+         |nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
+         |ok AS (SELECT h FROM fp GROUP BY h
+         |       HAVING COUNT(*) BETWEEN 2 AND 64),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+         |  FROM fp a JOIN ok USING (h) JOIN fp b USING (h)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, shared,
+         |  CAST(shared AS DOUBLE) / CAST(LEAST(n1.n_fp, n2.n_fp) AS DOUBLE) AS sim
+         |FROM pairs
+         |JOIN nfp n1 ON n1.doc_id = pairs.d1
+         |JOIN nfp n2 ON n2.doc_id = pairs.d2
+         |ORDER BY shared DESC, d1, d2 LIMIT 20""".stripMargin),
+
+    "bpe_fertility" -> Q(
+      "Tokenizer fertility audit per language (the multilingual-fairness " +
+        "report run before committing a tokenizer: fertility = subword tokens " +
+        "per word, chars-per-token = compression — languages a vocabulary " +
+        "serves badly pay more sequence length per word and more compute per " +
+        "character): encodes the corpus with the FIXED bpe_encode_fixed merge " +
+        "table (operators.BpeTrainer.encode, row-local, broadcast-sized " +
+        "model) and aggregates token/word/char counts per language — all " +
+        "integer sums, two exact-ratio doubles at the end. One corpus scan, " +
+        "one languages-sized aggregation; zero joins",
+      (s, dir) => {
+        val merges = FixedEncodeMerges.zipWithIndex.map { case ((a, b), r) =>
+          graft.operators.BpeTrainer.Merge(r, a, b, 2L)
+        }
+        val words = filter(split(lower(col("text")), "[^\\p{L}]+"),
+          w => length(w) > 0)
+        graft.operators.BpeTrainer
+          .encode(T.documentsSpread(s, dir), "text", merges)
+          .select(col("lang"),
+            size(col("tokens")).cast("long").as("n_tok"),
+            size(words).cast("long").as("n_word"),
+            aggregate(words, lit(0L),
+              (acc, w) => acc + length(w).cast("long")).as("n_ch"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_word")).as("n_words"),
+            sum(col("n_tok")).as("n_toks"),
+            sum(col("n_ch")).as("n_chars"))
+          .select(col("lang"), col("n_docs"), col("n_words"), col("n_toks"),
+            col("n_chars"),
+            when(col("n_words") === 0L, 0.0)
+              .otherwise(col("n_toks").cast("double")
+                / col("n_words").cast("double")).as("fertility"),
+            when(col("n_toks") === 0L, 0.0)
+              .otherwise(col("n_chars").cast("double")
+                / col("n_toks").cast("double")).as("chars_per_tok"))
+          .orderBy(col("lang"))
+      },
+      s"""WITH toks AS (
+         |  SELECT lang,
+         |    flatten(list_transform(
+         |      $BpeWordsSql,
+         |      w -> list_filter(string_split($BpeFixedMergedSql, chr(31)), x -> x <> ''))) AS tk,
+         |    $BpeWordsSql AS ws
+         |  FROM documents),
+         |agg AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(ws)) AS BIGINT) AS n_words,
+         |    CAST(SUM(len(tk)) AS BIGINT) AS n_toks,
+         |    CAST(SUM(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0))
+         |      AS BIGINT) AS n_chars
+         |  FROM toks GROUP BY lang)
+         |SELECT lang, n_docs, n_words, n_toks, n_chars,
+         |  CASE WHEN n_words = 0 THEN 0.0
+         |    ELSE CAST(n_toks AS DOUBLE) / CAST(n_words AS DOUBLE) END AS fertility,
+         |  CASE WHEN n_toks = 0 THEN 0.0
+         |    ELSE CAST(n_chars AS DOUBLE) / CAST(n_toks AS DOUBLE) END AS chars_per_tok
+         |FROM agg ORDER BY lang""".stripMargin),
   )
 }

@@ -291,4 +291,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(mad <= 0.5, s"MAD $mad must ignore the extremes")
     assert(anom == 2, s"exactly the two planted extremes flagged, got $anom")
   }
+
+  test("report_k_anonymity: class sizes conserve the table, a planted singleton is flagged at-risk") {
+    import spark.implicits._
+    // fixture: one singleton QI class (k=1, at risk) + one k=6 class
+    val dir = tmpDir("kanon")
+    Seq(
+      (1L, "n1", 7, 10.0, "BUILDING"),
+      (2L, "n2", 3, 10.0, "AUTOMOBILE"), (3L, "n3", 3, 10.0, "AUTOMOBILE"),
+      (4L, "n4", 3, 10.0, "AUTOMOBILE"), (5L, "n5", 3, 10.0, "AUTOMOBILE"),
+      (6L, "n6", 3, 10.0, "AUTOMOBILE"), (7L, "n7", 3, 10.0, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = SparkEntry.queries("report_k_anonymity")(spark, dir)
+      .select($"c_nationkey", $"c_mktsegment", $"k", $"at_risk", $"share")
+      .as[(Int, String, Long, Boolean, Double)].collect()
+    assert(rows.map(_._3).sum == 7L, "class sizes conserve the table")
+    assert(rows.forall(r => r._4 == (r._3 < 5L)), "at_risk == (k < 5)")
+    val singleton = rows.find(r => r._1 == 7 && r._2 == "BUILDING").get
+    assert(singleton._3 == 1L && singleton._4, "planted singleton is at risk")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-12, "shares sum to 1")
+    assert(rows.sortBy(r => (r._3, r._1, r._2)).toSeq == rows.toSeq,
+      "output ordered by (k, nation, segment)")
+  }
 }

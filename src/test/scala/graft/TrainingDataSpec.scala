@@ -677,4 +677,89 @@ class TrainingDataSpec extends SparkSpec {
     }
     assert(got.exists { case ((a, b), _) => a != b }, "fixture must co-fail gates")
   }
+
+  /** docsFixture with a per-row language (for the fertility audit). */
+  private def langDocsFixture(rows: Seq[(Long, String, String)]): String = {
+    val dir = tmpDir("traindata")
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_paragraph: repeated 16-token tiles are removed except the first occurrence, docs reassemble in order") {
+    def tile(p: String) = (1 to 16).map(i => s"$p$i").mkString(" ")
+    val (a, b, c) = (tile("a"), tile("b"), tile("c"))
+    // doc1 = A B; doc2 = A C (A duplicates doc1's); doc3 = A B (full copy)
+    val dir = docsFixture(Seq(
+      (1L, s"$a $b"), (2L, s"$a $c"), (3L, s"$a $b")))
+    val rows = SparkEntry.queries("dedup_paragraph")(spark, dir)
+      .select($"doc_id", $"n_tiles", $"n_removed", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L) == ((1L, 2L, 0L, s"$a $b")), "first occurrences all kept")
+    assert(rows(2L) == ((2L, 2L, 1L, c)), "doc2 loses the shared tile A")
+    assert(rows(3L) == ((3L, 2L, 2L, "")), "a full copy reassembles to empty")
+  }
+
+  test("dedup_winnowing: a shared >= w+k-1 token run is guaranteed detected; pairs match a scalar reference") {
+    // k=4, w=4: any shared run of >= 7 tokens must yield a shared fingerprint
+    val run = (1 to 7).map(i => s"run$i").mkString(" ")
+    val pad = (off: Int, n: Int) => (0 until n).map(i => s"x${off + i}").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, s"${pad(0, 9)} $run ${pad(100, 6)}"),
+      (2L, s"${pad(200, 4)} $run ${pad(300, 11)}"),
+      (3L, pad(400, 20))))
+    val got = SparkEntry.queries("dedup_winnowing")(spark, dir)
+      .select($"d1", $"d2", $"shared", $"sim")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 >= 1L),
+      s"the 7-token shared run must be fingerprint-detected, got ${got.toSeq}")
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L),
+      "the disjoint doc shares nothing")
+
+    // scalar reference winnowing (same hash, same leftmost-min selection)
+    def fps(text: String): Set[Long] = {
+      val toks = text.split(" ")
+      val grams =
+        if (toks.length <= 4) Seq(toks.mkString(" "))
+        else toks.sliding(4).map(_.mkString(" ")).toSeq
+      val packed = grams.zipWithIndex.map { case (g, p) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16) * 1048576L + p
+      }
+      if (packed.length < 4) Set.empty
+      else packed.sliding(4).map(_.min).map(_ / 1048576L).toSet
+    }
+    val texts = Map(
+      1L -> s"${pad(0, 9)} $run ${pad(100, 6)}",
+      2L -> s"${pad(200, 4)} $run ${pad(300, 11)}",
+      3L -> pad(400, 20))
+    val expected = (for {
+      d1 <- texts.keys; d2 <- texts.keys if d1 < d2
+      sharedH = fps(texts(d1)).intersect(fps(texts(d2))) if sharedH.nonEmpty
+    } yield (d1, d2, sharedH.size.toLong,
+      sharedH.size.toDouble / math.min(fps(texts(d1)).size, fps(texts(d2)).size)))
+      .toSet
+    assert(got.toSet == expected,
+      s"query pairs ${got.toSeq} != scalar reference $expected")
+  }
+
+  test("bpe_fertility: per-language token/word/char ratios under the fixed merge table") {
+    // en: "the"->the</w> (ranks 0,1), "and"->and</w> (ranks 3,4) — 1 token
+    // per word; de: "or" is [o, r</w>] (the o+r merge needs a NON-final r)
+    // — 2 tokens per word
+    val dir = langDocsFixture(Seq(
+      (1L, "the the and", "en"),
+      (2L, "or or", "de")))
+    val rows = SparkEntry.queries("bpe_fertility")(spark, dir)
+      .select($"lang", $"n_docs", $"n_words", $"n_toks", $"n_chars",
+        $"fertility", $"chars_per_tok")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("en") == (("en", 1L, 3L, 3L, 9L, 1.0, 3.0)))
+    assert(rows("de") == (("de", 1L, 2L, 4L, 4L, 2.0, 1.0)))
+  }
 }
