@@ -1010,6 +1010,10 @@ object TrainingDataQueries {
             .as(Seq("idx", "tile")))
           .withColumn("key", col("doc_id") * 1048576L + col("idx"))
           .withColumn("g", xxhash64(col("tile")))
+          // feeds both the winner aggregation and the back-join probe:
+          // persist trades a second corpus scan + re-tiling for a
+          // corpus-sized disk-backed cache (the containment-dedup trade)
+          .persist()
         val winners = tiles.groupBy(col("g"))
           .agg(count(lit(1)).as("cnt"), min(col("key")).as("wkey"))
           .filter(col("cnt") > 1L)
@@ -1071,11 +1075,15 @@ object TrainingDataQueries {
               + col("p")).as("packed"))
         val wspec = Window.partitionBy(col("doc_id")).orderBy(col("p"))
           .rowsBetween(Window.currentRow, W - 1)
+        // the fingerprint table feeds nfp, the df cap, AND both pair
+        // sides — persist so the per-doc window sort runs once, not 4×
+        // (Q contract: callers clearCache between materializations)
         val fps = grams
           .withColumn("sel", min(col("packed")).over(wspec))
           .filter(col("p") <= col("n_g") - W)
           .select(col("doc_id"), expr("sel div 1048576").as("h"))
           .distinct()
+          .persist()
         val nfp = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
         val shared = fps.join(
           fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
