@@ -747,6 +747,30 @@ class TrainingDataSpec extends SparkSpec {
       s"query pairs ${got.toSeq} != scalar reference $expected")
   }
 
+  test("dedup_winnowing: a corpus-wide hot fingerprint (df > 64) is capped out of pair generation") {
+    // 70 docs carry the same 16-token boilerplate text, so every
+    // boilerplate fingerprint has df = 70 > 64 and is capped out of the
+    // pair join — without the cap this fixture alone generates 70*69/2
+    // candidate pairs. Docs 1-2 append a PRIVATE 7-token run whose
+    // fully-private windows (window p=16 covers only private grams)
+    // produce a df=2 fingerprint deterministically, so exactly the pair
+    // (1,2) must survive
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val priv = (1 to 7).map(i => s"p$i").mkString(" ")
+    val docs = (1L to 70L).map { id =>
+      (id, if (id <= 2L) s"$boiler $priv" else boiler)
+    }
+    val dir = docsFixture(docs)
+    val got = SparkEntry.queries("dedup_winnowing")(spark, dir)
+      .select($"d1", $"d2", $"shared").as[(Long, Long, Long)].collect()
+    assert(got.exists(r => r._1 == 1L && r._2 == 2L),
+      s"the private shared run must still pair docs 1-2, got ${got.toSeq}")
+    // every reported pair must involve the privately-shared docs: the
+    // boilerplate fingerprint alone (df=70 > cap) pairs nothing
+    assert(got.forall(r => r._1 <= 2L && r._2 <= 2L),
+      s"capped boilerplate generated pairs: ${got.toSeq}")
+  }
+
   test("bpe_fertility: per-language token/word/char ratios under the fixed merge table") {
     // en: "the"->the</w> (ranks 0,1), "and"->and</w> (ranks 3,4) — 1 token
     // per word; de: "or" is [o, r</w>] (the o+r merge needs a NON-final r)
