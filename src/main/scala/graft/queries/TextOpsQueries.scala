@@ -977,6 +977,51 @@ object TextOpsQueries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    "text_readability" -> Q(
+      "Readability scoring (Flesch reading-ease + Flesch-Kincaid grade, the " +
+        "classic pre-LLM quality gate still used to band corpora by " +
+        "difficulty for curriculum mixing): sentences = '[.!?]+' runs " +
+        "(min 1), syllables = per-word count of '[aeiouy]+' vowel groups " +
+        "(min 1 per word — 'xyz' and '7' still carry a syllable). Entirely " +
+        "row-local regex + integer counting; the two scores are fixed-shape " +
+        "IEEE expressions over exact integer ratios, so both engines round " +
+        "identically. Scan-bandwidth-bound at any scale",
+      (s, dir) => {
+        val staged = T.documentsSpread(s, dir)
+          .select(col("doc_id"),
+            tokenCount(col("text")).as("n_words"),
+            greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+              .as("n_sentences"),
+            aggregate(tokens(lower(col("text"))), lit(0L), (acc, t) =>
+              acc + greatest(lit(1L),
+                regexp_count(t, lit("[aeiouy]+")).cast("long")))
+              .as("n_syllables"))
+        val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+        val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+        staged.select(col("doc_id"),
+          col("n_words"), col("n_sentences"), col("n_syllables"),
+          wps.as("words_per_sentence"), spw.as("syllables_per_word"),
+          (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch_ease"),
+          (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+          .orderBy(col("doc_id"))
+      }, {
+        val nW = s"CAST(len($ToksSql) AS BIGINT)"
+        val nS = "greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))"
+        val nSyl = "CAST(list_sum(list_transform(string_split(lower(text), ' '), " +
+          "t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))) AS BIGINT)"
+        s"""WITH c AS (
+           |  SELECT doc_id, $nW AS n_words, $nS AS n_sentences, $nSyl AS n_syllables
+           |  FROM documents)
+           |SELECT doc_id, n_words, n_sentences, n_syllables,
+           |  n_words::DOUBLE / n_sentences::DOUBLE AS words_per_sentence,
+           |  n_syllables::DOUBLE / n_words::DOUBLE AS syllables_per_word,
+           |  206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+           |    - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE) AS flesch_ease,
+           |  0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+           |    + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE) - 15.59 AS fk_grade
+           |FROM c ORDER BY doc_id""".stripMargin
+      }),
+
     "d2_hybrid_search" -> Q(
       "D2 hybrid ranked search: 0.7·vector-cosine + 0.3·text-rank (reference: scripts/migrate_providers.sql:63-118)",
       (s, dir) => {

@@ -614,6 +614,81 @@ object TrainingDataQueries {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin),
 
+    "pack_bins_nosplit" -> Q(
+      "No-split sequence packing (SFT/instruction-tuning: a document may NOT " +
+        "cross a sequence boundary, unlike pack_sequences' concat-split): " +
+        "first-fit-decreasing bin packing (Johnson 1973; the LLM-packing " +
+        "setting of Krell et al. 2021) WITHIN each shard — per doc: shard, " +
+        "token count, assigned bin. FFD is sequential by nature, so the " +
+        "corpus is hash-sharded FIRST and the greedy fold runs per shard as " +
+        "a row-local higher-order aggregate over one collect_list: exactly " +
+        "one shuffle, per-shard state bounded by shard sizing (shard count " +
+        "grows with the corpus, the pack_sequences argument), fold cost " +
+        "O(docs x open bins). Oversize docs (> capacity) get singleton bins",
+      (s, dir) => {
+        val C = 256
+        // find-first-fitting-bin, shared by the three fold fields below.
+        // Spark array_position = DuckDB list_position: 1-based, 0 when
+        // absent; transform's index lambda is 0-based (DuckDB's is
+        // 1-based — the ix + 1 below keeps the engines aligned)
+        val pos = s"array_position(transform(acc.loads, l -> l + x.n_tok <= ${C}L), true)"
+        val ffdFold =
+          "aggregate(items, " +
+            "named_struct(" +
+            "'loads', cast(array() as array<bigint>), " +
+            "'asg', cast(array() as array<struct<doc_id:bigint,n_tok:bigint,bid:bigint>>)), " +
+            "(acc, x) -> named_struct(" +
+            s"'loads', if($pos = 0, array_append(acc.loads, x.n_tok), " +
+            s"transform(acc.loads, (l, ix) -> if(ix + 1 = $pos, l + x.n_tok, l))), " +
+            "'asg', array_append(acc.asg, named_struct(" +
+            "'doc_id', x.doc_id, 'n_tok', x.n_tok, " +
+            s"'bid', if($pos = 0, cast(size(acc.loads) + 1 as bigint), $pos)))), " +
+            "acc -> acc.asg)"
+        T.documents(s, dir)
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tok"),
+            (col("doc_id") % 8).as("shard"))
+          .groupBy(col("shard"))
+          // struct sort: (-n_tok, doc_id) asc == n_tok desc, doc_id asc —
+          // the "decreasing" in FFD, with a deterministic tiebreak
+          .agg(sort_array(collect_list(struct(
+            (-col("n_tok")).as("k"), col("doc_id"), col("n_tok")))).as("items"))
+          .select(col("shard"), explode(expr(ffdFold)).as("a"))
+          .select(col("a.doc_id").as("doc_id"), col("shard"),
+            col("a.n_tok").as("n_tok"), col("a.bid").as("bin_id"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH RECURSIVE items AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+        |      ORDER BY len(string_split(text,' ')) DESC, doc_id) AS r
+        |  FROM documents),
+        |nsh AS (SELECT shard, COUNT(*) AS n FROM items GROUP BY shard),
+        |st AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS r,
+        |    CAST([] AS BIGINT[]) AS loads,
+        |    CAST([] AS STRUCT(doc_id BIGINT, n_tok BIGINT, bid BIGINT)[]) AS asg
+        |  FROM nsh
+        |  UNION ALL
+        |  SELECT st.shard, st.r + 1,
+        |    CASE WHEN pos = 0 THEN list_append(st.loads, i.n_tok)
+        |         ELSE list_transform(st.loads,
+        |           (l, ix) -> CASE WHEN ix = pos THEN l + i.n_tok ELSE l END)
+        |    END,
+        |    list_append(st.asg, {'doc_id': i.doc_id, 'n_tok': i.n_tok,
+        |      'bid': CASE WHEN pos = 0 THEN len(st.loads) + 1 ELSE pos END})
+        |  FROM st
+        |  JOIN items i ON i.shard = st.shard AND i.r = st.r + 1,
+        |  LATERAL (SELECT list_position(
+        |      list_transform(st.loads, l -> l + i.n_tok <= 256), true) AS pos) p
+        |),
+        |fin AS (
+        |  SELECT st.shard, unnest(st.asg) AS a
+        |  FROM st JOIN nsh ON nsh.shard = st.shard AND st.r = nsh.n)
+        |SELECT a.doc_id AS doc_id, shard, a.n_tok AS n_tok,
+        |  CAST(a.bid AS BIGINT) AS bin_id
+        |FROM fin ORDER BY doc_id""".stripMargin),
+
     "dedup_substring" -> Q(
       "Substring-level duplication screen (exact-substring dedup shape, Lee et al. 2022): fraction of each document's distinct 8-token spans that also occur in another document. Spans travel as xxhash64 longs (8-byte shuffle keys); the string-span oracle agrees because collisions (~2^-64·m^2) are below its resolution",
       (s, dir) => {
@@ -1066,23 +1141,25 @@ object TrainingDataQueries {
         "fingerprint can never generate O(n^2) candidate pairs",
       (s, dir) => {
         val K = 4; val W = 4; val DfCap = 64L
-        val grams = T.documentsSpread(s, dir)
+        // selection runs ENTIRELY inside the row (2-arg transform packs
+        // each gram hash with its position, a second transform takes each
+        // full window's array_min, array_distinct dedups selections):
+        // zero shuffle until the fingerprint explode — on a real corpus
+        // the whole fingerprinting stage is a map over the scan, and only
+        // (doc_id, h) longs ever reach an exchange
+        val fps = T.documentsSpread(s, dir)
           .select(col("doc_id"), shingles(tokens(col("text")), K).as("sh"))
-          .select(col("doc_id"), size(col("sh")).as("n_g"),
-            posexplode(col("sh")).as(Seq("p", "g")))
-          .select(col("doc_id"), col("n_g"), col("p"),
-            (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") * 1048576L
-              + col("p")).as("packed"))
-        val wspec = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-          .rowsBetween(Window.currentRow, W - 1)
-        // the fingerprint table feeds nfp, the df cap, AND both pair
-        // sides — persist so the per-doc window sort runs once, not 4×
-        // (Q contract: callers clearCache between materializations)
-        val fps = grams
-          .withColumn("sel", min(col("packed")).over(wspec))
-          .filter(col("p") <= col("n_g") - W)
-          .select(col("doc_id"), expr("sel div 1048576").as("h"))
-          .distinct()
+          .select(col("doc_id"), expr(
+            "transform(sh, (g, i) -> " +
+              "cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) " +
+              s"* 1048576 + i)").as("pk"))
+          .filter(size(col("pk")) >= W)
+          .select(col("doc_id"), explode(expr(
+            s"array_distinct(transform(sequence(0, size(pk) - $W), " +
+              s"i -> array_min(slice(pk, i + 1, $W)) div 1048576))")).as("h"))
+          // feeds nfp, the df cap, AND both pair sides — persist so the
+          // fingerprint scan runs once, not 4× (Q contract: callers
+          // clearCache between materializations)
           .persist()
         val nfp = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
         val shared = fps.join(
@@ -1131,6 +1208,75 @@ object TrainingDataQueries {
          |JOIN nfp n1 ON n1.doc_id = pairs.d1
          |JOIN nfp n2 ON n2.doc_id = pairs.d2
          |ORDER BY shared DESC, d1, d2 LIMIT 20""".stripMargin),
+
+    "dedup_cdc_chunks" -> Q(
+      "Content-defined-chunking dedup screen (the storage-dedup granularity, " +
+        "Muthitacharoen et al. 2001 LBFS, applied at token level): a chunk " +
+        "boundary falls AFTER any token whose 32-bit md5 hash is 0 mod 8 " +
+        "(mean chunk ~8 tokens), so chunk boundaries move WITH the content — " +
+        "insert one token and only the surrounding chunk changes, where " +
+        "dedup_paragraph's fixed 16-token tiles all shift and miss. Per doc: " +
+        "chunk count, chunks also occurring elsewhere in the corpus, shared " +
+        "fraction. The chunker is a row-local fold (higher-order aggregate " +
+        "inside the scan, zero shuffle); chunks travel as xxhash64 longs into " +
+        "one count aggregation + an ids-only back-join (the dedup_substring " +
+        "shape); string-chunk oracle agrees below hash-collision resolution",
+      (s, dir) => {
+        val cutSql =
+          "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 8 = 0"
+        val chunksFold =
+          "aggregate(tk, " +
+            "named_struct('arr', cast(array() as array<string>), " +
+            "'cur', cast(null as string)), " +
+            s"(acc, t) -> if($cutSql, " +
+            "named_struct('arr', array_append(acc.arr, " +
+            "if(acc.cur is null, t, concat(acc.cur, ' ', t))), " +
+            "'cur', cast(null as string)), " +
+            "named_struct('arr', acc.arr, " +
+            "'cur', if(acc.cur is null, t, concat(acc.cur, ' ', t)))), " +
+            "acc -> if(acc.cur is null, acc.arr, array_append(acc.arr, acc.cur)))"
+        val chunks = T.documentsSpread(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .select(col("doc_id"), explode(expr(chunksFold)).as("chunk"))
+          .select(col("doc_id"), xxhash64(col("chunk")).as("g"))
+          .persist()
+        val cdf = chunks.groupBy(col("g")).agg(count(lit(1)).as("n_occ"))
+        chunks.join(cdf, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("n_occ") > 1L, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_chunks").cast("double"))
+              .as("shared_frac"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tt AS (
+        |  SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS t
+        |  FROM toks),
+        |flagged AS (
+        |  SELECT doc_id, i, t,
+        |    CASE WHEN CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 8 = 0
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM tt),
+        |cid AS (
+        |  SELECT doc_id, i, t,
+        |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM flagged),
+        |chunks AS (
+        |  SELECT doc_id, chunk_id,
+        |    string_agg(t, ' ' ORDER BY i) AS chunk
+        |  FROM cid GROUP BY doc_id, chunk_id),
+        |cdf AS (SELECT chunk, COUNT(*) AS n_occ FROM chunks GROUP BY chunk)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+        |FROM chunks JOIN cdf USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "bpe_fertility" -> Q(
       "Tokenizer fertility audit per language (the multilingual-fairness " +

@@ -771,6 +771,102 @@ class TrainingDataSpec extends SparkSpec {
       s"capped boilerplate generated pairs: ${got.toSeq}")
   }
 
+  test("dedup_cdc_chunks: content-defined boundaries survive a token insertion that shifts fixed tiles") {
+    def h32(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    // a token that IS a chunk boundary (md5 % 8 == 0), placed before the
+    // shared suffix so everything after it chunks identically in both docs
+    val anchor = (1 to 1000).map(i => s"w$i").find(t => h32(t) % 8 == 0).get
+    val suffix = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d1 = s"a1 a2 a3 a4 a5 $anchor $suffix"
+    val d2 = s"b1 b2 b3 b4 b5 b6 $anchor $suffix" // prefix one token longer
+    val d3 = (1 to 20).map(i => s"z$i").mkString(" ")
+    val dir = docsFixture(Seq((1L, d1), (2L, d2), (3L, d3)))
+    val rows = SparkEntry.queries("dedup_cdc_chunks")(spark, dir)
+      .select($"doc_id", $"n_chunks", $"n_shared")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L)._3 >= 1L && rows(2L)._3 >= 1L,
+      s"suffix chunks after the content-defined cut must be shared: $rows")
+    assert(rows(3L)._3 == 0L, "the disjoint doc shares nothing")
+
+    // scalar reference chunker pins the chunking itself
+    def chunksOf(text: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur: String = null
+      text.split(" ").foreach { t =>
+        cur = if (cur == null) t else s"$cur $t"
+        if (h32(t) % 8 == 0) { out += cur; cur = null }
+      }
+      if (cur != null) out += cur
+      out.toSeq
+    }
+    assert(rows(1L)._2 == chunksOf(d1).length.toLong, "chunk count == scalar fold")
+    assert(chunksOf(d1).toSet.intersect(chunksOf(d2).toSet).nonEmpty)
+    // the fixed 16-token tiles all shift past the inserted token: the
+    // tile query sees NO duplication on the same fixture
+    val tiles = SparkEntry.queries("dedup_paragraph")(spark, dir)
+      .select($"doc_id", $"n_removed").as[(Long, Long)].collect()
+    assert(tiles.forall(_._2 == 0L),
+      "16-token tiles shifted by the insertion must detect nothing")
+  }
+
+  test("pack_bins_nosplit: FFD assignment matches a scalar fold; bins respect capacity; oversize docs get singleton bins") {
+    val C = 256
+    // doc_ids all ≡ 0 (mod 8) so every document lands in ONE shard and
+    // the first-fit interplay is actually exercised
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val lens = Seq(0L -> 200, 8L -> 150, 16L -> 100, 24L -> 56, 32L -> 300)
+    val dir = docsFixture(lens.map { case (id, n) => (id, words(n)) })
+    val got = SparkEntry.queries("pack_bins_nosplit")(spark, dir)
+      .select($"doc_id", $"n_tok", $"bin_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // scalar first-fit-decreasing reference (n_tok desc, doc_id asc)
+    val order = lens.sortBy { case (id, n) => (-n, id) }
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ref = order.map { case (id, n) =>
+      val fit = loads.indexWhere(_ + n <= C)
+      val bid = if (fit < 0) { loads += n.toLong; loads.length } else {
+        loads(fit) += n; fit + 1
+      }
+      id -> bid.toLong
+    }.toMap
+    lens.foreach { case (id, n) =>
+      assert(got(id) == ((n.toLong, ref(id))),
+        s"doc $id: got ${got(id)}, want n_tok=$n bin=${ref(id)}")
+    }
+    // capacity: every multi-doc bin sums <= C; the 300-token doc is alone
+    val byBin = got.toSeq.groupBy(_._2._2)
+    byBin.foreach { case (bid, ms) =>
+      val tot = ms.map(_._2._1).sum
+      assert(tot <= C || ms.length == 1, s"bin $bid over capacity: $ms")
+    }
+    assert(byBin(got(32L)._2).length == 1, "oversize doc must sit alone")
+  }
+
+  test("text_readability: sentence/syllable counts and both scores match the scalar formulas") {
+    val d1 = "the cat sat. it ran! why?" // 6 words, 3 sentences, 6 syllables
+    val d2 = "7 km"                      // vowel-less words still carry 1 syllable each
+    val dir = docsFixture(Seq((1L, d1), (2L, d2)))
+    val rows = SparkEntry.queries("text_readability")(spark, dir)
+      .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+        $"flesch_ease", $"fk_grade")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def scores(w: Long, s: Long, sy: Long): (Double, Double) = {
+      val wps = w.toDouble / s.toDouble; val spw = sy.toDouble / w.toDouble
+      (206.835 - 1.015 * wps - 84.6 * spw, 0.39 * wps + 11.8 * spw - 15.59)
+    }
+    assert(rows(1L)._2 == 6L && rows(1L)._3 == 3L && rows(1L)._4 == 6L, rows(1L).toString)
+    assert(rows(2L)._2 == 2L && rows(2L)._3 == 1L && rows(2L)._4 == 2L, rows(2L).toString)
+    val (f1, g1) = scores(6, 3, 6); val (f2, g2) = scores(2, 1, 2)
+    assert(rows(1L)._5 == f1 && rows(1L)._6 == g1)
+    assert(rows(2L)._5 == f2 && rows(2L)._6 == g2)
+  }
+
   test("bpe_fertility: per-language token/word/char ratios under the fixed merge table") {
     // en: "the"->the</w> (ranks 0,1), "and"->and</w> (ranks 3,4) — 1 token
     // per word; de: "or" is [o, r</w>] (the o+r merge needs a NON-final r)
