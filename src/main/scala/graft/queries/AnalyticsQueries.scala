@@ -1064,6 +1064,39 @@ object AnalyticsQueries {
         |WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin),
 
+    "samp4_pps_systematic" -> Q(
+      "Systematic probability-proportional-to-size sampling (Madow 1949, " +
+        "the survey-sampling classic; in a data pipeline: sample documents " +
+        "with inclusion probability proportional to length so the SAMPLE's " +
+        "token mass mirrors the corpus without importance reweighting): a " +
+        "document is selected iff its cumulative-weight interval " +
+        "(cum - w, cum] crosses a multiple of the stride — pure integer " +
+        "arithmetic, zero RNG state, docs longer than the stride are " +
+        "always taken. The prefix sum is per hash shard (bounded window, " +
+        "the pack_sequences shape), never a global sort; every shard " +
+        "samples independently at the same stride, so the estimator is " +
+        "unchanged and a 100 TB frame needs no total order",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val Stride = 1000L
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.documents(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            col("n_chars").as("w"))
+          .withColumn("cum", sum(col("w")).over(w))
+          .filter(expr(s"cum div $Stride") > expr(s"(cum - w) div $Stride"))
+          .select(col("doc_id"), col("shard"), col("w"), col("cum"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, shard, w, cum FROM (
+        |  SELECT doc_id, doc_id % 8 AS shard, n_chars AS w,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents)
+        |WHERE cum // 1000 > (cum - w) // 1000
+        |ORDER BY doc_id""".stripMargin),
+
     "g4_gap_fill" -> Q(
       "Time-series gap filling: dense daily spine (sequence + explode) left-joined to per-day counts, zero-filled",
       (s, dir) => {

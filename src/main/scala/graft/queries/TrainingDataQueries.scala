@@ -41,6 +41,76 @@ object TrainingDataQueries {
        | END)""".stripMargin.replaceAll("\n", " ")
   }
 
+  /** Shared stage of `pack_bins_nosplit` / `pack_efficiency_report`: the
+    * per-shard first-fit-decreasing fold. FFD is sequential by nature, so
+    * the corpus is hash-sharded FIRST (one shuffle: groupBy shard +
+    * collect_list) and the greedy fold runs as a row-local higher-order
+    * aggregate; per-shard state is bounded by shard sizing. Returns one
+    * row per document: (shard, a: struct(doc_id, n_tok, bid)).
+    *
+    * Spark array_position = DuckDB list_position: 1-based, 0 when absent;
+    * transform's index lambda is 0-based in Spark (DuckDB's is 1-based —
+    * the ix + 1 below keeps the engines aligned). */
+  private def ffdManifest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val C = 256
+    val pos = s"array_position(transform(acc.loads, l -> l + x.n_tok <= ${C}L), true)"
+    val ffdFold =
+      "aggregate(items, " +
+        "named_struct(" +
+        "'loads', cast(array() as array<bigint>), " +
+        "'asg', cast(array() as array<struct<doc_id:bigint,n_tok:bigint,bid:bigint>>)), " +
+        "(acc, x) -> named_struct(" +
+        s"'loads', if($pos = 0, array_append(acc.loads, x.n_tok), " +
+        s"transform(acc.loads, (l, ix) -> if(ix + 1 = $pos, l + x.n_tok, l))), " +
+        "'asg', array_append(acc.asg, named_struct(" +
+        "'doc_id', x.doc_id, 'n_tok', x.n_tok, " +
+        s"'bid', if($pos = 0, cast(size(acc.loads) + 1 as bigint), $pos)))), " +
+        "acc -> acc.asg)"
+    T.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok"),
+        (col("doc_id") % 8).as("shard"))
+      .groupBy(col("shard"))
+      // struct sort: (-n_tok, doc_id) asc == n_tok desc, doc_id asc —
+      // the "decreasing" in FFD, with a deterministic tiebreak
+      .agg(sort_array(collect_list(struct(
+        (-col("n_tok")).as("k"), col("doc_id"), col("n_tok")))).as("items"))
+      .select(col("shard"), explode(expr(ffdFold)).as("a"))
+  }
+
+  /** DuckDB twin of [[ffdManifest]]: a recursive CTE replaying the same
+    * fold item-by-item in (n_tok desc, doc_id) rank order. Ends at `fin`
+    * with one row per document carrying the assignment struct `a`. */
+  private val FfdSqlCtes: String =
+    """items AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+      |      ORDER BY len(string_split(text,' ')) DESC, doc_id) AS r
+      |  FROM documents),
+      |nsh AS (SELECT shard, COUNT(*) AS n FROM items GROUP BY shard),
+      |st AS (
+      |  SELECT shard, CAST(0 AS BIGINT) AS r,
+      |    CAST([] AS BIGINT[]) AS loads,
+      |    CAST([] AS STRUCT(doc_id BIGINT, n_tok BIGINT, bid BIGINT)[]) AS asg
+      |  FROM nsh
+      |  UNION ALL
+      |  SELECT st.shard, st.r + 1,
+      |    CASE WHEN pos = 0 THEN list_append(st.loads, i.n_tok)
+      |         ELSE list_transform(st.loads,
+      |           (l, ix) -> CASE WHEN ix = pos THEN l + i.n_tok ELSE l END)
+      |    END,
+      |    list_append(st.asg, {'doc_id': i.doc_id, 'n_tok': i.n_tok,
+      |      'bid': CASE WHEN pos = 0 THEN len(st.loads) + 1 ELSE pos END})
+      |  FROM st
+      |  JOIN items i ON i.shard = st.shard AND i.r = st.r + 1,
+      |  LATERAL (SELECT list_position(
+      |      list_transform(st.loads, l -> l + i.n_tok <= 256), true) AS pos) p
+      |),
+      |fin AS (
+      |  SELECT st.shard, unnest(st.asg) AS a
+      |  FROM st JOIN nsh ON nsh.shard = st.shard AND st.r = nsh.n)""".stripMargin
+
   /** The fixed merge table for `bpe_encode_fixed`, rank order. Chosen to
     * satisfy the BPE training invariant (a merged token is only ever a
     * component of HIGHER-rank pairs: th→rank 1, an→rank 4, in→rank 8),
@@ -625,69 +695,52 @@ object TrainingDataQueries {
         "one shuffle, per-shard state bounded by shard sizing (shard count " +
         "grows with the corpus, the pack_sequences argument), fold cost " +
         "O(docs x open bins). Oversize docs (> capacity) get singleton bins",
-      (s, dir) => {
-        val C = 256
-        // find-first-fitting-bin, shared by the three fold fields below.
-        // Spark array_position = DuckDB list_position: 1-based, 0 when
-        // absent; transform's index lambda is 0-based (DuckDB's is
-        // 1-based — the ix + 1 below keeps the engines aligned)
-        val pos = s"array_position(transform(acc.loads, l -> l + x.n_tok <= ${C}L), true)"
-        val ffdFold =
-          "aggregate(items, " +
-            "named_struct(" +
-            "'loads', cast(array() as array<bigint>), " +
-            "'asg', cast(array() as array<struct<doc_id:bigint,n_tok:bigint,bid:bigint>>)), " +
-            "(acc, x) -> named_struct(" +
-            s"'loads', if($pos = 0, array_append(acc.loads, x.n_tok), " +
-            s"transform(acc.loads, (l, ix) -> if(ix + 1 = $pos, l + x.n_tok, l))), " +
-            "'asg', array_append(acc.asg, named_struct(" +
-            "'doc_id', x.doc_id, 'n_tok', x.n_tok, " +
-            s"'bid', if($pos = 0, cast(size(acc.loads) + 1 as bigint), $pos)))), " +
-            "acc -> acc.asg)"
-        T.documents(s, dir)
-          .select(col("doc_id"), tokenCount(col("text")).as("n_tok"),
-            (col("doc_id") % 8).as("shard"))
-          .groupBy(col("shard"))
-          // struct sort: (-n_tok, doc_id) asc == n_tok desc, doc_id asc —
-          // the "decreasing" in FFD, with a deterministic tiebreak
-          .agg(sort_array(collect_list(struct(
-            (-col("n_tok")).as("k"), col("doc_id"), col("n_tok")))).as("items"))
-          .select(col("shard"), explode(expr(ffdFold)).as("a"))
-          .select(col("a.doc_id").as("doc_id"), col("shard"),
-            col("a.n_tok").as("n_tok"), col("a.bid").as("bin_id"))
-          .orderBy(col("doc_id"))
-      },
-      """WITH RECURSIVE items AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 8
-        |      ORDER BY len(string_split(text,' ')) DESC, doc_id) AS r
-        |  FROM documents),
-        |nsh AS (SELECT shard, COUNT(*) AS n FROM items GROUP BY shard),
-        |st AS (
-        |  SELECT shard, CAST(0 AS BIGINT) AS r,
-        |    CAST([] AS BIGINT[]) AS loads,
-        |    CAST([] AS STRUCT(doc_id BIGINT, n_tok BIGINT, bid BIGINT)[]) AS asg
-        |  FROM nsh
-        |  UNION ALL
-        |  SELECT st.shard, st.r + 1,
-        |    CASE WHEN pos = 0 THEN list_append(st.loads, i.n_tok)
-        |         ELSE list_transform(st.loads,
-        |           (l, ix) -> CASE WHEN ix = pos THEN l + i.n_tok ELSE l END)
-        |    END,
-        |    list_append(st.asg, {'doc_id': i.doc_id, 'n_tok': i.n_tok,
-        |      'bid': CASE WHEN pos = 0 THEN len(st.loads) + 1 ELSE pos END})
-        |  FROM st
-        |  JOIN items i ON i.shard = st.shard AND i.r = st.r + 1,
-        |  LATERAL (SELECT list_position(
-        |      list_transform(st.loads, l -> l + i.n_tok <= 256), true) AS pos) p
-        |),
-        |fin AS (
-        |  SELECT st.shard, unnest(st.asg) AS a
-        |  FROM st JOIN nsh ON nsh.shard = st.shard AND st.r = nsh.n)
+      (s, dir) => ffdManifest(s, dir)
+        .select(col("a.doc_id").as("doc_id"), col("shard"),
+          col("a.n_tok").as("n_tok"), col("a.bid").as("bin_id"))
+        .orderBy(col("doc_id")),
+      s"""WITH RECURSIVE $FfdSqlCtes
         |SELECT a.doc_id AS doc_id, shard, a.n_tok AS n_tok,
         |  CAST(a.bid AS BIGINT) AS bin_id
         |FROM fin ORDER BY doc_id""".stripMargin),
+
+    "pack_efficiency_report" -> Q(
+      "Packing-strategy efficiency report (the dial-setting run before " +
+        "committing a packing mode, the dedup_lsh_tuning posture): per " +
+        "shard — docs, total tokens, concat-split sequence count " +
+        "(pack_sequences' mode: ceil(tot/C), waste only in the final " +
+        "sequence) vs no-split FFD bin count and its per-bin pad waste " +
+        "sum(max(0, C - load)). Same single-shuffle FFD fold as " +
+        "pack_bins_nosplit; the report is shards-sized",
+      (s, dir) => {
+        val C = 256
+        ffdManifest(s, dir)
+          .groupBy(col("shard"), col("a.bid").as("bid"))
+          .agg(count(lit(1)).as("n_docs_bin"), sum(col("a.n_tok")).as("load"))
+          .groupBy(col("shard"))
+          .agg(sum(col("n_docs_bin")).as("n_docs"),
+            sum(col("load")).as("tot_tok"),
+            count(lit(1)).as("ffd_bins"),
+            sum(greatest(lit(0L), lit(C.toLong) - col("load"))).as("pad_ffd"))
+          .select(col("shard"), col("n_docs"), col("tot_tok"),
+            expr(s"(tot_tok + ${C - 1}) div $C").as("concat_seqs"),
+            (expr(s"(tot_tok + ${C - 1}) div $C") * C - col("tot_tok")).as("pad_concat"),
+            col("ffd_bins"), col("pad_ffd"))
+          .orderBy(col("shard"))
+      },
+      s"""WITH RECURSIVE $FfdSqlCtes,
+        |bins AS (
+        |  SELECT shard, a.bid AS bid, COUNT(*) AS n_docs_bin,
+        |    CAST(SUM(a.n_tok) AS BIGINT) AS load
+        |  FROM fin GROUP BY shard, a.bid)
+        |SELECT shard,
+        |  CAST(SUM(n_docs_bin) AS BIGINT) AS n_docs,
+        |  CAST(SUM(load) AS BIGINT) AS tot_tok,
+        |  CAST((SUM(load) + 255) // 256 AS BIGINT) AS concat_seqs,
+        |  CAST(((SUM(load) + 255) // 256) * 256 - SUM(load) AS BIGINT) AS pad_concat,
+        |  COUNT(*) AS ffd_bins,
+        |  CAST(SUM(greatest(0, 256 - load)) AS BIGINT) AS pad_ffd
+        |FROM bins GROUP BY shard ORDER BY shard""".stripMargin),
 
     "dedup_substring" -> Q(
       "Substring-level duplication screen (exact-substring dedup shape, Lee et al. 2022): fraction of each document's distinct 8-token spans that also occur in another document. Spans travel as xxhash64 longs (8-byte shuffle keys); the string-span oracle agrees because collisions (~2^-64·m^2) are below its resolution",

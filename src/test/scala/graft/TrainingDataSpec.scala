@@ -847,6 +847,46 @@ class TrainingDataSpec extends SparkSpec {
     assert(byBin(got(32L)._2).length == 1, "oversize doc must sit alone")
   }
 
+  test("pack_efficiency_report: pad accounting matches the FFD loads and the concat ceiling") {
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // one shard (ids ≡ 0 mod 8); FFD loads: [300], [200+56], [150+100]
+    val dir = docsFixture(Seq(0L -> words(200), 8L -> words(150),
+      16L -> words(100), 24L -> words(56), 32L -> words(300)))
+    val r = SparkEntry.queries("pack_efficiency_report")(spark, dir)
+      .select($"shard", $"n_docs", $"tot_tok", $"concat_seqs",
+        $"pad_concat", $"ffd_bins", $"pad_ffd")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.length == 1)
+    val (_, nDocs, tot, seqs, padC, bins, padF) = r.head
+    assert(nDocs == 5L && tot == 806L)
+    assert(seqs == 4L && padC == 4 * 256 - 806)       // concat-split ceiling
+    assert(bins == 3L && padF == 0 + 0 + 6,           // 300 clamps to 0
+      s"ffd bins $bins pad $padF")
+  }
+
+  test("samp4_pps_systematic: interval-crossing selection; per-shard count == tot div stride; oversize always taken") {
+    def chars(n: Int) = "x" * n // n_chars == text length in docsFixture
+    // shard 0 cums: 500, 900, 2400, 2500 → only the 1500-char doc crosses
+    val dir = docsFixture(Seq(0L -> chars(500), 8L -> chars(400),
+      16L -> chars(1500), 24L -> chars(100)))
+    val got = SparkEntry.queries("samp4_pps_systematic")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(16L), s"expected only the oversize doc: $got")
+
+    // exact-count invariant on the real corpus: the intervals partition
+    // (0, tot], so each shard selects exactly tot div 1000 documents
+    val counts = q("samp4_pps_systematic")
+      .groupBy($"shard").agg(count(lit(1)).as("n"))
+    val tots = Tables.documents(spark, sf)
+      .groupBy(($"doc_id" % 8).as("shard")).agg(sum($"n_chars").as("tot"))
+    val sel = tots.join(counts, Seq("shard"), "left")
+      .select(coalesce($"n", lit(0L)), $"tot").as[(Long, Long)].collect()
+    assert(sel.nonEmpty)
+    sel.foreach { case (n, tot) =>
+      assert(n == tot / 1000L, s"selected $n, tot $tot")
+    }
+  }
+
   test("text_readability: sentence/syllable counts and both scores match the scalar formulas") {
     val d1 = "the cat sat. it ran! why?" // 6 words, 3 sentences, 6 syllables
     val d2 = "7 km"                      // vowel-less words still carry 1 syllable each
