@@ -1383,6 +1383,44 @@ object AnalyticsQueries {
         |  CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE) AS clustering
         |FROM st, tri""".stripMargin),
 
+    "graph_lpa_communities" -> Q(
+      "Community detection by synchronous label propagation (Raghavan et " +
+        "al. 2007) over the part co-purchase graph — 3 fixed rounds, each " +
+        "vertex adopts its neighbors' most frequent label with ties to the " +
+        "smallest: the web-graph community pass a curation pipeline uses " +
+        "to group crawl domains before per-community quality priors. " +
+        "Synchronous + (count desc, label asc) tie-break makes every round " +
+        "deterministic and engine-replayable; each round is two ids-only " +
+        "aggregations (no window), rounds are bounded like graph_pagerank, " +
+        "and the frames never carry more than (vertex, label, count)",
+      (s, dir) => {
+        val edges = T.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+          .select(explode(col("pks")).as("src"), col("pks"))
+          .select(col("src"), explode(col("pks")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .persist()
+        var labels = edges.select(col("src").as("v")).distinct()
+          .select(col("v"), col("v").as("lab"))
+        for (_ <- 1 to 3) {
+          labels = edges
+            .join(labels.select(col("v").as("dst"), col("lab")), Seq("dst"))
+            .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+            // argmax by (c, -lab): most frequent neighbor label, ties to
+            // the smallest label — one struct-max aggregation, no window
+            .groupBy(col("src"))
+            .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+            .select(col("src").as("v"), (-col("m.nl")).as("lab"))
+        }
+        labels.groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("n_members").desc, col("community"))
+          .limit(25)
+      },
+      LpaOracleSql),
+
     "report_k_anonymity" -> Q(
       "k-anonymity privacy audit over the quasi-identifier (nation, market " +
         "segment) — the training-data governance check before releasing or " +
@@ -1413,6 +1451,30 @@ object AnalyticsQueries {
         |FROM grp CROSS JOIN tot
         |ORDER BY k, c_nationkey, c_mktsegment""".stripMargin),
   )
+
+  /** DuckDB oracle for `graph_lpa_communities`: the 3 synchronous LPA
+    * rounds unrolled as chained CTEs; argmax by (count desc, label asc)
+    * via lexicographic min over {-c, lab} structs — identical to the
+    * engine's struct-max aggregation. */
+  private lazy val LpaOracleSql: String = {
+    def round(k: Int, prev: String): String =
+      s"""l$k AS (
+         |  SELECT src AS v, (min({'nc': -c, 'lab': lab})).lab AS lab FROM (
+         |    SELECT e.src, p.lab, CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM e JOIN $prev p ON p.v = e.dst
+         |    GROUP BY e.src, p.lab)
+         |  GROUP BY src)""".stripMargin
+    val rounds = (1 to 3).map(k => round(k, if (k == 1) "l0" else s"l${k - 1}"))
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lab FROM e),
+       |${rounds.mkString(",\n")}
+       |SELECT lab AS community, COUNT(*) AS n_members FROM l3
+       |GROUP BY lab ORDER BY n_members DESC, community LIMIT 25""".stripMargin
+  }
 
   /** DuckDB oracle for `graph_pagerank`: the 5 power-iteration rounds
     * unrolled as chained CTEs, floor-division (`//`) fixed-point BIGINT

@@ -39,6 +39,38 @@ class GraphRankSpec extends SparkSpec {
     assert(got(4L) == got(5L) && got(5L) == got(6L))
   }
 
+  test("graph_lpa_communities: cliques converge to their min label; bridged tie resolves to the smaller label") {
+    // two triangles {1,2,3} and {7,8,9} bridged by order {3,7}: each
+    // clique converges to its min label; the scalar replay below pins the
+    // exact 3-round synchronous outcome including the bridge vertices
+    val orders = Seq(10L -> Seq(1L, 2L, 3L), 20L -> Seq(7L, 8L, 9L),
+      30L -> Seq(3L, 7L))
+    val dir = tmpDir("lpa")
+    orders.flatMap { case (ok, pks) => pks.map(pk => (ok, pk)) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    // scalar synchronous LPA, argmax by (count desc, label asc)
+    val edges = orders.flatMap { case (_, pks) =>
+      for (a <- pks; b <- pks if a != b) yield (a, b)
+    }.distinct
+    val nbrs = edges.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lab: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lab = nbrs.map { case (v, ns) =>
+        val freq = ns.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        v -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = lab.values.groupBy(identity)
+      .map { case (l, xs) => (l, xs.size.toLong) }
+    val got = SparkEntry.queries("graph_lpa_communities")(spark, dir)
+      .select($"community", $"n_members").as[(Long, Long)].collect().toMap
+    assert(got == want, s"got $got want $want")
+    // both cliques must have collapsed onto their min member label
+    assert(got.contains(1L) && got(1L) >= 3L)
+  }
+
   test("result is invariant to input partitioning") {
     val a = GraphRank.powerIteration(sym.toDF("src", "dst"), iters = 3)
       .as[(Long, Long)].collect().toMap
