@@ -42,31 +42,16 @@ object TrainingDataQueries {
   }
 
   /** Shared stage of `pack_bins_nosplit` / `pack_efficiency_report`: the
-    * per-shard first-fit-decreasing fold. FFD is sequential by nature, so
+    * per-shard first-fit-decreasing pass. FFD is sequential by nature, so
     * the corpus is hash-sharded FIRST (one shuffle: groupBy shard +
-    * collect_list) and the greedy fold runs as a row-local higher-order
-    * aggregate; per-shard state is bounded by shard sizing. Returns one
-    * row per document: (shard, a: struct(doc_id, n_tok, bid)).
-    *
-    * Spark array_position = DuckDB list_position: 1-based, 0 when absent;
-    * transform's index lambda is 0-based in Spark (DuckDB's is 1-based —
-    * the ix + 1 below keeps the engines aligned). */
+    * collect_list) and the greedy pass runs as the native [[FfdPack]]
+    * expression — O(n log n) per shard via a segment tree over bin
+    * residuals (a SQL `aggregate` fold was tried first and stalls: its
+    * accumulator array re-copies on every append, O(n²) bytes/shard).
+    * Per-shard state is bounded by shard sizing. Returns one row per
+    * document: (shard, a: struct(doc_id, n_tok, bid)). */
   private def ffdManifest(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val C = 256
-    val pos = s"array_position(transform(acc.loads, l -> l + x.n_tok <= ${C}L), true)"
-    val ffdFold =
-      "aggregate(items, " +
-        "named_struct(" +
-        "'loads', cast(array() as array<bigint>), " +
-        "'asg', cast(array() as array<struct<doc_id:bigint,n_tok:bigint,bid:bigint>>)), " +
-        "(acc, x) -> named_struct(" +
-        s"'loads', if($pos = 0, array_append(acc.loads, x.n_tok), " +
-        s"transform(acc.loads, (l, ix) -> if(ix + 1 = $pos, l + x.n_tok, l))), " +
-        "'asg', array_append(acc.asg, named_struct(" +
-        "'doc_id', x.doc_id, 'n_tok', x.n_tok, " +
-        s"'bid', if($pos = 0, cast(size(acc.loads) + 1 as bigint), $pos)))), " +
-        "acc -> acc.asg)"
+      dir: String): org.apache.spark.sql.DataFrame =
     T.documents(s, dir)
       .select(col("doc_id"), tokenCount(col("text")).as("n_tok"),
         (col("doc_id") % 8).as("shard"))
@@ -75,8 +60,8 @@ object TrainingDataQueries {
       // the "decreasing" in FFD, with a deterministic tiebreak
       .agg(sort_array(collect_list(struct(
         (-col("n_tok")).as("k"), col("doc_id"), col("n_tok")))).as("items"))
-      .select(col("shard"), explode(expr(ffdFold)).as("a"))
-  }
+      .select(col("shard"), explode(
+        graft.functions.FfdPackFunctions.ffdPack(col("items"), 256L)).as("a"))
 
   /** DuckDB twin of [[ffdManifest]]: a recursive CTE replaying the same
     * fold item-by-item in (n_tok desc, doc_id) rank order. Ends at `fin`
