@@ -388,6 +388,41 @@ object VectorSearchQueries {
          |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 3
          |ORDER BY q_id, sim DESC, vec_id""".stripMargin),
 
+    "mine_hard_negatives" -> Q(
+      "Hard-negative mining for contrastive retriever/embedder training " +
+        "(the in-batch-negatives upgrade every dense-retrieval recipe " +
+        "ships, e.g. DPR/ANCE): for each anchor, the top-3 neighbors " +
+        "inside the similarity band [0.35, 0.75) — above it are probable " +
+        "positives/near-dups that would poison the loss as false " +
+        "negatives, below it are easy negatives the model learns nothing " +
+        "from. Same scale shape as d1_knn_batch (bounded anchor set " +
+        "broadcasts, one corpus scan, per-anchor bounded window); at " +
+        "100 TB the scan side rides the bucketed ANN paths with the band " +
+        "check at verify time",
+      (s, dir) => {
+        val emb = T.embeddings(s, dir)
+        val qs = emb.filter(col("vec_id") < 5L)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        emb.filter(col("embedding").isNotNull)
+          .join(broadcast(qs), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosineSim(col("embedding"), col("qv")).as("sim"))
+          .filter(col("sim") >= 0.35 && col("sim") < 0.75)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "vec_id", "sim")
+          .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+      },
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT q_id, vec_id, sim FROM (
+         |  SELECT q_id, vec_id, ${cosSql("embedding", "qv")} AS sim
+         |  FROM embeddings, q WHERE vec_id <> q_id AND embedding IS NOT NULL)
+         |WHERE sim >= 0.35 AND sim < 0.75
+         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 3
+         |ORDER BY q_id, sim DESC, vec_id""".stripMargin),
+
     "ann_lsh_knn" -> Q(
       "ANN: random-hyperplane LSH bucket pre-filter + exact rerank — the 100 TB scale path for D1",
       (s, dir) => lshKnn10(s, dir),

@@ -813,6 +813,25 @@ class TrainingDataSpec extends SparkSpec {
       "16-token tiles shifted by the insertion must detect nothing")
   }
 
+  test("mine_hard_negatives: band excludes near-dups and easy negatives; survivors rank hardest-first") {
+    val dir = tmpDir("hardneg")
+    def v(xs: Float*): Array[Float] = xs.toArray.padTo(4, 0.0f)
+    // anchor 0 along x; 10 = exact dup (sim 1.0, above band), 11 at 0.6,
+    // 12 at ~0.5, 13 orthogonal (0.0, below band)
+    Seq((0L, v(1.0f), 0), (10L, v(1.0f), 0), (11L, v(0.6f, 0.8f), 0),
+      (12L, v(0.5f, 0.866f), 0), (13L, v(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("mine_hard_negatives")(spark, dir)
+      .select($"q_id", $"vec_id", $"sim").as[(Long, Long, Double)].collect()
+    val forAnchor = rows.filter(_._1 == 0L).map(_._2).toSeq
+    assert(forAnchor == Seq(11L, 12L),
+      s"band must keep exactly the two mid-similarity vectors, hardest first: $forAnchor")
+    rows.foreach { case (_, _, sim) =>
+      assert(sim >= 0.35 && sim < 0.75, s"out-of-band sim $sim")
+    }
+  }
+
   test("pack_bins_nosplit: FFD assignment matches a scalar fold; bins respect capacity; oversize docs get singleton bins") {
     val C = 256
     // doc_ids all ≡ 0 (mod 8) so every document lands in ONE shard and
