@@ -1022,6 +1022,50 @@ object TextOpsQueries {
            |FROM c ORDER BY doc_id""".stripMargin
       }),
 
+    "text_code_detect" -> Q(
+      "Code-vs-prose routing signal (corpora route code to a separate " +
+        "pipeline with its own dedup/quality rules — StarCoder/The Stack " +
+        "preprocessing): per document — code-symbol character density " +
+        "('{}();=[]<>'), code-keyword token hits, and the routing flag " +
+        "(symbol density >= 3% OR keywords >= 15% of tokens). Entirely " +
+        "row-local regex + token counting, integer ratios only at the " +
+        "comparison (cross-multiplied, so no float threshold drift); " +
+        "scan-bandwidth-bound at any scale",
+      (s, dir) => {
+        val CodeKw = Seq("def", "class", "return", "import", "if", "else",
+          "for", "while", "function", "var", "val", "void", "int")
+        val staged = T.documentsSpread(s, dir)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_t"),
+            regexp_count(col("text"), lit("[{}();=\\[\\]<>]")).cast("long")
+              .as("n_sym"),
+            tokenCount(col("text")).as("n_tokens"),
+            markerHits(tokens(col("text")), CodeKw).as("kw_hits"))
+        staged.select(col("doc_id"), col("n_sym"), col("kw_hits"),
+          (col("n_sym").cast("double") / col("n_chars_t").cast("double"))
+            .as("sym_density"),
+          // integer cross-multiplication: n_sym/n_chars >= 3/100 and
+          // kw/n_tokens >= 15/100 without any double threshold
+          (col("n_sym") * 100L >= col("n_chars_t") * 3L ||
+            col("kw_hits") * 100L >= col("n_tokens") * 15L).as("is_code"))
+          .orderBy(col("doc_id"))
+      }, {
+        val kws = markersSqlList(Seq("def", "class", "return", "import",
+          "if", "else", "for", "while", "function", "var", "val", "void",
+          "int"))
+        s"""WITH c AS (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS BIGINT) AS n_chars_t,
+           |    CAST(len(regexp_extract_all(text, '[{}();=\\[\\]<>]')) AS BIGINT) AS n_sym,
+           |    CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_filter($ToksSql, t -> list_contains($kws, t))) AS BIGINT) AS kw_hits
+           |  FROM documents)
+           |SELECT doc_id, n_sym, kw_hits,
+           |  n_sym::DOUBLE / n_chars_t::DOUBLE AS sym_density,
+           |  (n_sym * 100 >= n_chars_t * 3 OR kw_hits * 100 >= n_tokens * 15) AS is_code
+           |FROM c ORDER BY doc_id""".stripMargin
+      }),
+
     "d2_hybrid_search" -> Q(
       "D2 hybrid ranked search: 0.7·vector-cosine + 0.3·text-rank (reference: scripts/migrate_providers.sql:63-118)",
       (s, dir) => {

@@ -1179,22 +1179,15 @@ object TrainingDataQueries {
         "fingerprint can never generate O(n^2) candidate pairs",
       (s, dir) => {
         val K = 4; val W = 4; val DfCap = 64L
-        // selection runs ENTIRELY inside the row (2-arg transform packs
-        // each gram hash with its position, a second transform takes each
-        // full window's array_min, array_distinct dedups selections):
+        // selection runs ENTIRELY inside the row — the native WinnowSelect
+        // pass (incremental md5, monotonic-deque window minima; see its
+        // Scaladoc for the declarative chain it is bit-identical to):
         // zero shuffle until the fingerprint explode — on a real corpus
         // the whole fingerprinting stage is a map over the scan, and only
         // (doc_id, h) longs ever reach an exchange
         val fps = T.documentsSpread(s, dir)
-          .select(col("doc_id"), shingles(tokens(col("text")), K).as("sh"))
-          .select(col("doc_id"), expr(
-            "transform(sh, (g, i) -> " +
-              "cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) " +
-              s"* 1048576 + i)").as("pk"))
-          .filter(size(col("pk")) >= W)
-          .select(col("doc_id"), explode(expr(
-            s"array_distinct(transform(sequence(0, size(pk) - $W), " +
-              s"i -> array_min(slice(pk, i + 1, $W)) div 1048576))")).as("h"))
+          .select(col("doc_id"), explode(graft.functions.WinnowFunctions
+            .winnowSelect(tokens(col("text")), K, W)).as("h"))
           // feeds nfp, the df cap, AND both pair sides — persist so the
           // fingerprint scan runs once, not 4× (Q contract: callers
           // clearCache between materializations)

@@ -813,6 +813,20 @@ class TrainingDataSpec extends SparkSpec {
       "16-token tiles shifted by the insertion must detect nothing")
   }
 
+  test("text_code_detect: code fixture routes as code, prose does not; counts are exact") {
+    val code = "def foo(x) { return x; }"
+    val prose = "the cat sat on the mat"
+    val dir = docsFixture(Seq((1L, code), (2L, prose)))
+    val rows = SparkEntry.queries("text_code_detect")(spark, dir)
+      .select($"doc_id", $"n_sym", $"kw_hits", $"is_code")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // symbols in the code doc: ( ) { ; } — five; keywords: def, return
+    assert(rows(1L)._2 == 5L && rows(1L)._3 == 2L && rows(1L)._4,
+      rows(1L).toString)
+    assert(rows(2L)._2 == 0L && rows(2L)._3 == 0L && !rows(2L)._4,
+      rows(2L).toString)
+  }
+
   test("mine_hard_negatives: band excludes near-dups and easy negatives; survivors rank hardest-first") {
     val dir = tmpDir("hardneg")
     def v(xs: Float*): Array[Float] = xs.toArray.padTo(4, 0.0f)
