@@ -1402,9 +1402,13 @@ object AnalyticsQueries {
           .filter(col("src") =!= col("dst"))
           .distinct()
           .persist()
-        var labels = edges.select(col("src").as("v")).distinct()
-          .select(col("v"), col("v").as("lab"))
-        for (_ <- 1 to 3) {
+        // round 1 peeled: initial labels are the vertex ids themselves, so
+        // every neighbor label is distinct (all counts 1) and the argmax
+        // tie-break reduces to min(dst) — one aggregation, no join
+        var labels = edges.groupBy(col("src"))
+          .agg(min(col("dst")).as("lab"))
+          .select(col("src").as("v"), col("lab"))
+        for (_ <- 2 to 3) {
           labels = edges
             .join(labels.select(col("v").as("dst"), col("lab")), Seq("dst"))
             .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
