@@ -423,6 +423,67 @@ object VectorSearchQueries {
          |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 3
          |ORDER BY q_id, sim DESC, vec_id""".stripMargin),
 
+    "select_kcenter" -> Q(
+      "Greedy k-center coreset selection (Gonzalez 1985 farthest-point " +
+        "traversal — the 2-approximation every coreset/active-learning " +
+        "recipe starts from; in a data pipeline: pick k maximally-spread " +
+        "exemplars for finetuning or eval-set seeding): seed with the " +
+        "smallest vec_id, then k-1 rounds of 'farthest point from the " +
+        "current centers' under cosine distance, ties to the smallest id. " +
+        "Each round is one corpus scan against a broadcast of <= k center " +
+        "vectors, a per-vector max, and a single struct-max argmax — k*n " +
+        "cosines total, the textbook greedy cost; the driver ever holds " +
+        "only the k picked rows. DuckDB oracle replays the rounds as " +
+        "unrolled CTEs — hash-exact including the selection radii",
+      (s, dir) => {
+        val K = 5
+        val emb = T.embeddings(s, dir).filter(col("embedding").isNotNull)
+        val seed = emb.agg(min(col("vec_id"))).head().getLong(0)
+        var picks = List[(Long, Option[Double])]((seed, None))
+        for (_ <- 1 until K) {
+          val ids = picks.map(_._1)
+          val centers = emb.filter(col("vec_id").isin(ids: _*))
+            .select(col("embedding").as("cv"))
+          val r = emb.filter(!col("vec_id").isin(ids: _*))
+            .crossJoin(broadcast(centers))
+            .select(col("vec_id"), cosineSim(col("embedding"), col("cv")).as("c"))
+            .groupBy(col("vec_id"))
+            .agg((lit(1.0) - max(col("c"))).as("dist"))
+            .agg(max(struct(col("dist"), (-col("vec_id")).as("nid"))).as("m"))
+            .select((-col("m.nid")).as("vec_id"), col("m.dist").as("dist"))
+            .head()
+          picks = picks :+ ((r.getLong(0), Some(r.getDouble(1))))
+        }
+        import s.implicits._
+        picks.zipWithIndex
+          .map { case ((id, d), i) => (i.toLong, id, d) }
+          .toDF("step", "vec_id", "radius")
+          .orderBy(col("step"))
+      }, {
+        val cos = cosSql("e.embedding", "c.embedding")
+        def step(k: Int): String =
+          s"""s$k AS (
+             |  SELECT e.vec_id, 1.0 - MAX($cos) AS dist
+             |  FROM emb e, emb c
+             |  WHERE c.vec_id IN (SELECT vec_id FROM picks${k - 1})
+             |    AND e.vec_id NOT IN (SELECT vec_id FROM picks${k - 1})
+             |  GROUP BY e.vec_id),
+             |p$k AS (SELECT vec_id, dist FROM s$k ORDER BY dist DESC, vec_id LIMIT 1),
+             |picks$k AS (SELECT vec_id FROM picks${k - 1} UNION ALL SELECT vec_id FROM p$k)""".stripMargin
+        val steps = (1 to 4).map(step).mkString(",\n")
+        val out = (1 to 4)
+          .map(k => s"UNION ALL SELECT CAST($k AS BIGINT), vec_id, dist FROM p$k")
+          .mkString("\n")
+        s"""WITH emb AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+           |p0 AS (SELECT MIN(vec_id) AS vec_id FROM emb),
+           |picks0 AS (SELECT vec_id FROM p0),
+           |$steps
+           |SELECT CAST(0 AS BIGINT) AS step, vec_id, CAST(NULL AS DOUBLE) AS radius FROM p0
+           |$out
+           |ORDER BY step""".stripMargin
+      }),
+
     "ann_lsh_knn" -> Q(
       "ANN: random-hyperplane LSH bucket pre-filter + exact rerank — the 100 TB scale path for D1",
       (s, dir) => lshKnn10(s, dir),

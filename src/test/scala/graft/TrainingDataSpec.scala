@@ -813,6 +813,26 @@ class TrainingDataSpec extends SparkSpec {
       "16-token tiles shifted by the insertion must detect nothing")
   }
 
+  test("select_kcenter: farthest-point traversal picks the antipode first, then one per orthogonal axis") {
+    val dir = tmpDir("kcenter")
+    def v(xs: Float*): Array[Float] = xs.toArray.padTo(4, 0.0f)
+    // seed = min id (1). Farthest from it: the antipode 6 (dist 2).
+    // Then the orthogonal axes all sit at dist 1 — ids break the ties.
+    Seq((1L, v(1.0f), 0), (2L, v(0.9f, 0.1f), 0), (3L, v(0.0f, 1.0f), 0),
+      (4L, v(0.0f, 0.0f, 1.0f), 0), (5L, v(0.0f, 0.0f, 0.0f, 1.0f), 0),
+      (6L, v(-1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("select_kcenter")(spark, dir)
+      .select($"step", $"vec_id", $"radius")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((0L, 1L), (1L, 6L), (2L, 3L), (3L, 4L), (4L, 5L)), got.toString)
+    assert(got.head._3.isEmpty)
+    assert(got(1)._3.contains(2.0) &&
+      got.drop(2).forall(_._3.contains(1.0)), got.toString)
+  }
+
   test("text_code_detect: code fixture routes as code, prose does not; counts are exact") {
     val code = "def foo(x) { return x; }"
     val prose = "the cat sat on the mat"
