@@ -1097,6 +1097,37 @@ object AnalyticsQueries {
         |WHERE cum // 1000 > (cum - w) // 1000
         |ORDER BY doc_id""".stripMargin),
 
+    "samp5_pps_poisson" -> Q(
+      "Poisson PPS sampling (the independent-inclusion companion of " +
+        "samp4_pps_systematic — Poisson sampling gives exchangeable, " +
+        "restart-free membership a stream can evaluate per row, at the " +
+        "price of a random sample size): include a document iff " +
+        "h40 * stride < n_chars * 2^40, where h40 is the first 40 md5 bits " +
+        "of its id — an integer-exact Bernoulli draw with inclusion " +
+        "probability min(1, n_chars/stride), no RNG state, identical on " +
+        "every engine (cross-multiplied, overflow-safe for docs to 2^23 " +
+        "chars). Emits each sampled doc with its inclusion probability and " +
+        "Horvitz-Thompson weight 1/pi, so downstream estimates stay " +
+        "unbiased. Fully row-local: THE sampling shape for a 100 TB scan",
+      (s, dir) => {
+        val Stride = 1000L
+        val h40 = conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
+          .cast("long")
+        val pi = least(lit(1.0), col("n_chars").cast("double") / Stride.toDouble)
+        T.documents(s, dir)
+          .filter(h40 * Stride < col("n_chars") * lit(1099511627776L))
+          .select(col("doc_id"), col("n_chars").as("w"),
+            pi.as("incl_p"), (lit(1.0) / pi).as("ht_weight"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, n_chars AS w,
+        |  least(1.0, n_chars::DOUBLE / 1000.0) AS incl_p,
+        |  1.0 / least(1.0, n_chars::DOUBLE / 1000.0) AS ht_weight
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+        |    * 1000 < n_chars * 1099511627776
+        |ORDER BY doc_id""".stripMargin),
+
     "g4_gap_fill" -> Q(
       "Time-series gap filling: dense daily spine (sequence + explode) left-joined to per-day counts, zero-filled",
       (s, dir) => {

@@ -96,6 +96,57 @@ object TrainingDataQueries {
       |  SELECT st.shard, unnest(st.asg) AS a
       |  FROM st JOIN nsh ON nsh.shard = st.shard AND st.r = nsh.n)""".stripMargin
 
+  /** Shared stage of the CDC-dedup queries: token-level content-defined
+    * chunking (LBFS boundary rule: cut AFTER any token whose 32-bit md5
+    * is 0 mod 8, mean chunk ~8 tokens) as a row-local fold whose
+    * accumulator grows only with the DOCUMENT (bounded by max doc
+    * length, not the corpus — see SCALE.md on fold-accumulator growth).
+    * Returns one row per chunk occurrence: (doc_id, g = xxhash64(chunk)). */
+  private def cdcChunkHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cutSql =
+      "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 8 = 0"
+    val chunksFold =
+      "aggregate(tk, " +
+        "named_struct('arr', cast(array() as array<string>), " +
+        "'cur', cast(null as string)), " +
+        s"(acc, t) -> if($cutSql, " +
+        "named_struct('arr', array_append(acc.arr, " +
+        "if(acc.cur is null, t, concat(acc.cur, ' ', t))), " +
+        "'cur', cast(null as string)), " +
+        "named_struct('arr', acc.arr, " +
+        "'cur', if(acc.cur is null, t, concat(acc.cur, ' ', t)))), " +
+        "acc -> if(acc.cur is null, acc.arr, array_append(acc.arr, acc.cur)))"
+    T.documentsSpread(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(expr(chunksFold)).as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("g"))
+  }
+
+  /** DuckDB twin of [[cdcChunkHashes]] (string chunks — the oracle
+    * compares on final ids/fractions, below hash-collision resolution).
+    * Ends at `chunks(doc_id, chunk_id, chunk)`. */
+  private val CdcChunksSqlCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |tt AS (
+      |  SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS t
+      |  FROM toks),
+      |flagged AS (
+      |  SELECT doc_id, i, t,
+      |    CASE WHEN CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 8 = 0
+      |      THEN 1 ELSE 0 END AS cut
+      |  FROM tt),
+      |cid AS (
+      |  SELECT doc_id, i, t,
+      |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      |  FROM flagged),
+      |chunks AS (
+      |  SELECT doc_id, chunk_id,
+      |    string_agg(t, ' ' ORDER BY i) AS chunk
+      |  FROM cid GROUP BY doc_id, chunk_id)""".stripMargin
+
   /** The fixed merge table for `bpe_encode_fixed`, rank order. Chosen to
     * satisfy the BPE training invariant (a merged token is only ever a
     * component of HIGHER-rank pairs: th→rank 1, an→rank 4, in→rank 8),
@@ -1253,24 +1304,7 @@ object TrainingDataQueries {
         "one count aggregation + an ids-only back-join (the dedup_substring " +
         "shape); string-chunk oracle agrees below hash-collision resolution",
       (s, dir) => {
-        val cutSql =
-          "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 8 = 0"
-        val chunksFold =
-          "aggregate(tk, " +
-            "named_struct('arr', cast(array() as array<string>), " +
-            "'cur', cast(null as string)), " +
-            s"(acc, t) -> if($cutSql, " +
-            "named_struct('arr', array_append(acc.arr, " +
-            "if(acc.cur is null, t, concat(acc.cur, ' ', t))), " +
-            "'cur', cast(null as string)), " +
-            "named_struct('arr', acc.arr, " +
-            "'cur', if(acc.cur is null, t, concat(acc.cur, ' ', t)))), " +
-            "acc -> if(acc.cur is null, acc.arr, array_append(acc.arr, acc.cur)))"
-        val chunks = T.documentsSpread(s, dir)
-          .select(col("doc_id"), tokens(col("text")).as("tk"))
-          .select(col("doc_id"), explode(expr(chunksFold)).as("chunk"))
-          .select(col("doc_id"), xxhash64(col("chunk")).as("g"))
-          .persist()
+        val chunks = cdcChunkHashes(s, dir).persist()
         val cdf = chunks.groupBy(col("g")).agg(count(lit(1)).as("n_occ"))
         chunks.join(cdf, Seq("g"))
           .groupBy(col("doc_id"))
@@ -1281,25 +1315,7 @@ object TrainingDataQueries {
               .as("shared_frac"))
           .orderBy(col("doc_id"))
       },
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |tt AS (
-        |  SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS t
-        |  FROM toks),
-        |flagged AS (
-        |  SELECT doc_id, i, t,
-        |    CASE WHEN CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 8 = 0
-        |      THEN 1 ELSE 0 END AS cut
-        |  FROM tt),
-        |cid AS (
-        |  SELECT doc_id, i, t,
-        |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
-        |  FROM flagged),
-        |chunks AS (
-        |  SELECT doc_id, chunk_id,
-        |    string_agg(t, ' ' ORDER BY i) AS chunk
-        |  FROM cid GROUP BY doc_id, chunk_id),
+      s"""WITH $CdcChunksSqlCtes,
         |cdf AS (SELECT chunk, COUNT(*) AS n_occ FROM chunks GROUP BY chunk)
         |SELECT doc_id,
         |  COUNT(*) AS n_chunks,
@@ -1308,6 +1324,44 @@ object TrainingDataQueries {
         |    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
         |FROM chunks JOIN cdf USING (chunk)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "dedup_cdc_incremental" -> Q(
+      "Incremental CDC-chunk dedup (the delta-ingestion form of " +
+        "dedup_cdc_chunks, the dedup_incremental pattern at chunk " +
+        "granularity): the already-ingested store is the even-doc_id half's " +
+        "distinct chunk hashes; each NEW (odd) document reports its chunk " +
+        "count, how many of its chunks the store already holds, and its " +
+        "novelty fraction — the screen an ingestion pipeline runs per batch " +
+        "so storage pays only for novel chunks. One left join of the " +
+        "delta's chunks against the store (both sides xxhash64 longs); the " +
+        "store side is the only corpus-sized frame and it arrives " +
+        "pre-distinct",
+      (s, dir) => {
+        val chunks = cdcChunkHashes(s, dir).persist()
+        val store = chunks.filter(col("doc_id") % 2 === 0L)
+          .select(col("g")).distinct()
+          .select(col("g"), lit(1L).as("hit"))
+        chunks.filter(col("doc_id") % 2 === 1L)
+          .join(store, Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_seen"))
+          .select(col("doc_id"), col("n_chunks"), col("n_seen"),
+            (lit(1.0) - col("n_seen").cast("double")
+              / col("n_chunks").cast("double")).as("novel_frac"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $CdcChunksSqlCtes,
+        |store AS (
+        |  SELECT DISTINCT chunk FROM chunks WHERE doc_id % 2 = 0)
+        |SELECT c.doc_id,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN s.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |  1.0 - CAST(SUM(CASE WHEN s.chunk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novel_frac
+        |FROM chunks c LEFT JOIN store s USING (chunk)
+        |WHERE c.doc_id % 2 = 1
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
 
     "bpe_fertility" -> Q(
       "Tokenizer fertility audit per language (the multilingual-fairness " +

@@ -960,6 +960,40 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows(2L)._5 == f2 && rows(2L)._6 == g2)
   }
 
+  test("dedup_cdc_incremental: a re-ingested doc is fully seen, a novel doc fully unseen") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val fresh = (1 to 40).map(i => s"z$i").mkString(" ")
+    // store half = even ids; doc 1 duplicates doc 0, doc 3 is disjoint
+    val dir = docsFixture(Seq((0L, base), (1L, base), (3L, fresh)))
+    val rows = SparkEntry.queries("dedup_cdc_incremental")(spark, dir)
+      .select($"doc_id", $"n_chunks", $"n_seen", $"novel_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set(1L, 3L), "only the odd (new) docs report")
+    assert(rows(1L)._3 == rows(1L)._2 && rows(1L)._4 == 0.0, rows(1L).toString)
+    assert(rows(3L)._3 == 0L && rows(3L)._4 == 1.0, rows(3L).toString)
+  }
+
+  test("samp5_pps_poisson: membership matches the scalar 40-bit rule; long docs always in with HT weight 1") {
+    def h40(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 10), 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val want = docs.filter { case (id, w) =>
+      h40(id) * 1000L < w * 1099511627776L
+    }.map(_._1).toSet
+    val got = q("samp5_pps_poisson")
+      .select($"doc_id", $"w", $"ht_weight")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == want)
+    got.filter(_._2 >= 1000L).foreach { r =>
+      assert(r._3 == 1.0, s"oversize doc must carry HT weight 1: $r")
+    }
+    assert(got.nonEmpty && want.nonEmpty)
+  }
+
   test("bpe_fertility: per-language token/word/char ratios under the fixed merge table") {
     // en: "the"->the</w> (ranks 0,1), "and"->and</w> (ranks 3,4) — 1 token
     // per word; de: "or" is [o, r</w>] (the o+r merge needs a NON-final r)
