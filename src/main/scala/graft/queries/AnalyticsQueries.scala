@@ -996,6 +996,64 @@ object AnalyticsQueries {
         |FROM gaps WHERE gap_s IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    "g10_attribution" -> Q(
+      "First-touch / last-touch conversion attribution: for every purchase, " +
+        "the user's earliest and latest preceding touch event (view/click, " +
+        "strictly before the conversion in (ts, event_id) order), rolled up " +
+        "to attributed-conversion counts per touch type and position — the " +
+        "marketing-analytics report every event warehouse ships. Both " +
+        "touches come from ONE per-user window pass (conditional struct " +
+        "min/max over the unbounded-preceding frame), so the cost is the " +
+        "sessionize shuffle and nothing more; no self-join of conversions " +
+        "against touches, which at 100 TB would pay a second exchange and " +
+        "skew on power users",
+      (s, dir) => {
+        val touch = col("event_type").isin("view", "click")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t = struct(col("ts_sec"), col("event_id"),
+          col("event_type").as("t"))
+        val att = T.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("second", col("ts")).as("ts_sec"))
+          .withColumn("first_t", min(when(touch, t)).over(w))
+          .withColumn("last_t", max(when(touch, t)).over(w))
+          .filter(col("event_type") === "purchase" && col("last_t").isNotNull)
+          .select(col("first_t.t").as("ft"), col("last_t.t").as("lt"))
+        att.select(explode(array(
+            struct(lit("first_touch").as("position"), col("ft").as("event_type")),
+            struct(lit("last_touch").as("position"), col("lt").as("event_type"))))
+            .as("x"))
+          .groupBy(col("x.position").as("position"),
+            col("x.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("position"), col("event_type"))
+      },
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS ts_sec
+        |  FROM events),
+        |marked AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN event_type IN ('view','click')
+        |      THEN {'ts': ts_sec, 'eid': event_id, 't': event_type} END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_t,
+        |    MAX(CASE WHEN event_type IN ('view','click')
+        |      THEN {'ts': ts_sec, 'eid': event_id, 't': event_type} END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_t
+        |  FROM ev),
+        |att AS (
+        |  SELECT first_t.t AS ft, last_t.t AS lt FROM marked
+        |  WHERE event_type = 'purchase' AND last_t IS NOT NULL)
+        |SELECT 'first_touch' AS position, ft AS event_type, COUNT(*) AS n
+        |FROM att GROUP BY ft
+        |UNION ALL
+        |SELECT 'last_touch', lt, COUNT(*) FROM att GROUP BY lt
+        |ORDER BY position, event_type""".stripMargin),
+
     "samp1_stratified" -> Q(
       "Deterministic stratified sampling: ~25% of documents per source by md5 hash bucket — reproducible on any engine, no RNG state",
       (s, dir) => {

@@ -13,6 +13,27 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("g10_attribution: first/last touch resolve per conversion; touchless conversions drop") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = tmpDir("attr")
+    // user 1: view, click, then two purchases — first touch is always the
+    // view, last touch is the click for both (no touch in between);
+    // user 2: a purchase with no preceding touch — excluded
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase"),
+      (4L, ts("2024-01-01 10:20:00"), 1L, "purchase"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("g10_attribution")(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("first_touch", "view", 2L), ("last_touch", "click", 2L)),
+      got.toString)
+  }
+
   test("salted two-stage aggregation equals plain groupBy") {
     val salted = SparkEntry.queries("skew_salted_agg")(spark, sf)
     val plain = Tables.events(spark, sf)
