@@ -1217,7 +1217,9 @@ object TrainingDataQueries {
         "MOSS scheme): per document, hash every 4-token gram to a 32-bit md5 " +
         "value, slide a window of 4 consecutive gram hashes, and select each " +
         "window's minimum with LEFTMOST tie-break (packed as h*2^20+pos so one " +
-        "integer MIN is the whole argmin — deterministic on both engines); the " +
+        "integer MIN is the whole argmin — deterministic on both engines; " +
+        "docs beyond 2^20 grams would wrap the position field, so ingestion " +
+        "pre-chunks monster documents — chunk_windows is that operator); the " +
         "distinct selected hashes are the document's fingerprints, guaranteeing " +
         "any shared token run of length >= w+k-1 = 7 produces a shared " +
         "fingerprint — a positional-locality guarantee MinHash (whole-doc " +
