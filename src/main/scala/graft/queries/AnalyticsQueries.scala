@@ -1186,6 +1186,87 @@ object AnalyticsQueries {
         |    * 1000 < n_chars * 1099511627776
         |ORDER BY doc_id""".stripMargin),
 
+    "report_sampling_design" -> Q(
+      "Sampling-design comparison report (the dial-setting run before " +
+        "committing a sampling scheme, the dedup_lsh_tuning posture): ONE " +
+        "corpus scan evaluates all three membership predicates row-locally " +
+        "— uniform hash-bucket (samp1's 64/256 rule), systematic PPS " +
+        "(samp4's stride-crossing over the per-shard prefix sum) and " +
+        "Poisson PPS (samp5's 40-bit Bernoulli) — and reports, per design, " +
+        "sampled docs and the sampled fraction of corpus token mass. " +
+        "Uniform sampling under-covers mass exactly when length varies; " +
+        "the two PPS designs track mass by construction — this report is " +
+        "where that shows as a number. Cost: one window (the samp4 prefix " +
+        "sum) + one aggregation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val Stride = 1000L
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val h2 = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long")
+        val h40 = conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
+          .cast("long")
+        val staged = T.documents(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            col("n_chars").as("wt"))
+          .withColumn("cum", sum(col("wt")).over(w))
+          .select(col("wt"),
+            (h2 < 64L).as("in_uniform"),
+            (expr(s"cum div $Stride") > expr(s"(cum - wt) div $Stride"))
+              .as("in_systematic"),
+            (h40 * Stride < col("wt") * lit(1099511627776L)).as("in_poisson"))
+        // ONE aggregation computes all six conditional sums; the 3-row
+        // report unpivots from that single pass (no window recompute)
+        def ns(flag: org.apache.spark.sql.Column) =
+          sum(when(flag, 1L).otherwise(0L))
+        def ms(flag: org.apache.spark.sql.Column) =
+          sum(when(flag, col("wt")).otherwise(0L))
+        staged.agg(
+            count(lit(1)).as("n_docs"), sum(col("wt")).as("tot"),
+            ns(col("in_uniform")).as("nu"), ms(col("in_uniform")).as("mu"),
+            ns(col("in_systematic")).as("nsy"), ms(col("in_systematic")).as("msy"),
+            ns(col("in_poisson")).as("npo"), ms(col("in_poisson")).as("mpo"))
+          .select(col("n_docs"), col("tot"), explode(array(
+            struct(lit("poisson_pps").as("design"),
+              col("npo").as("n_sampled"), col("mpo").as("m")),
+            struct(lit("systematic_pps").as("design"),
+              col("nsy").as("n_sampled"), col("msy").as("m")),
+            struct(lit("uniform_hash").as("design"),
+              col("nu").as("n_sampled"), col("mu").as("m")))).as("x"))
+          .select(col("x.design").as("design"), col("n_docs"),
+            col("x.n_sampled").as("n_sampled"),
+            (col("x.m").cast("double") / col("tot").cast("double"))
+              .as("mass_frac"))
+          .orderBy(col("design"))
+      },
+      """WITH staged AS (
+        |  SELECT n_chars AS wt,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < 64
+        |      AS in_uniform,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) // 1000
+        |      > CAST(SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) // 1000
+        |      AS in_systematic,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+        |        * 1000 < n_chars * 1099511627776 AS in_poisson
+        |  FROM documents),
+        |u AS (SELECT 'uniform_hash' AS design, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN in_uniform THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(CASE WHEN in_uniform THEN wt ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(wt) AS DOUBLE) AS mass_frac FROM staged),
+        |sy AS (SELECT 'systematic_pps', COUNT(*),
+        |  CAST(SUM(CASE WHEN in_systematic THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN in_systematic THEN wt ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(wt) AS DOUBLE) FROM staged),
+        |po AS (SELECT 'poisson_pps', COUNT(*),
+        |  CAST(SUM(CASE WHEN in_poisson THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN in_poisson THEN wt ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(wt) AS DOUBLE) FROM staged)
+        |SELECT * FROM u UNION ALL SELECT * FROM sy UNION ALL SELECT * FROM po
+        |ORDER BY design""".stripMargin),
+
     "g4_gap_fill" -> Q(
       "Time-series gap filling: dense daily spine (sequence + explode) left-joined to per-day counts, zero-filled",
       (s, dir) => {

@@ -34,6 +34,22 @@ class AnalyticsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("report_sampling_design: per-design counts reconcile with the individual sampling queries") {
+    import spark.implicits._
+    val rep = SparkEntry.queries("report_sampling_design")(spark, sf)
+      .select($"design", $"n_sampled", $"mass_frac")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rep.keySet ==
+      Set("uniform_hash", "systematic_pps", "poisson_pps"))
+    val sys4 = SparkEntry.queries("samp4_pps_systematic")(spark, sf).count()
+    val poi5 = SparkEntry.queries("samp5_pps_poisson")(spark, sf).count()
+    assert(rep("systematic_pps")._2 == sys4)
+    assert(rep("poisson_pps")._2 == poi5)
+    rep.values.foreach { case (_, n, mf) =>
+      assert(n > 0 && mf > 0.0 && mf <= 1.0)
+    }
+  }
+
   test("salted two-stage aggregation equals plain groupBy") {
     val salted = SparkEntry.queries("skew_salted_agg")(spark, sf)
     val plain = Tables.events(spark, sf)
