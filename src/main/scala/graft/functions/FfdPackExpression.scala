@@ -36,11 +36,16 @@ case class FfdPack(child: Expression, capacity: Long)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StructType(fs), _)
+    // containsNull must be false: the eval loop reads each element's three
+    // longs unconditionally, so a nullable-element array (never produced by
+    // the sort_array(collect_list(...)) callers, whose output is
+    // containsNull=false) would NPE opaquely instead of failing analysis
+    case ArrayType(StructType(fs), false)
         if fs.length == 3 && fs.forall(_.dataType == LongType) =>
       TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<struct<bigint,bigint,bigint>>, got ${t.sql}")
+      s"$prettyName requires array<struct<bigint,bigint,bigint>> with " +
+        s"non-null elements, got ${t.sql}")
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -42,9 +42,14 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
   require(k >= 1 && w >= 1, "gram size and window must be >= 1")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull must be false: the eval loop takes each token's UTF-8
+    // bytes unconditionally, so a nullable-element array would NPE opaquely
+    // instead of failing analysis (callers produce split()-derived arrays,
+    // which are containsNull=false)
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string> tokens, got ${t.sql}")
+      s"$prettyName requires array<string> tokens with non-null elements, " +
+        s"got ${t.sql}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -58,6 +63,13 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
     while (t < m) { tokBytes(t) = toks.getUTF8String(t).getBytes; t += 1 }
     val n = if (m <= k) 1 else m - k + 1 // gram count (shingles semantics)
     if (n < w) return new GenericArrayData(Array.empty[Any])
+    // position-packing envelope: packed(i) = h·2²⁰ + i, so gram positions
+    // beyond 2²⁰ would bleed into the hash bits and silently corrupt
+    // fingerprints — fail loudly; callers pre-chunk monster docs (the
+    // chunk_windows path documented on dedup_winnowing)
+    if (n > (1 << 20)) throw new IllegalArgumentException(
+      s"$prettyName: $n grams exceed the 2^20 position envelope — " +
+        "pre-chunk the document (chunk_windows) before winnowing")
 
     val md = Digests.md5.get()
     val sep = Array[Byte](0x20)

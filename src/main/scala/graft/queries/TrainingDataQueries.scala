@@ -89,8 +89,8 @@ object TrainingDataQueries {
       |      'bid': CASE WHEN pos = 0 THEN len(st.loads) + 1 ELSE pos END})
       |  FROM st
       |  JOIN items i ON i.shard = st.shard AND i.r = st.r + 1,
-      |  LATERAL (SELECT list_position(
-      |      list_transform(st.loads, l -> l + i.n_tok <= 256), true) AS pos) p
+      |  LATERAL (SELECT COALESCE(list_position(
+      |      list_transform(st.loads, l -> l + i.n_tok <= 256), true), 0) AS pos) p
       |),
       |fin AS (
       |  SELECT st.shard, unnest(st.asg) AS a

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.FfdPackFunctions.ffdPack
+import graft.functions.WinnowFunctions.winnowSelect
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+/** Input-contract guards on the native expressions: malformed inputs must
+  * fail ANALYSIS (nullable elements) or fail LOUDLY at eval (position
+  * envelope) — never NPE opaquely or silently corrupt hashes. */
+class ExpressionGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ffd_pack rejects nullable-element arrays at analysis, not with a runtime NPE") {
+    val df = Seq(1).toDF("x").select(expr(
+      "array(named_struct('k', -3L, 'doc_id', 1L, 'n_tok', 3L), " +
+        "cast(null as struct<k:bigint,doc_id:bigint,n_tok:bigint>))").as("items"))
+    val e = intercept[AnalysisException] {
+      df.select(explode(ffdPack(col("items"), 256L))).collect()
+    }
+    assert(e.getMessage.contains("non-null elements"),
+      s"expected the containsNull type-check message, got: ${e.getMessage}")
+  }
+
+  test("ffd_pack still accepts the collect_list shape (containsNull=false)") {
+    val got = Seq((1L, 3L), (2L, 2L)).toDF("doc_id", "n_tok")
+      .agg(sort_array(collect_list(struct(
+        (-col("n_tok")).as("k"), col("doc_id"), col("n_tok")))).as("items"))
+      .select(explode(ffdPack(col("items"), 4L)).as("a"))
+      .select($"a.doc_id", $"a.bid").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L)) // 3 fills bin1 past 4-2, 2 opens bin2
+  }
+
+  test("winnow_select rejects nullable-element token arrays at analysis") {
+    val df = Seq(1).toDF("x")
+      .select(array(lit("a"), lit(null).cast("string"), lit("b")).as("tk"))
+    val e = intercept[AnalysisException] {
+      df.select(winnowSelect(col("tk"), 2, 2)).collect()
+    }
+    assert(e.getMessage.contains("non-null elements"),
+      s"expected the containsNull type-check message, got: ${e.getMessage}")
+  }
+
+  test("winnow_select still accepts split() output (containsNull=false)") {
+    val got = Seq("a b c d e f g h").toDF("text")
+      .select(winnowSelect(split(col("text"), " "), 4, 4).as("h"))
+      .select(size(col("h"))).as[Int].collect()
+    assert(got.head >= 1)
+  }
+
+  test("winnow_select fails loudly past the 2^20 gram position envelope instead of corrupting hashes") {
+    // 2^20 + 4 tokens -> 2^20 + 1 grams at k=4: one past the envelope
+    val n = (1 << 20) + 4
+    val text = Array.tabulate(n)(i => "t" + (i % 97)).mkString(" ")
+    val e = intercept[Exception] {
+      Seq(text).toDF("text")
+        .select(winnowSelect(split(col("text"), " "), 4, 4)).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(msg.contains("position envelope"),
+      s"expected the envelope guard message, got: $msg")
+  }
+
+  test("winnow_select accepts exactly 2^20 grams (the envelope boundary)") {
+    val n = (1 << 20) + 3 // exactly 2^20 grams at k=4
+    val text = Array.tabulate(n)(i => "t" + (i % 97)).mkString(" ")
+    val got = Seq(text).toDF("text")
+      .select(size(winnowSelect(split(col("text"), " "), 4, 4))).as[Int].collect()
+    assert(got.head >= 1)
+  }
+}
