@@ -806,6 +806,66 @@ object TrainingDataQueries {
          |    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
          |FROM spans JOIN sdf USING (sp) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    "dedup_substring_maximal" -> Q(
+      "Maximal duplicated-span detection (exact-substring dedup, the Lee " +
+        "et al. 2022 removal form): per document, the maximal token ranges " +
+        "[span_start, span_end) covered by substrings of >= 8 tokens that " +
+        "occur >= 2 times anywhere in the corpus (within-document repeats " +
+        "count). EXACT, not a screen: a token position lies inside some " +
+        "duplicated >= 8-token substring iff it lies in the extent of a " +
+        "corpus-duplicated 8-gram, so merging consecutive duplicated-gram " +
+        "start positions into islands reproduces the suffix-array removal " +
+        "union without building one. Grams travel as xxhash64 longs " +
+        "(8-byte shuffle keys; the string-span oracle agrees because " +
+        "collisions ~2^-64*m^2 are below its resolution); the island merge " +
+        "is a per-document window over that document's duplicated " +
+        "positions only — never a corpus-wide sort",
+      (s, dir) => {
+        val Tk = 8
+        // one corpus scan -> positional gram hashes; the frequency side
+        // derives from the same stream (self-aggregation, map-side
+        // partial) and joins back on the 8-byte key. At 100 TB both
+        // shuffles are linear in corpus tokens; nothing is all-pairs.
+        val grams = T.documentsSpread(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= Tk)
+          .select(col("doc_id"), posexplode(shingles(col("tk"), Tk)))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            xxhash64(col("col")).as("h"))
+        val dupGrams = grams.groupBy(col("h")).agg(count(lit(1)).as("f"))
+          .filter(col("f") >= 2)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        grams.join(dupGrams, Seq("h"))
+          .select(col("doc_id"), col("pos"))
+          // consecutive duplicated start positions share (pos - rank):
+          // the standard gaps-and-islands grouping, per document
+          .withColumn("grp", col("pos") - row_number().over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) + lit(Tk.toLong)).as("span_end"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start")).as("span_tok"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("tk", 8)} AS sh
+         |       FROM toks WHERE len(tk) >= 8),
+         |grams AS (
+         |  SELECT doc_id, CAST(generate_subscripts(sh, 1) - 1 AS BIGINT) AS pos,
+         |    unnest(sh) AS g
+         |  FROM sh),
+         |dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         |dup AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+         |isl AS (SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dup)
+         |SELECT doc_id,
+         |  CAST(MIN(pos) AS BIGINT) AS span_start,
+         |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+         |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tok
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin),
+
     "text_lm_quality" -> Q(
       "Bigram-LM fluency scoring (CCNet-style LM filter, made bit-portable): per document — bigram count, fraction of its bigrams that are corpus-common (count >= 3), and the rarest transition probability min P(b|a). No cross-row double sums: fractions are integer ratios, and min over exactly-reproducible doubles is order-independent, unlike the avg-log-prob form",
       (s, dir) => {

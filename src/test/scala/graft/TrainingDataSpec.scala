@@ -325,6 +325,47 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(2)._2 == 0 && out(2)._3 == 0.0, "doc 3 has no shared spans")
   }
 
+  test("dedup_substring_maximal: a 60-token duplicated run is localized exactly; the 8-token screen only counts it") {
+    // the run sits at token offset 5 in doc 1 and offset 3 in doc 2;
+    // surrounding context is globally unique, so the maximal duplicated
+    // span must be EXACTLY the 60 tokens — no bleed into the context
+    val run = (1 to 60).map(i => s"dup$i").mkString(" ")
+    val pre1 = (1 to 5).map(i => s"a$i").mkString(" ")
+    val post1 = (1 to 9).map(i => s"b$i").mkString(" ")
+    val pre2 = (1 to 3).map(i => s"c$i").mkString(" ")
+    val post2 = (1 to 11).map(i => s"d$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      1L -> s"$pre1 $run $post1",
+      2L -> s"$pre2 $run $post2",
+      3L -> (1 to 30).map(i => s"u$i").mkString(" ")))
+    val got = SparkEntry.queries("dedup_substring_maximal")(spark, dir)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 65L, 60L), (2L, 3L, 63L, 60L)),
+      s"expected exact 60-token localization, got $got")
+    // contrast: the fixed-8-token screen reports counts per doc but no
+    // span boundaries — the maximal form is what removal needs
+    val screen = SparkEntry.queries("dedup_substring")(spark, dir)
+      .select($"doc_id", $"n_shared").as[(Long, Long)].collect().toMap
+    assert(screen(1L) == 53L, "screen sees the 53 duplicated 8-grams, not the one 60-token span")
+  }
+
+  test("dedup_substring_maximal: a within-document repeat is duplicated; overlapping extents merge into one span") {
+    // doc 1 repeats the same 8-token phrase twice with a unique gap of 4
+    // tokens; each occurrence is a separate maximal span (the gap's grams
+    // are unique), and no other doc is involved
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val gap = (1 to 4).map(i => s"g$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      1L -> s"$phrase $gap $phrase",
+      2L -> (1 to 25).map(i => s"v$i").mkString(" ")))
+    val got = SparkEntry.queries("dedup_substring_maximal")(spark, dir)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 8L), (1L, 12L, 20L)),
+      s"two separated occurrences of the same phrase, got $got")
+  }
+
   test("text_lm_quality: common bigrams raise common_frac; min_p is a valid probability") {
     // "the cat" appears in three docs (corpus count >= 3); doc 4 is all
     // singleton bigrams
