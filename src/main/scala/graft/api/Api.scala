@@ -215,6 +215,98 @@ final class EmailEtlApi(
   def providerStats(): DataFrame = search.byProviderStats
 
   /** `estimate-cost` (reference: main.py:435-446, src/embeddings.py:191-203). */
+  /** CLI `providers` (reference: main.py:44-69 via
+    * src/providers/__init__.py:94 list_providers + database.get_providers):
+    * the registered provider catalog — enabled/default flags from the same
+    * env contract the reference reads (ENABLED_PROVIDERS, DEFAULT_PROVIDER,
+    * reference: src/config.py:65-66) — left-joined with per-provider store
+    * statistics (the C4 aggregate). Providers with no imported mail keep a
+    * catalog row with null stats, exactly like the reference's listing. */
+  def listProviders(
+      enabledCsv: Option[String] = None,
+      defaultProvider: Option[String] = None): DataFrame = {
+    val available = Seq("gmail") // the reference registry's one provider
+    val enabled = enabledCsv
+      .orElse(sys.env.get("ENABLED_PROVIDERS")).getOrElse("gmail")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val dflt = defaultProvider
+      .orElse(sys.env.get("DEFAULT_PROVIDER")).getOrElse("gmail")
+    import spark.implicits._
+    val catalog = available
+      .map(p => (p, enabled.contains(p), p == dflt))
+      .toDF("provider", "enabled", "is_default")
+    val stats =
+      if (tableExists("emails"))
+        providerStats().groupBy(col("provider")).agg(
+          sum(col("email_count")).as("email_count"),
+          countDistinct(col("provider_account")).as("accounts"),
+          min(col("earliest_email")).as("earliest_email"),
+          max(col("latest_email")).as("latest_email"))
+      else
+        catalog.limit(0).select(col("provider"),
+          lit(null).cast("long").as("email_count"),
+          lit(null).cast("long").as("accounts"),
+          lit(null).cast("timestamp").as("earliest_email"),
+          lit(null).cast("timestamp").as("latest_email"))
+    catalog.join(stats, Seq("provider"), "left")
+      .orderBy(col("provider"))
+  }
+
+  private def storeLayout: Seq[(String, org.apache.spark.sql.types.StructType)] =
+    Seq(
+      "emails" -> Schemas.emailSchema,
+      "attachments" -> Schemas.attachmentSchema,
+      "audit" -> Schemas.auditSchema)
+
+  private def tableExists(name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/$name")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** CLI `db init` (reference: main.py:131-146 — connection test + the
+    * init_db.sql table DDL): create the Parquet store layout. Missing
+    * tables are written as empty frames with the declared schema (the
+    * DDL analog); existing tables are schema-validated instead of
+    * touched (init is idempotent and never destructive). Returns one row
+    * per table: (table, status ∈ created|ok|schema_mismatch, rows). */
+  def dbInit(): DataFrame = {
+    import spark.implicits._
+    storeLayout.map { case (name, schema) =>
+      val path = s"$storeDir/$name"
+      if (!tableExists(name)) {
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .write.parquet(path)
+        (name, "created", 0L)
+      } else {
+        val have = spark.read.parquet(path)
+        val missing = schema.fieldNames.toSet -- have.columns.toSet
+        val status = if (missing.isEmpty) "ok" else "schema_mismatch"
+        (name, status, have.count())
+      }
+    }.toDF("table", "status", "rows")
+  }
+
+  /** CLI `db test` (reference: main.py:148-154 test_connection): probe
+    * every table in the layout — existence plus an actual 1-row read (a
+    * listable but unreadable table must fail the probe, not the caller's
+    * first query). Returns (table, exists, readable, rows). */
+  def dbTest(): DataFrame = {
+    import spark.implicits._
+    storeLayout.map { case (name, _) =>
+      val exists = tableExists(name)
+      val (readable, rows) =
+        if (!exists) (false, -1L)
+        else
+          try {
+            val df = spark.read.parquet(s"$storeDir/$name")
+            df.limit(1).collect() // force a real read, not just a listing
+            (true, df.count())
+          } catch { case scala.util.control.NonFatal(_) => (false, -1L) }
+      (name, exists, readable, rows)
+    }.toDF("table", "exists", "readable", "rows")
+  }
+
   def estimateCost(): Double = {
     val row = search.embeddingBacklog()
       .select(graft.functions.EmailFunctions.approxTokenCount(
@@ -264,6 +356,16 @@ object Cli {
     case "status" :: store :: Nil =>
       val api = new EmailEtlApi(spark, store)
       api.status().show(); api.providerStats().show()
+    case "providers" :: store :: Nil =>
+      new EmailEtlApi(spark, store).listProviders().show(truncate = false)
+    case "db" :: "init" :: store :: Nil =>
+      new EmailEtlApi(spark, store).dbInit().show(truncate = false)
+    case "db" :: "test" :: store :: Nil =>
+      val probe = new EmailEtlApi(spark, store).dbTest()
+      probe.show(truncate = false)
+      if (probe.filter(!col("readable")).count() > 0) {
+        System.err.println("db test failed"); sys.exit(1)
+      } else println("db test ok")
     case "estimate-cost" :: store :: Nil =>
       println(f"estimated embedding cost: $$${new EmailEtlApi(spark, store).estimateCost()}%.6f")
     case other =>
@@ -277,6 +379,9 @@ object Cli {
            |  analyze categorize <storeDir> [limit]
            |  analyze patterns <storeDir> <sender|domain|label|day|week>
            |  status <storeDir>
+           |  providers <storeDir>
+           |  db init <storeDir>
+           |  db test <storeDir>
            |  estimate-cost <storeDir>""".stripMargin)
   }
 }

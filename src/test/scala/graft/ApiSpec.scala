@@ -71,4 +71,63 @@ class ApiSpec extends SparkSpec {
   test("unknown CLI verb prints usage without throwing") {
     graft.api.Cli.run(spark, List("bogus"))
   }
+
+  test("CLI dispatch: providers / db init / db test verbs run end-to-end") {
+    api.emails.count() // force the lazy import fixture first
+    graft.api.Cli.run(spark, List("providers", store))
+    graft.api.Cli.run(spark, List("db", "init", store))
+    graft.api.Cli.run(spark, List("db", "test", store)) // exits 1 on failure
+  }
+
+  test("providers: catalog row carries enabled/default flags and store stats") {
+    val rows = api.listProviders(
+      enabledCsv = Some("gmail"), defaultProvider = Some("gmail")).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("provider") == "gmail")
+    assert(r.getAs[Boolean]("enabled") && r.getAs[Boolean]("is_default"))
+    assert(r.getAs[Long]("email_count") == 3L)
+    assert(r.getAs[java.sql.Timestamp]("earliest_email")
+      .before(r.getAs[java.sql.Timestamp]("latest_email")))
+    // a provider disabled by env contract keeps its catalog row
+    val off = api.listProviders(
+      enabledCsv = Some(""), defaultProvider = Some("gmail")).collect()(0)
+    assert(!off.getAs[Boolean]("enabled") && off.getAs[Boolean]("is_default"))
+  }
+
+  test("providers: empty store lists the catalog with null stats") {
+    val a = new EmailEtlApi(spark, tmpDir("api-empty-store"))
+    val r = a.listProviders(Some("gmail"), Some("gmail")).collect()(0)
+    assert(r.getAs[String]("provider") == "gmail")
+    assert(r.isNullAt(r.fieldIndex("email_count")))
+  }
+
+  test("db init: creates missing tables with declared schemas, idempotent and non-destructive") {
+    val fresh = tmpDir("api-db-init")
+    val a = new EmailEtlApi(spark, fresh)
+    val first = a.dbInit().collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(first.map(_._1).sorted == Seq("attachments", "audit", "emails"))
+    assert(first.forall(_._2 == "created"))
+    // created tables are readable empty frames with the declared columns
+    assert(spark.read.parquet(s"$fresh/emails").columns.contains("message_id"))
+    // second init validates instead of recreating
+    val second = a.dbInit().collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(second.values.forall(_ == "ok"))
+    // and an already-populated store is left untouched and reported ok
+    val onStore = api.dbInit().collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(onStore("emails") == (("ok", 3L)), s"got $onStore")
+    assert(api.emails.count() == 3, "init must never truncate a live table")
+  }
+
+  test("db test: populated store probes readable; missing store does not") {
+    val probe = api.dbTest().collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getLong(3)))
+    val byName = probe.map(p => p._1 -> p).toMap
+    assert(byName("emails")._3 && byName("emails")._4 == 3L)
+    assert(byName("audit")._3 && byName("audit")._4 >= 3L)
+    val missing = new EmailEtlApi(spark, tmpDir("api-db-missing")).dbTest().collect()
+    assert(missing.forall(r => !r.getBoolean(1) && !r.getBoolean(2)))
+  }
 }
