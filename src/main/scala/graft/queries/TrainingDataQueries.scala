@@ -96,6 +96,59 @@ object TrainingDataQueries {
       |  SELECT st.shard, unnest(st.asg) AS a
       |  FROM st JOIN nsh ON nsh.shard = st.shard AND st.r = nsh.n)""".stripMargin
 
+  /** Shared stage of `dedup_substring_maximal` / `dedup_substring_clean`:
+    * the maximal duplicated token ranges per document — (doc_id,
+    * span_start, span_end), span_end exclusive. One corpus scan makes the
+    * positional gram-hash stream; the frequency side derives from the
+    * same stream (self-aggregation, map-side partial) and joins back on
+    * the 8-byte xxhash64 key; consecutive duplicated start positions
+    * merge via gaps-and-islands in a per-document window over that
+    * document's DUPLICATED positions only — never a corpus-wide sort.
+    * At 100 TB every stage is one linear hash exchange; nothing is
+    * all-pairs. */
+  private def maximalDupSpans(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val Tk = 8
+    val grams = T.documentsSpread(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= Tk)
+      .select(col("doc_id"), posexplode(shingles(col("tk"), Tk)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("h"))
+    val dupGrams = grams.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 2)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dupGrams, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(Tk.toLong)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** DuckDB twin of [[maximalDupSpans]] (string grams — agreement below
+    * hash-collision resolution, the dedup_substring argument). Ends at
+    * `spans(doc_id, span_start, span_end)`; also exposes `toks`. */
+  private val DupSpansSqlCtes: String =
+    s"""toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql("tk", 8)} AS sh
+       |       FROM toks WHERE len(tk) >= 8),
+       |grams AS (
+       |  SELECT doc_id, CAST(generate_subscripts(sh, 1) - 1 AS BIGINT) AS pos,
+       |    unnest(sh) AS g
+       |  FROM sh),
+       |dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+       |dup AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+       |isl AS (SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup),
+       |spans AS (
+       |  SELECT doc_id,
+       |    CAST(MIN(pos) AS BIGINT) AS span_start,
+       |    CAST(MAX(pos) + 8 AS BIGINT) AS span_end
+       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
+
   /** Shared stage of the CDC-dedup queries: token-level content-defined
     * chunking (LBFS boundary rule: cut AFTER any token whose 32-bit md5
     * is 0 mod 8, mean chunk ~8 tokens) as a row-local fold whose
@@ -820,51 +873,73 @@ object TrainingDataQueries {
         "collisions ~2^-64*m^2 are below its resolution); the island merge " +
         "is a per-document window over that document's duplicated " +
         "positions only — never a corpus-wide sort",
-      (s, dir) => {
-        val Tk = 8
-        // one corpus scan -> positional gram hashes; the frequency side
-        // derives from the same stream (self-aggregation, map-side
-        // partial) and joins back on the 8-byte key. At 100 TB both
-        // shuffles are linear in corpus tokens; nothing is all-pairs.
-        val grams = T.documentsSpread(s, dir)
-          .select(col("doc_id"), tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= Tk)
-          .select(col("doc_id"), posexplode(shingles(col("tk"), Tk)))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            xxhash64(col("col")).as("h"))
-        val dupGrams = grams.groupBy(col("h")).agg(count(lit(1)).as("f"))
-          .filter(col("f") >= 2)
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        grams.join(dupGrams, Seq("h"))
-          .select(col("doc_id"), col("pos"))
-          // consecutive duplicated start positions share (pos - rank):
-          // the standard gaps-and-islands grouping, per document
-          .withColumn("grp", col("pos") - row_number().over(w))
-          .groupBy(col("doc_id"), col("grp"))
-          .agg(min(col("pos")).as("span_start"),
-            (max(col("pos")) + lit(Tk.toLong)).as("span_end"))
+      (s, dir) =>
+        maximalDupSpans(s, dir)
           .select(col("doc_id"), col("span_start"), col("span_end"),
             (col("span_end") - col("span_start")).as("span_tok"))
-          .orderBy(col("doc_id"), col("span_start"))
+          .orderBy(col("doc_id"), col("span_start")),
+      s"""WITH $DupSpansSqlCtes
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start AS span_tok
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin),
+
+    "dedup_substring_clean" -> Q(
+      "Exact-substring removal (the output side of dedup_substring_maximal " +
+        "— what Lee et al. 2022 actually writes back to the corpus): each " +
+        "document with its duplicated token ranges cut out and the " +
+        "remaining tokens reassembled, plus the removal accounting " +
+        "(n_tok, removed_tok, removed_frac). The span table joins back on " +
+        "doc_id — it holds only documents that HAVE duplicates, so at a " +
+        "realistic dup rate it broadcasts; the cut itself is a row-local " +
+        "indexed filter against that document's few disjoint spans (no " +
+        "token-level shuffle: tokens never leave their row)",
+      (s, dir) => {
+        val spans = maximalDupSpans(s, dir)
+          .groupBy(col("doc_id"))
+          .agg(
+            collect_list(struct(
+              col("span_start").as("s"), col("span_end").as("e"))).as("spans"),
+            sum(col("span_end") - col("span_start")).as("removed_tok"))
+        T.documentsSpread(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_tok"),
+            coalesce(col("removed_tok"), lit(0L)).as("removed_tok"),
+            when(col("spans").isNull, array_join(col("tk"), " "))
+              .otherwise(array_join(filter(col("tk"), (t, i) =>
+                !exists(col("spans"), sp =>
+                  i.cast("long") >= sp("s") && i.cast("long") < sp("e"))),
+                " ")).as("clean_text"))
+          .select(col("doc_id"), col("n_tok"), col("removed_tok"),
+            (col("removed_tok").cast("double") / col("n_tok").cast("double"))
+              .as("removed_frac"),
+            col("clean_text"))
+          .orderBy(col("doc_id"))
       },
-      s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),
-         |sh AS (SELECT doc_id, ${shinglesSql("tk", 8)} AS sh
-         |       FROM toks WHERE len(tk) >= 8),
-         |grams AS (
-         |  SELECT doc_id, CAST(generate_subscripts(sh, 1) - 1 AS BIGINT) AS pos,
-         |    unnest(sh) AS g
-         |  FROM sh),
-         |dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
-         |dup AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
-         |isl AS (SELECT doc_id, pos,
-         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM dup)
-         |SELECT doc_id,
-         |  CAST(MIN(pos) AS BIGINT) AS span_start,
-         |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
-         |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tok
-         |FROM isl GROUP BY doc_id, grp
-         |ORDER BY doc_id, span_start""".stripMargin),
+      s"""WITH $DupSpansSqlCtes,
+         |rem AS (SELECT doc_id, SUM(span_end - span_start) AS removed_tok
+         |        FROM spans GROUP BY doc_id),
+         |tt AS (SELECT doc_id, CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS i,
+         |         unnest(tk) AS t
+         |       FROM toks),
+         |kept AS (
+         |  SELECT tt.doc_id, tt.i, tt.t FROM tt
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = tt.doc_id
+         |      AND tt.i >= sp.span_start AND tt.i < sp.span_end)),
+         |ct AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text
+         |       FROM kept GROUP BY doc_id)
+         |SELECT toks.doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(rem.removed_tok, 0) AS BIGINT) AS removed_tok,
+         |  CAST(COALESCE(rem.removed_tok, 0) AS DOUBLE)
+         |    / CAST(len(tk) AS DOUBLE) AS removed_frac,
+         |  COALESCE(ct.clean_text, '') AS clean_text
+         |FROM toks
+         |LEFT JOIN rem ON rem.doc_id = toks.doc_id
+         |LEFT JOIN ct ON ct.doc_id = toks.doc_id
+         |ORDER BY toks.doc_id""".stripMargin),
 
     "text_lm_quality" -> Q(
       "Bigram-LM fluency scoring (CCNet-style LM filter, made bit-portable): per document — bigram count, fraction of its bigrams that are corpus-common (count >= 3), and the rarest transition probability min P(b|a). No cross-row double sums: fractions are integer ratios, and min over exactly-reproducible doubles is order-independent, unlike the avg-log-prob form",

@@ -366,6 +366,26 @@ class TrainingDataSpec extends SparkSpec {
       s"two separated occurrences of the same phrase, got $got")
   }
 
+  test("dedup_substring_clean: duplicated ranges are cut from every occurrence, context survives verbatim") {
+    val run = (1 to 60).map(i => s"dup$i").mkString(" ")
+    val pre = (1 to 5).map(i => s"a$i").mkString(" ")
+    val post = (1 to 9).map(i => s"b$i").mkString(" ")
+    val other = (1 to 3).map(i => s"c$i").mkString(" ") + " " + run
+    val solo = (1 to 30).map(i => s"u$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      1L -> s"$pre $run $post",
+      2L -> other,
+      3L -> solo))
+    val got = SparkEntry.queries("dedup_substring_clean")(spark, dir)
+      .select($"doc_id", $"n_tok", $"removed_tok", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 74L, 60L, s"$pre $post")),
+      s"doc 1 must keep exactly its unique context, got ${got(1L)}")
+    assert(got(2L) == ((2L, 63L, 60L, (1 to 3).map(i => s"c$i").mkString(" "))),
+      "the run is cut from BOTH occurrences (the released ExactSubstr behavior)")
+    assert(got(3L) == ((3L, 30L, 0L, solo)), "a unique doc passes through verbatim")
+  }
+
   test("text_lm_quality: common bigrams raise common_frac; min_p is a valid probability") {
     // "the cat" appears in three docs (corpus count >= 3); doc 4 is all
     // singleton bigrams
