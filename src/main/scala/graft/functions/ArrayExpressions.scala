@@ -31,6 +31,16 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     case _                      => false
   }
 
+  // Null-element guard, active ONLY when a static element type is
+  // nullable: getLong on a null slot reads silent garbage and
+  // getUTF8String NPEs opaquely. Callers produce
+  // array_sort(array_distinct(...)) of non-null-element arrays, whose
+  // static type is tight — for them this emits nothing.
+  private lazy val mayHaveNulls = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _               => false
+  })
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val types = Seq(left, right).map(_.dataType)
     val ok = types.forall {
@@ -52,6 +62,10 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val n = xs.numElements(); val m = ys.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
+      if (mayHaveNulls && (xs.isNullAt(i) || ys.isNullAt(j)))
+        throw new IllegalArgumentException(
+          s"$prettyName: null element at merge position ($i, $j) — inputs " +
+            "must be sorted distinct arrays with non-null elements")
       val cmp =
         if (isLong) java.lang.Long.compare(xs.getLong(i), ys.getLong(j))
         else xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
@@ -70,10 +84,19 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val compare =
         if (isLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
         else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+      val nullGuard = if (!mayHaveNulls) "" else
+        s"""
+          |if ($a.isNullAt($i) || $b.isNullAt($j)) {
+          |  throw new IllegalArgumentException(
+          |    "sorted_intersect_size: null element at merge position (" + $i +
+          |    ", " + $j + ") — inputs must be sorted distinct arrays with " +
+          |    "non-null elements");
+          |}""".stripMargin
       s"""
         |int $n = $a.numElements(); int $m = $b.numElements();
         |int $i = 0; int $j = 0; int $c = 0;
         |while ($i < $n && $j < $m) {
+        |  $nullGuard
         |  int $cmp = $compare;
         |  if ($cmp == 0) { $c++; $i++; $j++; }
         |  else if ($cmp < 0) { $i++; } else { $j++; }

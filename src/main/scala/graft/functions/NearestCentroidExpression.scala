@@ -55,6 +55,18 @@ case class NearestCentroidExpression(first: Expression, second: Expression,
     StructField("dist", LongType, nullable = false)))
   override def prettyName: String = "nearest_centroid"
 
+  // Null-element guards are emitted ONLY when the static element type is
+  // nullable (transform()-built arrays are, collect-derived literals are
+  // not): getLong on a null slot reads silent garbage, the
+  // VectorOuterSumAggregator failure class — guard loudly, cost nothing
+  // when the type is tight.
+  private lazy val qvNullable = first.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+  private lazy val cmNullable = second.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+
   override def nullSafeEval(q: Any, m: Any, dv: Any): Any = {
     val qv = q.asInstanceOf[ArrayData]
     val cm = m.asInstanceOf[ArrayData]
@@ -64,6 +76,24 @@ case class NearestCentroidExpression(first: Expression, second: Expression,
         s"nearest_centroid: dimension mismatch between model and vectors — " +
           s"expected d=$d, got a ${qv.numElements()}-element query vector and a " +
           s"${cm.numElements()}-long matrix")
+    if (qvNullable) {
+      var t = 0
+      while (t < d) {
+        if (qv.isNullAt(t)) throw new IllegalArgumentException(
+          s"nearest_centroid: null element at query-vector position $t — " +
+            "quantize from non-null components or pre-filter")
+        t += 1
+      }
+    }
+    if (cmNullable) {
+      var t = 0
+      val nm = cm.numElements()
+      while (t < nm) {
+        if (cm.isNullAt(t)) throw new IllegalArgumentException(
+          s"nearest_centroid: null element at centroid-matrix position $t")
+        t += 1
+      }
+    }
     val k = cm.numElements() / d
     if (k == 0) null
     else {
@@ -96,6 +126,24 @@ case class NearestCentroidExpression(first: Expression, second: Expression,
       val delta = ctx.freshName("delta")
       val best = ctx.freshName("best"); val bestDist = ctx.freshName("bestDist")
       val rowClass = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+      val t = ctx.freshName("t")
+      val qvGuard = if (!qvNullable) "" else
+        s"""
+          |for (int $t = 0; $t < $dv; $t++) {
+          |  if ($q.isNullAt($t)) {
+          |    throw new IllegalArgumentException(
+          |      "nearest_centroid: null element at query-vector position " + $t +
+          |      " — quantize from non-null components or pre-filter");
+          |  }
+          |}""".stripMargin
+      val cmGuard = if (!cmNullable) "" else
+        s"""
+          |for (int $t = 0; $t < $m.numElements(); $t++) {
+          |  if ($m.isNullAt($t)) {
+          |    throw new IllegalArgumentException(
+          |      "nearest_centroid: null element at centroid-matrix position " + $t);
+          |  }
+          |}""".stripMargin
       s"""
         |if ($q.numElements() != $dv || $dv <= 0 || $m.numElements() % $dv != 0) {
         |  throw new IllegalArgumentException(
@@ -103,6 +151,8 @@ case class NearestCentroidExpression(first: Expression, second: Expression,
         |    "expected d=" + $dv + ", got a " + $q.numElements() +
         |    "-element query vector and a " + $m.numElements() + "-long matrix");
         |}
+        |$qvGuard
+        |$cmGuard
         |int $k = $m.numElements() / $dv;
         |if ($k == 0) {
         |  ${ev.isNull} = true;

@@ -106,25 +106,39 @@ object TrainingDataQueries {
     * document's DUPLICATED positions only — never a corpus-wide sort.
     * At 100 TB every stage is one linear hash exchange; nothing is
     * all-pairs. */
-  private def maximalDupSpans(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val Tk = 8
-    val grams = T.documentsSpread(s, dir)
+  /** (doc_id, pos, h): the xxhash64 of every Tk-token gram with its
+    * 0-based start position — one row-local explode off the corpus scan. */
+  private def positionalGramHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String, Tk: Int): org.apache.spark.sql.DataFrame =
+    T.documentsSpread(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= Tk)
       .select(col("doc_id"), posexplode(shingles(col("tk"), Tk)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64(col("col")).as("h"))
-    val dupGrams = grams.groupBy(col("h")).agg(count(lit(1)).as("f"))
-      .filter(col("f") >= 2)
+
+  /** Gaps-and-islands merge of flagged gram start positions into maximal
+    * token ranges [span_start, span_end): the window partitions by
+    * doc_id over that document's FLAGGED positions only. */
+  private def spanIslands(flagged: org.apache.spark.sql.DataFrame,
+      Tk: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(dupGrams, Seq("h"))
-      .select(col("doc_id"), col("pos"))
+    flagged
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(Tk.toLong)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  private def maximalDupSpans(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val Tk = 8
+    val grams = positionalGramHashes(s, dir, Tk)
+    val dupGrams = grams.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 2)
+    spanIslands(grams.join(dupGrams, Seq("h"))
+      .select(col("doc_id"), col("pos")), Tk)
   }
 
   /** DuckDB twin of [[maximalDupSpans]] (string grams — agreement below
@@ -940,6 +954,46 @@ object TrainingDataQueries {
          |LEFT JOIN rem ON rem.doc_id = toks.doc_id
          |LEFT JOIN ct ON ct.doc_id = toks.doc_id
          |ORDER BY toks.doc_id""".stripMargin),
+
+    "contamination_spans" -> Q(
+      "Span-localized benchmark decontamination (the excision form: cut " +
+        "the leaked passage, keep the document — what text_contamination's " +
+        "whole-doc gate cannot do): per corpus document, the maximal token " +
+        "ranges covered by 8-grams that appear anywhere in the held-out " +
+        "benchmark slice (docs 0-49 here). Same machinery as " +
+        "dedup_substring_maximal with the frequency side replaced by a " +
+        "broadcast benchmark gram set — benchmarks are MBs against TB " +
+        "corpora, so the corpus never shuffles: one row-local gram " +
+        "explode, a broadcast semi-join, and the per-document islands " +
+        "window over matched positions only",
+      (s, dir) => {
+        val Tk = 8
+        val BenchDocs = 50
+        val grams = positionalGramHashes(s, dir, Tk)
+        val bench = grams.filter(col("doc_id") < BenchDocs)
+          .select(col("h")).distinct()
+        val flagged = grams.filter(col("doc_id") >= BenchDocs)
+          .join(broadcast(bench), Seq("h"))
+          .select(col("doc_id"), col("pos"))
+        spanIslands(flagged, Tk)
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start")).as("span_tok"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      s"""WITH $DupSpansSqlCtes,
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50),
+         |flagged AS (
+         |  SELECT doc_id, pos FROM grams JOIN bench USING (g)
+         |  WHERE doc_id >= 50),
+         |fisl AS (SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM flagged)
+         |SELECT doc_id,
+         |  CAST(MIN(pos) AS BIGINT) AS span_start,
+         |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+         |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tok
+         |FROM fisl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin),
 
     "text_lm_quality" -> Q(
       "Bigram-LM fluency scoring (CCNet-style LM filter, made bit-portable): per document — bigram count, fraction of its bigrams that are corpus-common (count >= 3), and the rarest transition probability min P(b|a). No cross-row double sums: fractions are integer ratios, and min over exactly-reproducible doubles is order-independent, unlike the avg-log-prob form",

@@ -68,4 +68,48 @@ class ExpressionGuardSpec extends SparkSpec {
       .select(size(winnowSelect(split(col("text"), " "), 4, 4))).as[Int].collect()
     assert(got.head >= 1)
   }
+
+  test("nearest_centroid: a null element in a nullable-typed query vector fails loudly, not silently as 0") {
+    import graft.functions.NearestCentroidExpression.nearestCentroid
+    val bad = Seq(1).toDF("x").select(
+      expr("array(1L, cast(null as bigint))").as("qv"),
+      expr("array(0L, 0L)").as("cm"))
+    val e = intercept[Exception] {
+      bad.select(nearestCentroid(col("qv"), col("cm"), 2)).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(msg.contains("null element"), s"got: $msg")
+    // a nullable STATIC type with non-null values still computes (the
+    // guard costs a scan, never a wrong answer)
+    val ok = Seq(1).toDF("x").select(
+      expr("transform(array(3, 4), v -> cast(v as bigint))").as("qv"),
+      expr("array(0L, 0L, 3L, 4L)").as("cm"))
+      .select(nearestCentroid(col("qv"), col("cm"), 2).as("nc"))
+      .select(col("nc.idx")).as[Int].collect()
+    assert(ok.head == 1)
+  }
+
+  test("sorted_intersect_size: a null element in a nullable-typed array fails loudly (long and string)") {
+    import graft.functions.ArrayFunctions.sortedIntersectSize
+    val longBad = Seq(1).toDF("x").select(
+      expr("array(1L, cast(null as bigint))").as("a"),
+      expr("array(1L, 2L)").as("b"))
+    val e1 = intercept[Exception] {
+      longBad.select(sortedIntersectSize(col("a"), col("b"))).collect()
+    }
+    assert((Option(e1.getCause).map(_.getMessage).getOrElse("") + e1.getMessage)
+      .contains("null element"))
+    val strBad = Seq(1).toDF("x").select(
+      expr("array('a', cast(null as string))").as("a"),
+      expr("array('a', 'b')").as("b"))
+    val e2 = intercept[Exception] {
+      strBad.select(sortedIntersectSize(col("a"), col("b"))).collect()
+    }
+    assert((Option(e2.getCause).map(_.getMessage).getOrElse("") + e2.getMessage)
+      .contains("null element"))
+    // tight-typed inputs (the caller contract) still codegen with NO guard
+    val ok = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
+      .select(sortedIntersectSize(col("a"), col("b"))).as[Int].collect()
+    assert(ok.head == 2)
+  }
 }

@@ -386,6 +386,22 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(3L) == ((3L, 30L, 0L, solo)), "a unique doc passes through verbatim")
   }
 
+  test("contamination_spans: a leaked benchmark passage is localized; corpus-internal duplication is NOT flagged") {
+    val leak = (1 to 20).map(i => s"leak$i").mkString(" ")   // in bench doc 1
+    val inner = (1 to 12).map(i => s"inn$i").mkString(" ")   // shared by 60/61 only
+    val dir = docsFixture(Seq(
+      1L -> s"${(1 to 4).map(i => s"q$i").mkString(" ")} $leak", // benchmark slice
+      60L -> s"${(1 to 6).map(i => s"x$i").mkString(" ")} $leak ${(1 to 5).map(i => s"y$i").mkString(" ")}",
+      61L -> s"$inner ${(1 to 10).map(i => s"z$i").mkString(" ")}",
+      62L -> s"${(1 to 9).map(i => s"w$i").mkString(" ")} $inner"))
+    val got = SparkEntry.queries("contamination_spans")(spark, dir)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // only doc 60 leaks: the 20-token passage at offset 6, exactly
+    assert(got == Seq((60L, 6L, 26L, 20L)),
+      s"expected the leak localized in doc 60 only, got $got")
+  }
+
   test("text_lm_quality: common bigrams raise common_frac; min_p is a valid probability") {
     // "the cat" appears in three docs (corpus count >= 3); doc 4 is all
     // singleton bigrams
