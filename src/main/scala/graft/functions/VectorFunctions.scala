@@ -49,6 +49,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private lazy val leftFloat = elemIsFloat(left)
   private lazy val rightFloat = elemIsFloat(right)
 
+  // Null-element guard, emitted only when a static element type is
+  // nullable (parquet float arrays are): getFloat on a null slot reads
+  // silent garbage into the similarity. The branch is a bitmap test that
+  // never takes on real embeddings — measured in the noise on the d1_knn
+  // brute-force scan — and tight-typed inputs compile without it.
+  private lazy val mayHaveNulls = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _               => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
@@ -56,6 +66,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNulls && (xs.isNullAt(i) || ys.isNullAt(i)))
+        throw new IllegalArgumentException(
+          s"$prettyName: null element at position $i — pre-filter malformed " +
+            "vectors (size/isnull checks) before scoring")
       val x = if (leftFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
       val y = if (rightFloat) ys.getFloat(i).toDouble else ys.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -73,10 +87,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val getX = if (leftFloat) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (rightFloat) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
+      val nullGuard = if (!mayHaveNulls) "" else
+        s"""
+          |if ($a.isNullAt($i) || $b.isNullAt($i)) {
+          |  throw new IllegalArgumentException(
+          |    "cosine_sim: null element at position " + $i + " — pre-filter " +
+          |    "malformed vectors (size/isnull checks) before scoring");
+          |}""".stripMargin
       s"""
         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
+        |  $nullGuard
         |  double $x = $getX; double $y = $getY;
         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         |}

@@ -995,6 +995,46 @@ object TrainingDataQueries {
          |FROM fisl GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin),
 
+    "dedup_substring_incremental" -> Q(
+      "Incremental maximal-span dedup (the delta-ingestion form of " +
+        "dedup_substring_maximal, the dedup_incremental pattern at span " +
+        "granularity): the already-ingested store is the even-doc_id " +
+        "half's distinct gram hashes; each NEW (odd) document reports the " +
+        "maximal token ranges already present in the store — the spans an " +
+        "ingestion pipeline would excise before storing the novel rest. " +
+        "Unlike contamination_spans' broadcast benchmark, the store side " +
+        "is corpus-sized: it joins as a plain hash join on 8-byte keys, " +
+        "arrives pre-distinct, and at 100 TB lives as a bucketed gram " +
+        "index the delta probes (the STREAM_SCALE store-pruning posture); " +
+        "only the delta's matched positions reach the islands window",
+      (s, dir) => {
+        val Tk = 8
+        val grams = positionalGramHashes(s, dir, Tk).persist()
+        val store = grams.filter(col("doc_id") % 2 === 0L)
+          .select(col("h")).distinct()
+        val flagged = grams.filter(col("doc_id") % 2 === 1L)
+          .join(store, Seq("h"))
+          .select(col("doc_id"), col("pos"))
+        spanIslands(flagged, Tk)
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start")).as("span_tok"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      s"""WITH $DupSpansSqlCtes,
+         |store AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+         |flagged AS (
+         |  SELECT doc_id, pos FROM grams JOIN store USING (g)
+         |  WHERE doc_id % 2 = 1),
+         |fisl AS (SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM flagged)
+         |SELECT doc_id,
+         |  CAST(MIN(pos) AS BIGINT) AS span_start,
+         |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+         |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tok
+         |FROM fisl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin),
+
     "text_lm_quality" -> Q(
       "Bigram-LM fluency scoring (CCNet-style LM filter, made bit-portable): per document — bigram count, fraction of its bigrams that are corpus-common (count >= 3), and the rarest transition probability min P(b|a). No cross-row double sums: fractions are integer ratios, and min over exactly-reproducible doubles is order-independent, unlike the avg-log-prob form",
       (s, dir) => {

@@ -112,4 +112,22 @@ class ExpressionGuardSpec extends SparkSpec {
       .select(sortedIntersectSize(col("a"), col("b"))).as[Int].collect()
     assert(ok.head == 2)
   }
+
+  test("cosine_sim: a null element in a nullable-typed vector fails loudly, not as silent garbage") {
+    import graft.functions.VectorFunctions.cosineSim
+    val bad = Seq(1).toDF("x").select(
+      expr("array(1.0F, cast(null as float))").as("a"),
+      expr("array(1.0F, 2.0F)").as("b"))
+    val e = intercept[Exception] {
+      bad.select(cosineSim(col("a"), col("b"))).collect()
+    }
+    assert((Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
+      .contains("null element"))
+    // nullable STATIC type with non-null values still scores identically
+    val ok = Seq(1).toDF("x").select(
+      expr("array(3.0F, cast(4.0F as float))").as("a"),
+      expr("array(3.0F, 4.0F)").as("b"))
+      .select(cosineSim(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(ok.head - 1.0) < 1e-12)
+  }
 }

@@ -402,6 +402,23 @@ class TrainingDataSpec extends SparkSpec {
       s"expected the leak localized in doc 60 only, got $got")
   }
 
+  test("dedup_substring_incremental: only store-known ranges are flagged in new docs; new-new duplication is not") {
+    val known = (1 to 15).map(i => s"kn$i").mkString(" ")   // in store doc 2
+    val fresh = (1 to 12).map(i => s"fr$i").mkString(" ")   // shared by NEW docs 1 and 3 only
+    val dir = docsFixture(Seq(
+      2L -> s"${(1 to 5).map(i => s"s$i").mkString(" ")} $known",          // store (even)
+      1L -> s"${(1 to 4).map(i => s"a$i").mkString(" ")} $known $fresh",   // new (odd)
+      3L -> s"$fresh ${(1 to 9).map(i => s"b$i").mkString(" ")}",          // new (odd)
+      4L -> (1 to 20).map(i => s"u$i").mkString(" ")))                     // store, unique
+    val got = SparkEntry.queries("dedup_substring_incremental")(spark, dir)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: the known 15-token run at offset 4, exactly; the fresh run
+    // (shared only between the two NEW docs) must NOT be flagged
+    assert(got == Seq((1L, 4L, 19L, 15L)),
+      s"expected only the store-known span in doc 1, got $got")
+  }
+
   test("text_lm_quality: common bigrams raise common_frac; min_p is a valid probability") {
     // "the cat" appears in three docs (corpus count >= 3); doc 4 is all
     // singleton bigrams
