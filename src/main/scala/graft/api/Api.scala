@@ -279,9 +279,28 @@ final class EmailEtlApi(
           .write.parquet(path)
         (name, "created", 0L)
       } else {
+        // (name, dataType) pairs, not just names: a column present with
+        // the wrong type breaks exactly like a missing one at first read,
+        // and extra columns mean the store was written by something else —
+        // both must fail validation, not report "ok" (r11 ADVICE).
+        // Nullability is normalized away before comparing: parquet
+        // round-trips may loosen containsNull/nullable, which is not a
+        // layout mismatch.
+        import org.apache.spark.sql.types._
+        def norm(t: DataType): DataType = t match {
+          case ArrayType(e, _)   => ArrayType(norm(e), containsNull = true)
+          case MapType(k, v, _)  => MapType(norm(k), norm(v), valueContainsNull = true)
+          case StructType(fs)    => StructType(fs.map(f =>
+            StructField(f.name, norm(f.dataType), nullable = true)))
+          case o                 => o
+        }
         val have = spark.read.parquet(path)
-        val missing = schema.fieldNames.toSet -- have.columns.toSet
-        val status = if (missing.isEmpty) "ok" else "schema_mismatch"
+        val want = schema.fields.map(f => f.name -> norm(f.dataType)).toMap
+        val got = have.schema.fields.map(f => f.name -> norm(f.dataType)).toMap
+        val mismatched = want.exists { case (n, t) => !got.get(n).contains(t) }
+        val extra = (got.keySet -- want.keySet).nonEmpty
+        val status =
+          if (mismatched || extra) "schema_mismatch" else "ok"
         (name, status, have.count())
       }
     }.toDF("table", "status", "rows")

@@ -36,16 +36,22 @@ case class FfdPack(child: Expression, capacity: Long)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    // containsNull must be false: the eval loop reads each element's three
-    // longs unconditionally, so a nullable-element array (never produced by
-    // the sort_array(collect_list(...)) callers, whose output is
-    // containsNull=false) would NPE opaquely instead of failing analysis
-    case ArrayType(StructType(fs), false)
+    // nullable-TYPED elements are accepted (a parquet round-trip reads any
+    // array back as containsNull=true even when no slot is null) and
+    // guarded at runtime instead — the CosineSimilarity posture; a
+    // containsNull=false analysis rejection would bar persisted manifests
+    case ArrayType(StructType(fs), _)
         if fs.length == 3 && fs.forall(_.dataType == LongType) =>
       TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<struct<bigint,bigint,bigint>> with " +
-        s"non-null elements, got ${t.sql}")
+      s"$prettyName requires array<struct<bigint,bigint,bigint>>, got ${t.sql}")
+  }
+
+  // emitted only when the static element type is nullable; the in-plan
+  // sort_array(collect_list(...)) callers compile without the branch
+  private lazy val mayHaveNulls = child.dataType match {
+    case ArrayType(_, n) => n
+    case _               => false
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -73,6 +79,9 @@ case class FfdPack(child: Expression, capacity: Long)
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
+      if (mayHaveNulls && arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null element at position $i — pre-filter malformed " +
+          "manifests before packing")
       val row = arr.getStruct(i, 3)
       val docId = row.getLong(1)
       val nTok = row.getLong(2)

@@ -42,14 +42,20 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
   require(k >= 1 && w >= 1, "gram size and window must be >= 1")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    // containsNull must be false: the eval loop takes each token's UTF-8
-    // bytes unconditionally, so a nullable-element array would NPE opaquely
-    // instead of failing analysis (callers produce split()-derived arrays,
-    // which are containsNull=false)
-    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    // nullable-TYPED elements are accepted (a parquet round-trip reads any
+    // array back as containsNull=true even when no slot is null) and
+    // guarded at runtime instead — the CosineSimilarity posture; a
+    // containsNull=false analysis rejection would bar persisted token arrays
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string> tokens with non-null elements, " +
-        s"got ${t.sql}")
+      s"$prettyName requires array<string> tokens, got ${t.sql}")
+  }
+
+  // emitted only when the static element type is nullable; the in-plan
+  // split()-derived callers compile without the branch
+  private lazy val mayHaveNulls = child.dataType match {
+    case ArrayType(_, n) => n
+    case _               => false
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -60,7 +66,13 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
     val m = toks.numElements()
     val tokBytes = new Array[Array[Byte]](m)
     var t = 0
-    while (t < m) { tokBytes(t) = toks.getUTF8String(t).getBytes; t += 1 }
+    while (t < m) {
+      if (mayHaveNulls && toks.isNullAt(t)) throw new IllegalArgumentException(
+        s"$prettyName: null token at position $t — pre-filter malformed " +
+          "token arrays before winnowing")
+      tokBytes(t) = toks.getUTF8String(t).getBytes
+      t += 1
+    }
     val n = if (m <= k) 1 else m - k + 1 // gram count (shingles semantics)
     if (n < w) return new GenericArrayData(Array.empty[Any])
     // position-packing envelope: packed(i) = h·2²⁰ + i, so gram positions

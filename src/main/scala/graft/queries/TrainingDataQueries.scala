@@ -118,18 +118,41 @@ object TrainingDataQueries {
         xxhash64(col("col")).as("h"))
 
   /** Gaps-and-islands merge of flagged gram start positions into maximal
-    * token ranges [span_start, span_end): the window partitions by
-    * doc_id over that document's FLAGGED positions only. */
+    * token ranges [span_start, span_end): two flagged Tk-gram extents
+    * [p, p+Tk) and [q, q+Tk), p < q, overlap or touch iff q − p ≤ Tk, so
+    * a new island starts exactly when pos − lag(pos) > Tk. (The earlier
+    * pos − row_number() form merged only CONSECUTIVE starts and emitted
+    * overlapping "maximal" spans for start gaps in 2..Tk — the r11
+    * verdict defect; lag-flag + running sum is the correct rule and is
+    * still a per-document window over FLAGGED positions only.) Emitted
+    * spans per document are therefore disjoint with strict gaps
+    * (touching extents merge into one range). */
   private def spanIslands(flagged: org.apache.spark.sql.DataFrame,
       Tk: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged
-      .withColumn("grp", col("pos") - row_number().over(w))
+      .withColumn("fresh",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= Tk, 0L).otherwise(1L))
+      .withColumn("grp", sum(col("fresh")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(Tk.toLong)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
+
+  /** DuckDB twin of [[spanIslands]]'s island rule (new island when
+    * pos − lag(pos) > Tk), emitted as two CTE bodies `<p>0` and `<p>`;
+    * `<p>` exposes (doc_id, pos, grp) for the span aggregation. */
+  private def islandsSqlCtes(src: String, p: String, Tk: Int): String =
+    s"""${p}0 AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |           <= $Tk THEN 0 ELSE 1 END AS fresh
+       |  FROM $src),
+       |$p AS (SELECT doc_id, pos,
+       |    SUM(fresh) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM ${p}0)""".stripMargin
 
   private def maximalDupSpans(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -154,9 +177,7 @@ object TrainingDataQueries {
        |  FROM sh),
        |dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
        |dup AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
-       |isl AS (SELECT doc_id, pos,
-       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-       |  FROM dup),
+       |${islandsSqlCtes("dup", "isl", 8)},
        |spans AS (
        |  SELECT doc_id,
        |    CAST(MIN(pos) AS BIGINT) AS span_start,
@@ -268,6 +289,76 @@ object TrainingDataQueries {
        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
        |  array_to_string(tk, ' ') AS toks_str
        |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** The `bpe_train_exact` corpus slice: a fixed 50-document prefix, so
+    * the oracle's 4-round unroll stays constant-sized at any SF (the
+    * embed_kmeans fixed-k posture). */
+  private val BpeTrainSliceDocs = 50L
+
+  /** DuckDB twin of `BpeTrainer.train(numMerges = 4, minCount = 2)` on
+    * the [[BpeTrainSliceDocs]] slice: each merge round is one chained CTE
+    * group — full adjacent-pair recount weighted by word count, winner by
+    * (n DESC, a ASC, b ASC) with the n > 1 stop rule, then EXACT
+    * left-to-right non-overlapping application via a per-word recursive
+    * fold (a cursor that advances 2 on a match, 1 otherwise). The
+    * recursion is used instead of bpe_encode_fixed's double-`replace`
+    * trick because that trick mis-pairs runs when a winner has
+    * left == right (a data-dependent winner can't be constrained the way
+    * [[FixedEncodeMerges]] was); the fold is exact for every winner
+    * shape. An exhausted round (no pair with n > 1) yields an empty
+    * m-CTE, which empties every later round — the same early stop as the
+    * engine. */
+  private lazy val BpeTrainExactSql: String = {
+    val us = "chr(31)"
+    def roundCtes(r: Int, prev: String): String =
+      s"""arr$r AS (SELECT word, cnt,
+         |    list_filter(string_split(s, $us), x -> x <> '') AS ar
+         |  FROM $prev),
+         |p$r AS (
+         |  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, ar[i] AS a, ar[i + 1] AS b
+         |        FROM (SELECT cnt, ar, unnest(range(1, len(ar))) AS i
+         |              FROM arr$r))
+         |  GROUP BY a, b),
+         |m$r AS (SELECT a, b, n FROM p$r WHERE n > 1
+         |        ORDER BY n DESC, a, b LIMIT 1),
+         |rec$r AS (
+         |  SELECT word, cnt, ar, a, b, 1 AS i,
+         |    CAST([] AS VARCHAR[]) AS out
+         |  FROM arr$r, m$r
+         |  UNION ALL
+         |  SELECT word, cnt, ar, a, b,
+         |    CASE WHEN i < len(ar) AND ar[i] = a AND ar[i + 1] = b
+         |         THEN i + 2 ELSE i + 1 END,
+         |    list_append(out,
+         |      CASE WHEN i < len(ar) AND ar[i] = a AND ar[i + 1] = b
+         |           THEN a || b ELSE ar[i] END)
+         |  FROM rec$r WHERE i <= len(ar)),
+         |w$r AS (
+         |  SELECT word, cnt, $us || array_to_string(out, $us) || $us AS s
+         |  FROM rec$r WHERE i > len(ar))""".stripMargin
+    val sym0 =
+      s"$us || array_to_string(list_transform(range(1, length(word) + 1), " +
+        s"i -> CASE WHEN i = length(word) THEN substr(word, i, 1) || '</w>' " +
+        s"ELSE substr(word, i, 1) END), $us) || $us"
+    s"""WITH RECURSIVE words0 AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($BpeWordsSql) AS w
+       |        FROM documents WHERE doc_id < $BpeTrainSliceDocs)
+       |  GROUP BY w HAVING COUNT(*) >= 2),
+       |w0 AS (SELECT word, cnt, $sym0 AS s FROM words0),
+       |${roundCtes(1, "w0")},
+       |${roundCtes(2, "w1")},
+       |${roundCtes(3, "w2")},
+       |${roundCtes(4, "w3")}
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS "rank", a AS "left", b AS "right",
+       |    a || b AS merged, n AS pair_count FROM m1
+       |  UNION ALL SELECT CAST(1 AS BIGINT), a, b, a || b, n FROM m2
+       |  UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, n FROM m3
+       |  UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, n FROM m4)
+       |ORDER BY "rank"""".stripMargin
+  }
 
   /** DuckDB mirror of [[graft.operators.MultiModal.pHash16]] over the
     * documents payload surrogate (text cast to bytes, the multimodal_meta
@@ -985,9 +1076,7 @@ object TrainingDataQueries {
          |flagged AS (
          |  SELECT doc_id, pos FROM grams JOIN bench USING (g)
          |  WHERE doc_id >= 50),
-         |fisl AS (SELECT doc_id, pos,
-         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM flagged)
+         |${islandsSqlCtes("flagged", "fisl", 8)}
          |SELECT doc_id,
          |  CAST(MIN(pos) AS BIGINT) AS span_start,
          |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
@@ -1009,7 +1098,12 @@ object TrainingDataQueries {
         "only the delta's matched positions reach the islands window",
       (s, dir) => {
         val Tk = 8
-        val grams = positionalGramHashes(s, dir, Tk).persist()
+        // no persist: the builder cannot unpersist after the caller's
+        // action (lazy plan), and a leaked cache accumulates across
+        // long-lived registry runs (r11 verdict #2). Both consumers are
+        // one columnar re-scan + row-local explode — the same
+        // recompute-over-persist trade contamination_spans makes.
+        val grams = positionalGramHashes(s, dir, Tk)
         val store = grams.filter(col("doc_id") % 2 === 0L)
           .select(col("h")).distinct()
         val flagged = grams.filter(col("doc_id") % 2 === 1L)
@@ -1025,9 +1119,7 @@ object TrainingDataQueries {
          |flagged AS (
          |  SELECT doc_id, pos FROM grams JOIN store USING (g)
          |  WHERE doc_id % 2 = 1),
-         |fisl AS (SELECT doc_id, pos,
-         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM flagged)
+         |${islandsSqlCtes("flagged", "fisl", 8)}
          |SELECT doc_id,
          |  CAST(MIN(pos) AS BIGINT) AS span_start,
          |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
@@ -1232,6 +1324,32 @@ object TrainingDataQueries {
           .orderBy(col("rank"))
       },
       None),
+
+    "bpe_train_exact" -> Q(
+      "BPE merge-table training pinned to a DuckDB hash row (the r11 " +
+        "verdict's last major iterative operator without one): the REAL " +
+        "operators.BpeTrainer.train path — same count pass, same " +
+        "(count desc, pair asc) winner rule, same left-to-right " +
+        "non-overlapping application, same n > 1 stop — run for 4 merges " +
+        "on a fixed 50-document slice, against an oracle that unrolls " +
+        "each round as chained CTEs (full pair recount -> winner -> " +
+        "recursive-fold application), exactly how embed_kmeans unrolls " +
+        "Lloyd. The slice keeps the oracle's recursion constant-sized at " +
+        "any SF while the engine path exercised is the production one " +
+        "(trainLocal at this vocab; BpeTrainerSpec pins local == " +
+        "distributed == scalar)",
+      (s, dir) => {
+        val m = graft.operators.BpeTrainer.train(
+          T.documentsSpread(s, dir).filter(col("doc_id") < BpeTrainSliceDocs),
+          "text", numMerges = 4, minCount = 2L)
+        val rows = m.merges.map(g =>
+          (g.rank.toLong, g.left, g.right, g.left + g.right, g.pairCount))
+        val s0 = s
+        import s0.implicits._
+        rows.toDF("rank", "left", "right", "merged", "pair_count")
+          .orderBy(col("rank"))
+      },
+      BpeTrainExactSql),
 
     "bpe_encode" -> Q(
       "BPE tokenization of the corpus with the trained merges (operators.BpeTrainer.encode — the GPT-2 lowest-rank-first merge loop, row-local, merge table broadcast-sized): top-20 subword tokens by corpus frequency — rows-only check (the vocabulary comes from the non-SQL-expressible trainer; encode == training segmentation is spec-pinned on every training word)",

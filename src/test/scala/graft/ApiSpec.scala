@@ -121,6 +121,34 @@ class ApiSpec extends SparkSpec {
     assert(api.emails.count() == 3, "init must never truncate a live table")
   }
 
+  test("db init: wrong column TYPES and extra columns both report schema_mismatch, not ok (r11 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    // wrong type: `id` written as STRING where the layout declares LONG
+    val wrongType = tmpDir("api-db-wrongtype")
+    spark.range(1).select(col("id").cast("string").as("id"),
+      lit("m").as("message_id"))
+      .write.mode("overwrite").parquet(s"$wrongType/emails")
+    val wt = new EmailEtlApi(spark, wrongType).dbInit().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(wt("emails") == "schema_mismatch", s"got $wt")
+    // extra column: all declared columns present + one stranger
+    val extra = tmpDir("api-db-extracol")
+    val a2 = new EmailEtlApi(spark, extra)
+    a2.dbInit() // create the layout
+    spark.read.parquet(s"$extra/audit").withColumn("stray", lit(1))
+      .write.mode("overwrite").parquet(s"$extra/audit2")
+    // overwrite in place via the rewritten copy (can't overwrite a path
+    // that is also the read source)
+    val fs = new org.apache.hadoop.fs.Path(extra)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$extra/audit"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$extra/audit2"),
+      new org.apache.hadoop.fs.Path(s"$extra/audit"))
+    val ex = a2.dbInit().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ex("audit") == "schema_mismatch" && ex("emails") == "ok", s"got $ex")
+  }
+
   test("db test: populated store probes readable; missing store does not") {
     val probe = api.dbTest().collect()
       .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getLong(3)))

@@ -2,24 +2,39 @@ package graft
 
 import graft.functions.FfdPackFunctions.ffdPack
 import graft.functions.WinnowFunctions.winnowSelect
-import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.functions._
 
 /** Input-contract guards on the native expressions: malformed inputs must
-  * fail ANALYSIS (nullable elements) or fail LOUDLY at eval (position
-  * envelope) — never NPE opaquely or silently corrupt hashes. */
+  * fail LOUDLY at eval (null elements, position envelope) — never NPE
+  * opaquely or silently corrupt hashes — while nullable-TYPED but
+  * null-free inputs (every parquet round-trip) are accepted. */
 class ExpressionGuardSpec extends SparkSpec {
   import spark.implicits._
 
-  test("ffd_pack rejects nullable-element arrays at analysis, not with a runtime NPE") {
+  test("ffd_pack: a null element in a nullable-typed manifest fails loudly at eval, not with an NPE") {
     val df = Seq(1).toDF("x").select(expr(
       "array(named_struct('k', -3L, 'doc_id', 1L, 'n_tok', 3L), " +
         "cast(null as struct<k:bigint,doc_id:bigint,n_tok:bigint>))").as("items"))
-    val e = intercept[AnalysisException] {
+    val e = intercept[Exception] {
       df.select(explode(ffdPack(col("items"), 256L))).collect()
     }
-    assert(e.getMessage.contains("non-null elements"),
-      s"expected the containsNull type-check message, got: ${e.getMessage}")
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(msg.contains("null element"),
+      s"expected the runtime null guard message, got: $msg")
+  }
+
+  test("ffd_pack accepts a parquet round-tripped manifest (nullable-typed but null-free)") {
+    // parquet reads every array back as containsNull=true — the analysis
+    // check must not bar persisted manifests (r11 ADVICE)
+    val dir = tmpDir("ffdpq")
+    Seq((1L, 3L), (2L, 2L)).toDF("doc_id", "n_tok")
+      .agg(sort_array(collect_list(struct(
+        (-col("n_tok")).as("k"), col("doc_id"), col("n_tok")))).as("items"))
+      .write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .select(explode(ffdPack(col("items"), 4L)).as("a"))
+      .select($"a.doc_id", $"a.bid").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
   }
 
   test("ffd_pack still accepts the collect_list shape (containsNull=false)") {
@@ -31,14 +46,25 @@ class ExpressionGuardSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L)) // 3 fills bin1 past 4-2, 2 opens bin2
   }
 
-  test("winnow_select rejects nullable-element token arrays at analysis") {
+  test("winnow_select: a null token in a nullable-typed array fails loudly at eval, not with an NPE") {
     val df = Seq(1).toDF("x")
       .select(array(lit("a"), lit(null).cast("string"), lit("b")).as("tk"))
-    val e = intercept[AnalysisException] {
+    val e = intercept[Exception] {
       df.select(winnowSelect(col("tk"), 2, 2)).collect()
     }
-    assert(e.getMessage.contains("non-null elements"),
-      s"expected the containsNull type-check message, got: ${e.getMessage}")
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(msg.contains("null token"),
+      s"expected the runtime null guard message, got: $msg")
+  }
+
+  test("winnow_select accepts parquet round-tripped token arrays (nullable-typed but null-free)") {
+    val dir = tmpDir("winpq")
+    Seq("a b c d e f g h").toDF("text")
+      .select(split(col("text"), " ").as("tk"))
+      .write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .select(size(winnowSelect(col("tk"), 4, 4))).as[Int].collect()
+    assert(got.head >= 1)
   }
 
   test("winnow_select still accepts split() output (containsNull=false)") {

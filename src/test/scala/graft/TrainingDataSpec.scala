@@ -366,6 +366,78 @@ class TrainingDataSpec extends SparkSpec {
       s"two separated occurrences of the same phrase, got $got")
   }
 
+  test("dedup_substring_maximal: overlapping extents with NON-consecutive starts merge into one maximal span (r11 verdict fixture)") {
+    // doc 1 = t0..t9; doc 2 = exactly t0..t7; doc 3 = exactly t2..t9.
+    // In doc 1 the 8-grams at start 0 and start 2 are corpus-duplicated
+    // but the one at start 1 is not — a flagged-position gap of 2, inside
+    // the 2..Tk window the r11 consecutive-start merge got wrong (it
+    // emitted OVERLAPPING spans [0,8) and [2,10)). The true maximal
+    // duplicated range in doc 1 is the single union span [0,10).
+    val t = (0 to 9).map(i => s"t$i")
+    val dir = docsFixture(Seq(
+      1L -> t.mkString(" "),
+      2L -> t.take(8).mkString(" "),
+      3L -> t.drop(2).mkString(" ")))
+    val got = SparkEntry.queries("dedup_substring_maximal")(spark, dir)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 10L), (2L, 0L, 8L), (3L, 0L, 8L)),
+      s"expected ONE merged maximal span per doc, got $got")
+    // and the removal accounting agrees with the actual union cut:
+    // doc 1 loses all 10 tokens exactly once (removed_frac == 1.0, not 1.6)
+    val clean = SparkEntry.queries("dedup_substring_clean")(spark, dir)
+      .select($"doc_id", $"n_tok", $"removed_tok", $"removed_frac", $"clean_text")
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(clean(1L) == ((1L, 10L, 10L, 1.0, "")),
+      s"doc 1 accounting must match the union cut, got ${clean(1L)}")
+    clean.values.foreach { case (id, nTok, removed, frac, _) =>
+      assert(removed <= nTok && frac <= 1.0,
+        s"doc $id removed_tok $removed exceeds n_tok $nTok")
+    }
+  }
+
+  test("span family: emitted spans per document are disjoint with strict gaps (sf0.001 + fixtures)") {
+    def assertDisjoint(name: String, dir: String): Unit = {
+      val spans = SparkEntry.queries(name)(spark, dir)
+        .select($"doc_id", $"span_start", $"span_end")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).values
+      spans.foreach { perDoc =>
+        val sorted = perDoc.sortBy(_._2)
+        sorted.foreach { case (id, s, e) =>
+          assert(s < e, s"$name: empty/inverted span [$s,$e) in doc $id") }
+        sorted.sliding(2).foreach {
+          case Array((id, _, e1), (_, s2, _)) =>
+            // touching extents must have merged, so the gap is strict
+            assert(s2 > e1, s"$name: overlapping/touching spans in doc $id")
+          case _ => ()
+        }
+      }
+    }
+    // real corpus + the adversarial overlap fixture, all three span queries
+    val t = (0 to 9).map(i => s"t$i")
+    val fixture = docsFixture(Seq(
+      1L -> t.mkString(" "), 2L -> t.take(8).mkString(" "),
+      3L -> t.drop(2).mkString(" "),
+      // odd/even + benchmark-slice shape so the incremental and
+      // contamination variants flag something too
+      60L -> t.mkString(" "), 61L -> t.mkString(" ")))
+    Seq(sf, fixture).foreach { dir =>
+      assertDisjoint("dedup_substring_maximal", dir)
+      assertDisjoint("contamination_spans", dir)
+      assertDisjoint("dedup_substring_incremental", dir)
+    }
+  }
+
+  test("dedup_substring_incremental: leaves no cached partitions behind (r11 verdict #2)") {
+    spark.catalog.clearCache()
+    val got = q("dedup_substring_incremental").collect()
+    assert(got.nonEmpty, "sf0.001 should flag store-known spans")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the incremental span query must not leak persisted blocks")
+  }
+
   test("dedup_substring_clean: duplicated ranges are cut from every occurrence, context survives verbatim") {
     val run = (1 to 60).map(i => s"dup$i").mkString(" ")
     val pre = (1 to 5).map(i => s"a$i").mkString(" ")
