@@ -1186,12 +1186,71 @@ object TextOpsQueries {
         |FROM documents GROUP BY 1 ORDER BY status""".stripMargin),
 
     "multimodal_decode" -> Q(
-      "Multimodal decode: partition-level codec loop over binary payloads (stubbed codec, real plumbing) — rows-only check",
+      "Multimodal decode: partition-level codec loop over binary payloads (stubbed codec, real plumbing) — rows-only check; multimodal_decode_fixed pins the same path to a hash row",
       (s, dir) => graft.operators.MultiModal
         .decodeMeta(T.documents(s, dir), "doc_id", "text")
         .toDF()
         .orderBy(col("doc_id")),
       None),
+
+    "multimodal_decode_fixed" -> Q(
+      "The multimodal decode path pinned to a DuckDB hash row (the " +
+        "bpe_encode_fixed pattern, closing the r11 verdict's rows-only " +
+        "multimodal gap): a deterministic synthetic payload per document " +
+        "— GIF magic + the doc_id digits for even ids, bare digits for " +
+        "odd — runs through the REAL operators.MultiModal.decodeMeta " +
+        "partition loop (magic sniff, stub dims from Java's 31-rolling " +
+        "array hashCode, sha256 checksum), and the oracle restates every " +
+        "struct field in closed form: the sniff as a hex-prefix CASE, the " +
+        "int32-wrapping rolling hash as a recursive byte fold with " +
+        "Java-remainder/arithmetic-shift spelled exactly, the checksum as " +
+        "sha256 over the (deliberately ASCII) payload. The jpeg/png sniff " +
+        "branches stay spec-covered (MultiModalSpec); DuckDB's sha256 " +
+        "only hashes VARCHAR, so the fixture payload is ASCII by design",
+      (s, dir) => {
+        val payloadStr =
+          when(col("doc_id") % 2 === 0,
+            concat(lit("GIF"), col("doc_id").cast("string")))
+            .otherwise(col("doc_id").cast("string"))
+        graft.operators.MultiModal.decodeMeta(
+          T.documents(s, dir)
+            .select(col("doc_id"), encode(payloadStr, "UTF-8").as("payload")),
+          "doc_id", "payload")
+          .toDF()
+          .orderBy(col("doc_id"))
+      },
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'GIF' || CAST(doc_id AS VARCHAR)
+        |         ELSE CAST(doc_id AS VARCHAR) END AS p
+        |  FROM documents),
+        |hx AS (SELECT doc_id, p, hex(encode(p)) AS h,
+        |         CAST(octet_length(encode(p)) AS BIGINT) AS nb
+        |       FROM base),
+        |roll AS (
+        |  SELECT doc_id, h, nb, 0 AS i, CAST(1 AS BIGINT) AS acc FROM hx
+        |  UNION ALL
+        |  SELECT doc_id, h, nb, i + 1,
+        |    ((31 * acc +
+        |      CASE WHEN CAST(('0x' || substr(h, i * 2 + 1, 2)) AS BIGINT) > 127
+        |           THEN CAST(('0x' || substr(h, i * 2 + 1, 2)) AS BIGINT) - 256
+        |           ELSE CAST(('0x' || substr(h, i * 2 + 1, 2)) AS BIGINT) END)
+        |     % 4294967296 + 4294967296) % 4294967296
+        |  FROM roll WHERE i < nb),
+        |hsg AS (SELECT doc_id,
+        |          CASE WHEN acc >= 2147483648 THEN acc - 4294967296
+        |               ELSE acc END AS hs
+        |        FROM roll WHERE i = nb)
+        |SELECT b.doc_id,
+        |  CASE WHEN x.nb >= 4 AND substr(x.h, 1, 6) = '474946' THEN 'gif'
+        |       ELSE 'bin' END AS format,
+        |  CAST(64 + abs(hs % 1024) AS INTEGER) AS width,
+        |  CAST(64 + abs(((hs - ((hs % 1024 + 1024) % 1024)) // 1024) % 1024)
+        |    AS INTEGER) AS height,
+        |  x.nb AS n_bytes,
+        |  substr(sha256(b.p), 1, 16) AS checksum
+        |FROM base b JOIN hx x USING (doc_id) JOIN hsg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
 
     "f19_embed_text" -> Q(
       "F19 embedding-input assembly: header + truncated body (reference: src/embeddings.py:109-149)",

@@ -922,6 +922,60 @@ object VectorSearchQueries {
       },
       None),
 
+    "embed_pca_exact" -> Q(
+      "The PCA eigen-solve path pinned to a DuckDB hash row (the r11 " +
+        "verdict's last rows-only pair without an oracle-visible anchor): " +
+        "a planted-spectrum fixture — 256 deterministic 8-dim vectors " +
+        "x_j(i) = (j+1) * (1 - 2*bit_j(i)), Walsh-orthogonal by " +
+        "construction, so the sample covariance is EXACTLY diagonal with " +
+        "eigenvalues (j+1)^2 * 256/255 on the axes — runs through the REAL " +
+        "operators.PcaOps train/project/whiten path (power iteration, " +
+        "residual guard ladder, deflation, sign rule), and DuckDB states " +
+        "the decomposition in closed form: top component = axis 8, second " +
+        "= axis 7, both positive under the largest-entry-positive sign " +
+        "rule. Outputs are 2^20 fixed-point-rounded; on a diagonal " +
+        "covariance the iteration keeps exact zeros off-axis, so engine " +
+        "error is ~1e-15 against a 2^-21 rounding margin — the hash row " +
+        "catches a wrong eigenvector, order, sign, or scale. The 256-row " +
+        "join is fixture-sized by construction (this row pins exactness; " +
+        "embed_pca itself is the scale path)",
+      (s, dir) => {
+        val d = 8; val n = 256
+        val planted = s.range(n).toDF("vec_id")
+          .withColumn("v", array((0 until d).map { j =>
+            lit((j + 1).toDouble) *
+              (lit(1.0) - lit(2.0) *
+                (shiftright(col("vec_id"), j) % 2).cast("double"))
+          }: _*))
+        val m = graft.operators.PcaOps.train(planted, "v", dim = d, k = 2)
+        val fp = graft.operators.PcaOps.FixedPointScale
+        def fx(c: org.apache.spark.sql.Column) =
+          floor(c * fp + lit(0.5)).cast("long")
+        graft.operators.PcaOps.project(planted, "vec_id", "v", m)
+          .join(graft.operators.PcaOps.whiten(planted, "vec_id", "v", m),
+            Seq("vec_id"))
+          .select(col("vec_id"),
+            fx(col("pc1")).as("pc1_fx"), fx(col("pc2")).as("pc2_fx"),
+            fx(col("w1")).as("w1_fx"), fx(col("w2")).as("w2_fx"),
+            fx(lit(m.eigenvalues(0))).as("lam1_fx"),
+            fx(lit(m.eigenvalues(1))).as("lam2_fx"))
+          .orderBy(col("vec_id"))
+      },
+      """WITH ids AS (SELECT unnest(range(256)) AS vec_id),
+        |vecs AS (
+        |  SELECT vec_id, list_transform(range(0, 8), j ->
+        |    CAST(j + 1 AS DOUBLE) *
+        |      (1.0 - 2.0 * CAST((vec_id >> j) & 1 AS DOUBLE))) AS v
+        |  FROM ids)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(floor(v[8] * 1048576.0 + 0.5) AS BIGINT) AS pc1_fx,
+        |  CAST(floor(v[7] * 1048576.0 + 0.5) AS BIGINT) AS pc2_fx,
+        |  CAST(floor(v[8] / sqrt(64.0 * 256 / 255) * 1048576.0 + 0.5) AS BIGINT) AS w1_fx,
+        |  CAST(floor(v[7] / sqrt(49.0 * 256 / 255) * 1048576.0 + 0.5) AS BIGINT) AS w2_fx,
+        |  CAST(floor(64.0 * 256 / 255 * 1048576.0 + 0.5) AS BIGINT) AS lam1_fx,
+        |  CAST(floor(49.0 * 256 / 255 * 1048576.0 + 0.5) AS BIGINT) AS lam2_fx
+        |FROM vecs ORDER BY vec_id""".stripMargin),
+
     "embed_drift" -> Q(
       "Embedding-distribution drift between two corpus snapshots (here: even vs odd vec_id halves — in production, last month's embeddings table vs this month's): BOTH snapshots' covariance matrices come from ONE grouped VectorOuterSumAggregator pass (groupBy parity, two fixed-size moment buffers total), and the report is the 10 covariance cells that moved most — |Δcov| ranked via TakeOrdered, every delta a row-local double on exact integer-derived inputs, so the whole report hash-matches DuckDB. The covariance-space companion of report_drift's token-mixture L1: token drift catches vocabulary shifts, covariance drift catches geometry shifts (a new embedding model, a domain mix change) that leave token stats untouched",
       (s, dir) => {
