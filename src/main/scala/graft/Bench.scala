@@ -140,8 +140,20 @@ object Bench {
       "min-of-3 in one shared JVM; sub-second tail times can read up to " +
         "~2x an isolated SPARK_GRAFT_BENCH_ONLY rerun (scheduler/code-cache " +
         "contention, gc attributed separately); multi-second readings are real"
+    // Per-query time budget (r11 verdict #8): the registry keeps growing,
+    // so creep must surface without a judge diff. Any query whose
+    // drift-NORMALIZED time exceeds the budget is named here; an empty
+    // map is the expected steady state.
+    val budgetLimitSec = 5.0
+    val overBudget = results.toSeq
+      .filter { case (_, t) => t > 0 && t / driftFactor > budgetLimitSec }
+      .sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"${v / driftFactor}%.2f" }
+      .mkString("{", ",", "}")
+    val budgetJson =
+      s"""{"limit_sec":$budgetLimitSec,"normalized":true,"over":$overBudget}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec_of_best_run":$fullGc,"drift":$driftJson,"inflation_note":"$inflationNote","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec_of_best_run":$fullGc,"drift":$driftJson,"budget":$budgetJson,"inflation_note":"$inflationNote","sf":"$sfDir"}"""
     // BENCH_FULL.json is the committed full-registry record — a filtered
     // SPARK_GRAFT_BENCH_ONLY run must not clobber it with a subset
     if (only.isEmpty) {
