@@ -1046,6 +1046,44 @@ object TrainingDataQueries {
          |LEFT JOIN ct ON ct.doc_id = toks.doc_id
          |ORDER BY toks.doc_id""".stripMargin),
 
+    "dedup_substring_stats" -> Q(
+      "Corpus duplication profile over the maximal-span table (the " +
+        "report Lee et al. 2022 publish before choosing a removal " +
+        "threshold): span-length histogram in power-of-two bands with " +
+        "per-band span/token/document counts — how much of the corpus is " +
+        "duplicated, and in what granularity (boilerplate 8-grams vs " +
+        "wholesale document copies need different responses). One tiny " +
+        "groupBy over the spans table (already only documents WITH " +
+        "duplicates); the band ladder is integer CASE on exact lengths, " +
+        "no float log2, so the histogram hash-matches DuckDB",
+      (s, dir) => {
+        val len = col("span_end") - col("span_start")
+        val band = when(len < 16L, 8L).when(len < 32L, 16L)
+          .when(len < 64L, 32L).when(len < 128L, 64L)
+          .when(len < 256L, 128L).otherwise(256L)
+        maximalDupSpans(s, dir)
+          .select(col("doc_id"), band.as("band"), len.as("len"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("len")).as("dup_tokens"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("band"))
+      },
+      s"""WITH $DupSpansSqlCtes,
+         |lens AS (
+         |  SELECT doc_id, span_end - span_start AS len,
+         |    CASE WHEN span_end - span_start < 16 THEN 8
+         |         WHEN span_end - span_start < 32 THEN 16
+         |         WHEN span_end - span_start < 64 THEN 32
+         |         WHEN span_end - span_start < 128 THEN 64
+         |         WHEN span_end - span_start < 256 THEN 128
+         |         ELSE 256 END AS band
+         |  FROM spans)
+         |SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_spans,
+         |  CAST(SUM(len) AS BIGINT) AS dup_tokens,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM lens GROUP BY band ORDER BY band""".stripMargin),
+
     "contamination_spans" -> Q(
       "Span-localized benchmark decontamination (the excision form: cut " +
         "the leaked passage, keep the document — what text_contamination's " +

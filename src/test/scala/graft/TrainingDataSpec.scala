@@ -430,6 +430,19 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring_stats: band histogram reconciles with the maximal-span table") {
+    val run = (1 to 60).map(i => s"dup$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      1L -> s"${(1 to 5).map(i => s"a$i").mkString(" ")} $run",
+      2L -> s"$run ${(1 to 7).map(i => s"b$i").mkString(" ")}",
+      3L -> (1 to 30).map(i => s"u$i").mkString(" ")))
+    val got = SparkEntry.queries("dedup_substring_stats")(spark, dir)
+      .select($"band", $"n_spans", $"dup_tokens", $"n_docs")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // one 60-token span in each of docs 1 and 2 -> band 32 (32 <= 60 < 64)
+    assert(got == Seq((32L, 2L, 120L, 2L)), s"got $got")
+  }
+
   test("dedup_substring_incremental: leaves no cached partitions behind (r11 verdict #2)") {
     spark.catalog.clearCache()
     val got = q("dedup_substring_incremental").collect()
