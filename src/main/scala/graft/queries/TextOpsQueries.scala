@@ -1217,6 +1217,12 @@ object TextOpsQueries {
             .select(col("doc_id"), encode(payloadStr, "UTF-8").as("payload")),
           "doc_id", "payload")
           .toDF()
+          // dtype-portability policy (RegistryDeterminismSpec): computed
+          // ints widen to long in oracle-checked outputs
+          .select(col("doc_id"), col("format"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_bytes"), col("checksum"))
           .orderBy(col("doc_id"))
       },
       """WITH RECURSIVE base AS (
@@ -1244,9 +1250,9 @@ object TextOpsQueries {
         |SELECT b.doc_id,
         |  CASE WHEN x.nb >= 4 AND substr(x.h, 1, 6) = '474946' THEN 'gif'
         |       ELSE 'bin' END AS format,
-        |  CAST(64 + abs(hs % 1024) AS INTEGER) AS width,
+        |  CAST(64 + abs(hs % 1024) AS BIGINT) AS width,
         |  CAST(64 + abs(((hs - ((hs % 1024 + 1024) % 1024)) // 1024) % 1024)
-        |    AS INTEGER) AS height,
+        |    AS BIGINT) AS height,
         |  x.nb AS n_bytes,
         |  substr(sha256(b.p), 1, 16) AS checksum
         |FROM base b JOIN hx x USING (doc_id) JOIN hsg USING (doc_id)
