@@ -19,7 +19,9 @@ object SparkEntry {
       _root_.graft.queries.AnalyticsQueries.all ++
       _root_.graft.queries.PipelineQueries.all ++
       _root_.graft.queries.TrainingDataQueries.all ++
-      _root_.graft.queries.SelectionQueries.all
+      _root_.graft.queries.SelectionQueries.all ++
+      _root_.graft.queries.WebQueries.all ++
+      _root_.graft.queries.UnigramQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL-level curation operators — the CommonCrawl/CCNet front door of a
+  * training-data pipeline: URL canonicalization, URL-level dedup (the
+  * cheapest dedup rung, upstream of content MinHash), and the per-domain
+  * prior join (CCNet ranks domains and joins the rank onto every page).
+  *
+  * The documents table carries no URL column, so each doc gets a
+  * DETERMINISTIC synthetic raw URL derived from `doc_id` alone (the
+  * multimodal_decode_fixed posture: engine and oracle restate the same
+  * closed-form synth). The synth deliberately exercises every
+  * canonicalization rule: scheme/host case, www prefix, default vs
+  * explicit ports, trailing slash, fragments, utm_* tracking params, and
+  * param reordering — with planted collisions (doc_id and doc_id+300
+  * agree on every canon-relevant residue when both fall in the same
+  * port/query classes), so `dedup_url` finds real groups at every SF.
+  *
+  * Everything is built-in string/array functions (codegen'd, row-local):
+  * at 100 TB canonicalization is scan-bandwidth-bound, `dedup_url` is one
+  * hash-partitioned window on the canon key, and the domain prior is a
+  * bounded-cardinality aggregate broadcast back onto the corpus.
+  */
+object WebQueries {
+
+  /** Deterministic synthetic raw URL for a document id. */
+  private[graft] def rawUrlCol(d: Column): Column = {
+    def m(k: Int): Column = pmod(d, lit(k))
+    val hostCore = concat(lit("s"), m(25).cast("string"))
+    concat(
+      when(m(3) === 0, "http://").when(m(3) === 1, "https://")
+        .otherwise("HTTPS://"),
+      when(m(2) === 0, "www.").otherwise(""),
+      when(m(5) === 0, upper(hostCore)).otherwise(hostCore),
+      lit("."), lit("dom"), m(10).cast("string"), lit("."),
+      when(m(3) === 0, "com").when(m(3) === 1, "org").otherwise("net"),
+      when(m(7) === 0, when(m(3) === 0, ":80").otherwise(":443"))
+        .when(m(7) === 1, ":8080").otherwise(""),
+      lit("/p/"), m(50).cast("string"),
+      when(m(4) === 0, "/").otherwise(""),
+      when(m(4) === 0, "?utm_source=feed&x=1")
+        .when(m(4) === 1, "?x=1&utm_medium=a")
+        .when(m(4) === 2, "?x=1&a=2").otherwise(""),
+      when(m(8) === 0, "#frag").otherwise(""))
+  }
+
+  // Canonicalization pieces. Each is a pure Column over the raw URL;
+  // repeated sub-expressions are shared by Catalyst's subexpression
+  // elimination inside whole-stage codegen. Assumes scheme://host/path
+  // shape (guaranteed by the synth; document real-crawl relaxations in
+  // the spec).
+  private def noFrag(raw: Column): Column = element_at(split(raw, "#"), 1)
+  private[graft] def schemeOf(raw: Column): Column =
+    lower(element_at(split(noFrag(raw), "://"), 1))
+  private def restOf(raw: Column): Column =
+    element_at(split(noFrag(raw), "://"), 2)
+  private def hostportOf(raw: Column): Column =
+    element_at(split(restOf(raw), "/"), 1)
+  private def pathqOf(raw: Column): Column =
+    restOf(raw).substr(length(hostportOf(raw)) + 1, length(restOf(raw)))
+
+  /** Canonical host: lowercased, leading `www.` stripped. */
+  private[graft] def hostOf(raw: Column): Column = {
+    val h0 = lower(element_at(split(hostportOf(raw), ":"), 1))
+    when(h0.startsWith("www."), h0.substr(lit(5), length(h0))).otherwise(h0)
+  }
+
+  /** Port suffix with scheme-default ports (:80 http, :443 https)
+    * stripped; non-default ports survive. */
+  private def portOf(raw: Column): Column = {
+    val hp = hostportOf(raw)
+    val p0 = when(size(split(hp, ":")) > 1,
+      concat(lit(":"), element_at(split(hp, ":"), 2))).otherwise("")
+    when(schemeOf(raw) === "http" && p0 === ":80", "")
+      .when(schemeOf(raw) === "https" && p0 === ":443", "")
+      .otherwise(p0)
+  }
+
+  /** Path with a trailing slash stripped (except the bare root). */
+  private def pathOf(raw: Column): Column = {
+    val p = element_at(split(pathqOf(raw), "\\?"), 1)
+    when(p.endsWith("/") && length(p) > 1, p.substr(lit(1), length(p) - 1))
+      .otherwise(p)
+  }
+
+  /** Query string with utm_* tracking params dropped and the survivors
+    * sorted — parameter ORDER never distinguishes two URLs. */
+  private def sortedQueryOf(raw: Column): Column = {
+    val pq = pathqOf(raw)
+    val q = when(size(split(pq, "\\?")) > 1, element_at(split(pq, "\\?"), 2))
+      .otherwise("")
+    array_join(
+      array_sort(filter(split(q, "&"),
+        p => !p.startsWith("utm_") && p =!= "")), "&")
+  }
+
+  /** The full canonical form. Idempotent (spec-pinned): canonical URLs
+    * keep the scheme://host/path shape the parser assumes. */
+  private[graft] def canonicalize(raw: Column): Column = {
+    val qs = sortedQueryOf(raw)
+    concat(schemeOf(raw), lit("://"), hostOf(raw), portOf(raw), pathOf(raw),
+      when(qs === "", "").otherwise(concat(lit("?"), qs)))
+  }
+
+  /** Registered domain = last two host labels (the public-suffix
+    * approximation that needs no suffix list). */
+  private[graft] def domainOf(host: Column): Column = {
+    val ls = split(host, "\\.")
+    concat(element_at(ls, -2), lit("."), element_at(ls, -1))
+  }
+
+  // ---------------------------------------------------------------- SQL
+
+  /** DuckDB twin of [[rawUrlCol]] + [[canonicalize]], as chained CTEs
+    * ending in `canon(doc_id, n_chars, raw_url, canon_url, host)`. */
+  private val CanonSqlCtes: String =
+    // NOTE: continuation lines here must never START with "|" — query
+    // strings that embed this fragment call .stripMargin again, which
+    // would eat the first pipe of a leading "||" (so the concat operator
+    // always trails the previous line).
+    """raw AS (
+      |  SELECT doc_id, n_chars,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'
+      |      ELSE 'HTTPS://' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0
+      |      THEN upper('s' || CAST(doc_id % 25 AS VARCHAR))
+      |      ELSE 's' || CAST(doc_id % 25 AS VARCHAR) END) ||
+      |    '.dom' || CAST(doc_id % 10 AS VARCHAR) || '.' ||
+      |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |      ELSE 'net' END) ||
+      |    (CASE WHEN doc_id % 7 = 0
+      |      THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+      |      WHEN doc_id % 7 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&x=1'
+      |      WHEN 1 THEN '?x=1&utm_medium=a'
+      |      WHEN 2 THEN '?x=1&a=2' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END) AS raw_url
+      |  FROM documents),
+      |c0 AS (SELECT *, string_split(raw_url, '#')[1] AS u FROM raw),
+      |c1 AS (SELECT *, lower(string_split(u, '://')[1]) AS scheme,
+      |         string_split(u, '://')[2] AS rest FROM c0),
+      |c2 AS (SELECT *, string_split(rest, '/')[1] AS hostport FROM c1),
+      |c3 AS (SELECT *, substr(rest, length(hostport) + 1) AS pathq FROM c2),
+      |c4 AS (SELECT *, string_split(pathq, '?')[1] AS path0,
+      |         CASE WHEN len(string_split(pathq, '?')) > 1
+      |           THEN string_split(pathq, '?')[2] ELSE '' END AS qry FROM c3),
+      |c5 AS (SELECT *, lower(string_split(hostport, ':')[1]) AS host0,
+      |         CASE WHEN len(string_split(hostport, ':')) > 1
+      |           THEN ':' || string_split(hostport, ':')[2]
+      |           ELSE '' END AS port0 FROM c4),
+      |c6 AS (SELECT *,
+      |    CASE WHEN (scheme = 'http' AND port0 = ':80')
+      |           OR (scheme = 'https' AND port0 = ':443')
+      |      THEN '' ELSE port0 END AS port,
+      |    CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5)
+      |      ELSE host0 END AS host,
+      |    CASE WHEN path0 LIKE '%/' AND length(path0) > 1
+      |      THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS pth,
+      |    COALESCE(array_to_string(list_sort(list_filter(
+      |      string_split(qry, '&'),
+      |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS qs
+      |  FROM c5),
+      |canon AS (
+      |  SELECT doc_id, n_chars, raw_url,
+      |    scheme || '://' || host || port || pth ||
+      |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url,
+      |    host
+      |  FROM c6)""".stripMargin
+
+  private val DomainSql =
+    "string_split(host, '.')[len(string_split(host, '.')) - 1] || '.' || " +
+      "string_split(host, '.')[len(string_split(host, '.'))]"
+
+  // ------------------------------------------------------------ queries
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "url_canonicalize" -> Q(
+      "URL canonicalization: case, www, default ports, trailing slash, fragments, utm_* strip, param sort — row-local built-ins, scan-bandwidth-bound at 100 TB",
+      (s, dir) => {
+        val raw = rawUrlCol(col("doc_id"))
+        T.documents(s, dir).select(
+          col("doc_id"),
+          raw.as("raw_url"),
+          canonicalize(raw).as("canon_url"),
+          hostOf(raw).as("host"),
+          domainOf(hostOf(raw)).as("domain"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $CanonSqlCtes
+         |SELECT doc_id, raw_url, canon_url, host, $DomainSql AS domain
+         |FROM canon ORDER BY doc_id""".stripMargin),
+
+    "dedup_url" -> Q(
+      "URL-level dedup: group by canonical URL, keep-best by (n_chars DESC, doc_id ASC) — the cheapest dedup rung, one hash-partitioned window on the canon key",
+      (s, dir) => {
+        val w = Window.partitionBy("canon_url")
+        T.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            canonicalize(rawUrlCol(col("doc_id"))).as("canon_url"))
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("n_chars").desc, col("doc_id"))))
+          .withColumn("n_dups", count(lit(1)).over(w))
+          .filter(col("rn") === 1 && col("n_dups") >= 2)
+          .select(col("canon_url"), col("n_dups"),
+            col("doc_id").as("kept_doc_id"),
+            col("n_chars").as("kept_n_chars"))
+          .orderBy(col("n_dups").desc, col("canon_url"))
+      },
+      s"""WITH $CanonSqlCtes,
+         |r AS (
+         |  SELECT canon_url, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY canon_url
+         |      ORDER BY n_chars DESC, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY canon_url) AS n_dups
+         |  FROM canon)
+         |SELECT canon_url, n_dups, doc_id AS kept_doc_id,
+         |  n_chars AS kept_n_chars
+         |FROM r WHERE rn = 1 AND n_dups >= 2
+         |ORDER BY n_dups DESC, canon_url""".stripMargin),
+
+    "web_domain_prior" -> Q(
+      "CCNet-style domain prior: per registered domain doc count / host count / mean length, broadcast-joined back onto each page — the quality prior join",
+      (s, dir) => {
+        val canon = T.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            hostOf(rawUrlCol(col("doc_id"))).as("host"))
+          .withColumn("domain", domainOf(col("host")))
+        val prior = canon.groupBy("domain").agg(
+          count(lit(1)).as("domain_docs"),
+          countDistinct(col("host")).as("domain_hosts"),
+          (sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double")).as("domain_avg_chars"))
+        canon.filter(col("doc_id") < 200)
+          .join(broadcast(prior), "domain")
+          .select(col("doc_id"), col("domain"), col("domain_docs"),
+            col("domain_hosts"), col("domain_avg_chars"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $CanonSqlCtes,
+         |cd AS (SELECT doc_id, n_chars, host, $DomainSql AS domain
+         |       FROM canon),
+         |prior AS (
+         |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS domain_docs,
+         |    CAST(COUNT(DISTINCT host) AS BIGINT) AS domain_hosts,
+         |    CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |      AS domain_avg_chars
+         |  FROM cd GROUP BY domain)
+         |SELECT cd.doc_id, cd.domain, p.domain_docs, p.domain_hosts,
+         |  p.domain_avg_chars
+         |FROM cd JOIN prior p ON p.domain = cd.domain
+         |WHERE cd.doc_id < 200
+         |ORDER BY cd.doc_id""".stripMargin))
+}

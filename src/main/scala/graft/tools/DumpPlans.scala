@@ -69,7 +69,14 @@ object DumpPlans {
     // construction: slice-bounded train, 256-row planted spectrum,
     // row-local decode loop)
     "dedup_substring_incremental", "dedup_substring_stats",
-    "bpe_train_exact", "embed_pca_exact", "multimodal_decode_fixed")
+    "bpe_train_exact", "embed_pca_exact", "multimodal_decode_fixed",
+    // round-12 second wave: URL curation front door (row-local codegen'd
+    // canonicalization; one hash-partitioned window on the canon key;
+    // bounded domain aggregate broadcast back) and the unigram-LM
+    // tokenizer (corpus-sized explode + hash agg, Viterbi UDF strictly
+    // on the post-agg distinct-word table)
+    "url_canonicalize", "dedup_url", "web_domain_prior",
+    "unigram_encode_fixed", "unigram_train_prune")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
