@@ -27,10 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object WebQueries {
 
+  /** The lcm of every canon-relevant residue in the synth (25·10·3·50·
+    * 7·4·2·5·8 collapse to lcm 4200): without a block component, TWO
+    * pages could only ever share a canonical URL via these residues, so
+    * the distinct-key space would be bounded at 4200 and dup GROUPS
+    * would stop growing past ~4200 docs (caught measuring the 1000×
+    * decade — group count froze). The `/b<doc_id div 4200>` path
+    * segment gives each 4200-id block its own key space: collision
+    * density per block matches the small-SF fixture, group count scales
+    * linearly, and group SIZE stays bounded (≤ 14 = 4200/300) — the
+    * realistic regime, where URL dup groups are small however large the
+    * crawl. */
+  private val UrlBlock = 4200
+
   /** Deterministic synthetic raw URL for a document id. */
   private[graft] def rawUrlCol(d: Column): Column = {
     def m(k: Int): Column = pmod(d, lit(k))
     val hostCore = concat(lit("s"), m(25).cast("string"))
+    val block = floor(d / UrlBlock).cast("long")
     concat(
       when(m(3) === 0, "http://").when(m(3) === 1, "https://")
         .otherwise("HTTPS://"),
@@ -40,6 +54,7 @@ object WebQueries {
       when(m(3) === 0, "com").when(m(3) === 1, "org").otherwise("net"),
       when(m(7) === 0, when(m(3) === 0, ":80").otherwise(":443"))
         .when(m(7) === 1, ":8080").otherwise(""),
+      lit("/b"), block.cast("string"),
       lit("/p/"), m(50).cast("string"),
       when(m(4) === 0, "/").otherwise(""),
       when(m(4) === 0, "?utm_source=feed&x=1")
@@ -136,6 +151,7 @@ object WebQueries {
       |    (CASE WHEN doc_id % 7 = 0
       |      THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
       |      WHEN doc_id % 7 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/b' || CAST(doc_id // 4200 AS VARCHAR) ||
       |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
       |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
       |    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&x=1'
@@ -257,5 +273,46 @@ object WebQueries {
          |  p.domain_avg_chars
          |FROM cd JOIN prior p ON p.domain = cd.domain
          |WHERE cd.doc_id < 200
-         |ORDER BY cd.doc_id""".stripMargin))
+         |ORDER BY cd.doc_id""".stripMargin),
+
+    "url_quality_gate" -> Q(
+      "RefinedWeb-style URL quality gate: path depth, param count, path digit density, tracking/odd-port flags and the pass verdict — the URL-feature filter a crawl pipeline runs before fetching content",
+      (s, dir) => {
+        val raw = rawUrlCol(col("doc_id"))
+        val p = pathOf(raw)
+        val qs = sortedQueryOf(raw)
+        val depth = (size(split(p, "/")) - 1).cast("long")
+        val nParams = when(qs === "", 0L)
+          .otherwise(size(split(qs, "&")).cast("long"))
+        val digitFrac =
+          (length(p) - length(regexp_replace(p, "[0-9]", ""))).cast("double") /
+            length(p).cast("double")
+        val tracked = raw.contains("utm_")
+        T.documents(s, dir).select(
+          col("doc_id"),
+          depth.as("path_depth"),
+          nParams.as("n_params"),
+          digitFrac.as("digit_frac"),
+          tracked.as("tracked"),
+          (portOf(raw) =!= "").as("odd_port"))
+          .withColumn("pass",
+            !col("tracked") && col("n_params") <= 2 &&
+              col("path_depth") <= 4 && col("digit_frac") <= 0.5)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $CanonSqlCtes,
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(pth, '/')) - 1 AS BIGINT) AS path_depth,
+         |    CASE WHEN qs = '' THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(len(string_split(qs, '&')) AS BIGINT) END AS n_params,
+         |    CAST(length(pth) - length(regexp_replace(pth, '[0-9]', '', 'g'))
+         |      AS DOUBLE) / CAST(length(pth) AS DOUBLE) AS digit_frac,
+         |    contains(raw_url, 'utm_') AS tracked,
+         |    port <> '' AS odd_port
+         |  FROM c6)
+         |SELECT *,
+         |  NOT tracked AND n_params <= 2 AND path_depth <= 4
+         |    AND digit_frac <= 0.5 AS pass
+         |FROM f ORDER BY doc_id""".stripMargin))
 }

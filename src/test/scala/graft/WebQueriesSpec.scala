@@ -83,6 +83,19 @@ class WebQueriesSpec extends SparkSpec {
     assert(groups.length == members.count(_._2.length >= 2))
   }
 
+  test("url_quality_gate: verdict is exactly the conjunction of its features") {
+    val rows = SparkEntry.queries("url_quality_gate")(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, depth, nParams, digitFrac, tracked, _, pass) =>
+      assert(pass == (!tracked && nParams <= 2 && depth <= 4 && digitFrac <= 0.5),
+        s"doc $id verdict mismatch")
+      assert(tracked == (id % 4 == 0 || id % 4 == 1), s"doc $id tracked flag")
+    }
+    // the gate must split the corpus, not rubber-stamp it
+    assert(rows.exists(_._7) && rows.exists(!_._7))
+  }
+
   test("web_domain_prior: per-domain stats agree with a direct recount") {
     val prior = SparkEntry.queries("web_domain_prior")(spark, sf)
       .select("domain", "domain_docs").distinct()
