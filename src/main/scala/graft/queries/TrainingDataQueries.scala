@@ -1583,6 +1583,68 @@ object TrainingDataQueries {
         |    AS clean_text
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    "text_boilerplate_strip" -> Q(
+      "CCNet-style frequency boilerplate removal: any 8-token tile appearing " +
+        "in >= 2 DISTINCT documents of the same source is stripped from ALL " +
+        "of them (headers/footers/nav chrome repeat across a site's pages — " +
+        "no occurrence is the 'original', so unlike dedup_paragraph's C4 " +
+        "keep-first rule every copy goes; production pipelines raise the " +
+        "doc-frequency threshold with corpus size, the fixture's dup density " +
+        "sets it to 2). Scale shape mirrors the tile family: tiling is " +
+        "row-local, the (source, tile-hash) doc-frequency agg is map-side-" +
+        "combined on 8-byte hashes, the boiler table holds only tiles " +
+        "repeated across documents (a small fraction of any real corpus — " +
+        "broadcast build side), and reassembly is a per-document bounded sort",
+      (s, dir) => {
+        val P = 8; val MinDocs = 2L
+        val tiles = T.documentsSpread(s, dir)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"), posexplode(expr(
+            s"transform(sequence(CAST(0 AS BIGINT), (size(toks) - 1) div $P), " +
+              s"i -> array_join(slice(toks, int(i * $P + 1), $P), ' '))"))
+            .as(Seq("idx", "tile")))
+          .withColumn("g", xxhash64(col("tile")))
+          // feeds the doc-frequency agg and the back-join probe (the
+          // dedup_paragraph persist trade)
+          .persist()
+        val boiler = tiles.groupBy(col("source"), col("g"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= MinDocs)
+          .select(col("source"), col("g"), lit(true).as("boiler"))
+        tiles.join(broadcast(boiler), Seq("source", "g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tiles"),
+            sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+            array_join(transform(
+              array_sort(collect_list(when(col("boiler").isNull,
+                struct(col("idx"), col("tile"))))),
+              t => t.getField("tile")), " ").as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH base AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tiles AS (
+        |  SELECT doc_id, source, idx,
+        |    array_to_string(list_slice(toks, idx * 8 + 1, idx * 8 + 8), ' ')
+        |      AS tile
+        |  FROM (SELECT doc_id, source, toks,
+        |          unnest(range((len(toks) + 7) // 8)) AS idx FROM base)),
+        |boiler AS (
+        |  SELECT source, tile FROM (
+        |    SELECT source, tile, COUNT(DISTINCT doc_id) AS nd
+        |    FROM tiles GROUP BY 1, 2)
+        |  WHERE nd >= 2),
+        |flagged AS (
+        |  SELECT t.doc_id, t.idx, t.tile, b.tile IS NOT NULL AS boiler
+        |  FROM tiles t LEFT JOIN boiler b
+        |    ON b.source = t.source AND b.tile = t.tile)
+        |SELECT doc_id, COUNT(*) AS n_tiles,
+        |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN NOT boiler THEN tile END, ' '
+        |    ORDER BY idx), '') AS clean_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     "dedup_winnowing" -> Q(
       "Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken 2003 — the " +
         "MOSS scheme): per document, hash every 4-token gram to a 32-bit md5 " +

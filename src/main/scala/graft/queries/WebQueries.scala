@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables => T}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,70 +63,112 @@ object WebQueries {
       when(m(8) === 0, "#frag").otherwise(""))
   }
 
-  // Canonicalization pieces. Each is a pure Column over the raw URL;
-  // repeated sub-expressions are shared by Catalyst's subexpression
-  // elimination inside whole-stage codegen. Assumes scheme://host/path
-  // shape (guaranteed by the synth; document real-crawl relaxations in
-  // the spec).
-  private def noFrag(raw: Column): Column = element_at(split(raw, "#"), 1)
-  private[graft] def schemeOf(raw: Column): Column =
-    lower(element_at(split(noFrag(raw), "://"), 1))
-  private def restOf(raw: Column): Column =
-    element_at(split(noFrag(raw), "://"), 2)
-  private def hostportOf(raw: Column): Column =
-    element_at(split(restOf(raw), "/"), 1)
-  private def pathqOf(raw: Column): Column =
-    restOf(raw).substr(length(hostportOf(raw)) + 1, length(restOf(raw)))
-
-  /** Canonical host: lowercased, leading `www.` stripped. */
-  private[graft] def hostOf(raw: Column): Column = {
-    val h0 = lower(element_at(split(hostportOf(raw), ":"), 1))
+  // Canonicalization pieces, built on substring_index — a TOTAL plain
+  // string scan (no regex, no ANSI out-of-bounds throw on malformed
+  // records, so one bad URL can never kill a streaming drain). Each
+  // piece is parameterized by its IMMEDIATE input, never by the raw URL:
+  // the one-expression composition (`canonicalize`) re-embeds upstream
+  // trees multiplicatively (the raw synth appeared hundreds of times in
+  // the gate query's plan — janino paid seconds per codegen), so every
+  // corpus-sized path goes through [[withUrlParts]], which stages each
+  // piece ONCE as a named column (CollapseProject keeps multi-use
+  // non-cheap aliases materialized). "First occurrence" semantics
+  // throughout (substr-from-length arithmetic, never the -1
+  // last-occurrence form) so the DuckDB twins' string_split(...)[1]/[2]
+  // match on any input.
+  private def noFrag(raw: Column): Column = substring_index(raw, "#", 1)
+  /** Scheme-less input is treated as http. */
+  private def schemeFromU(u: Column): Column =
+    when(u.contains("://"), lower(substring_index(u, "://", 1)))
+      .otherwise("http")
+  private def restFromU(u: Column): Column =
+    when(u.contains("://"),
+      u.substr(length(substring_index(u, "://", 1)) + 4, length(u)))
+      .otherwise(u)
+  private def hostportFromRest(rest: Column): Column =
+    substring_index(rest, "/", 1)
+  private def pathqFrom(rest: Column, hp: Column): Column =
+    rest.substr(length(hp) + 1, length(rest))
+  private def hostFromHp(hp: Column): Column = {
+    val h0 = lower(substring_index(hp, ":", 1))
     when(h0.startsWith("www."), h0.substr(lit(5), length(h0))).otherwise(h0)
   }
-
   /** Port suffix with scheme-default ports (:80 http, :443 https)
     * stripped; non-default ports survive. */
-  private def portOf(raw: Column): Column = {
-    val hp = hostportOf(raw)
-    val p0 = when(size(split(hp, ":")) > 1,
-      concat(lit(":"), element_at(split(hp, ":"), 2))).otherwise("")
-    when(schemeOf(raw) === "http" && p0 === ":80", "")
-      .when(schemeOf(raw) === "https" && p0 === ":443", "")
+  private def portFrom(scheme: Column, hp: Column): Column = {
+    val p0 = when(hp.contains(":"),
+      concat(lit(":"),
+        hp.substr(length(substring_index(hp, ":", 1)) + 2, length(hp))))
+      .otherwise("")
+    when(scheme === "http" && p0 === ":80", "")
+      .when(scheme === "https" && p0 === ":443", "")
       .otherwise(p0)
   }
-
   /** Path with a trailing slash stripped (except the bare root). */
-  private def pathOf(raw: Column): Column = {
-    val p = element_at(split(pathqOf(raw), "\\?"), 1)
+  private def pathFromPathq(pathq: Column): Column = {
+    val p = substring_index(pathq, "?", 1)
     when(p.endsWith("/") && length(p) > 1, p.substr(lit(1), length(p) - 1))
       .otherwise(p)
   }
-
   /** Query string with utm_* tracking params dropped and the survivors
-    * sorted — parameter ORDER never distinguishes two URLs. */
-  private def sortedQueryOf(raw: Column): Column = {
-    val pq = pathqOf(raw)
-    val q = when(size(split(pq, "\\?")) > 1, element_at(split(pq, "\\?"), 2))
-      .otherwise("")
+    * sorted — parameter ORDER never distinguishes two URLs. Input is
+    * everything after the first '?' (substr past the end yields ''). */
+  private def sortedQueryFrom(pathq: Column): Column = {
+    val q = pathq.substr(
+      length(substring_index(pathq, "?", 1)) + 2, length(pathq))
     array_join(
       array_sort(filter(split(q, "&"),
         p => !p.startsWith("utm_") && p =!= "")), "&")
   }
-
-  /** The full canonical form. Idempotent (spec-pinned): canonical URLs
-    * keep the scheme://host/path shape the parser assumes. */
-  private[graft] def canonicalize(raw: Column): Column = {
-    val qs = sortedQueryOf(raw)
-    concat(schemeOf(raw), lit("://"), hostOf(raw), portOf(raw), pathOf(raw),
+  private def canonFrom(scheme: Column, host: Column, port: Column,
+      pth: Column, qs: Column): Column =
+    concat(scheme, lit("://"), host, port, pth,
       when(qs === "", "").otherwise(concat(lit("?"), qs)))
+
+  /** Stages the URL parse ONCE per row as named columns `scheme`,
+    * `host`, `port`, `pth`, `qs`, `canon_url` (the DuckDB twin's c0–c6
+    * chain, engine-side). Every corpus-sized query and the streaming
+    * screen go through here — see the class note on expression-tree
+    * blowup for why composition into one Column is reserved for
+    * fixture-sized frames. */
+  private[graft] def withUrlParts(df: DataFrame, raw: Column): DataFrame =
+    df.withColumn("_u", noFrag(raw))
+      .withColumn("_scheme", schemeFromU(col("_u")))
+      .withColumn("_rest", restFromU(col("_u")))
+      .withColumn("_hp", hostportFromRest(col("_rest")))
+      .withColumn("_pathq", pathqFrom(col("_rest"), col("_hp")))
+      .withColumn("scheme", col("_scheme"))
+      .withColumn("host", hostFromHp(col("_hp")))
+      .withColumn("port", portFrom(col("_scheme"), col("_hp")))
+      .withColumn("pth", pathFromPathq(col("_pathq")))
+      .withColumn("qs", sortedQueryFrom(col("_pathq")))
+      .withColumn("canon_url", canonFrom(col("scheme"), col("host"),
+        col("port"), col("pth"), col("qs")))
+      .drop("_u", "_scheme", "_rest", "_hp", "_pathq")
+
+  /** The full canonical form as ONE Column — for fixture-sized frames
+    * (specs, point checks) only; corpus paths use [[withUrlParts]].
+    * Composed from the SAME piece functions, so the two forms cannot
+    * drift. Idempotent (spec-pinned). */
+  private[graft] def canonicalize(raw: Column): Column = {
+    val u = noFrag(raw)
+    val rest = restFromU(u)
+    val hp = hostportFromRest(rest)
+    val pathq = pathqFrom(rest, hp)
+    canonFrom(schemeFromU(u), hostFromHp(hp), portFrom(schemeFromU(u), hp),
+      pathFromPathq(pathq), sortedQueryFrom(pathq))
   }
+
+  /** Canonical host from a raw URL (fixture-sized frames only). */
+  private[graft] def hostOf(raw: Column): Column =
+    hostFromHp(hostportFromRest(restFromU(noFrag(raw))))
 
   /** Registered domain = last two host labels (the public-suffix
-    * approximation that needs no suffix list). */
-  private[graft] def domainOf(host: Column): Column = {
-    val ls = split(host, "\\.")
-    concat(element_at(ls, -2), lit("."), element_at(ls, -1))
-  }
+    * approximation that needs no suffix list); a single-label host is
+    * its own domain — substring_index(…, -2) gives both behaviors
+    * totally (no split array, no ANSI throw). */
+  private[graft] def domainOf(host: Column): Column =
+    substring_index(host, ".", -2)
 
   // ---------------------------------------------------------------- SQL
 
@@ -201,13 +243,11 @@ object WebQueries {
     "url_canonicalize" -> Q(
       "URL canonicalization: case, www, default ports, trailing slash, fragments, utm_* strip, param sort — row-local built-ins, scan-bandwidth-bound at 100 TB",
       (s, dir) => {
-        val raw = rawUrlCol(col("doc_id"))
-        T.documents(s, dir).select(
-          col("doc_id"),
-          raw.as("raw_url"),
-          canonicalize(raw).as("canon_url"),
-          hostOf(raw).as("host"),
-          domainOf(hostOf(raw)).as("domain"))
+        val staged = T.documents(s, dir)
+          .withColumn("raw_url", rawUrlCol(col("doc_id")))
+        withUrlParts(staged, col("raw_url"))
+          .select(col("doc_id"), col("raw_url"), col("canon_url"),
+            col("host"), domainOf(col("host")).as("domain"))
           .orderBy(col("doc_id"))
       },
       s"""WITH $CanonSqlCtes
@@ -218,9 +258,8 @@ object WebQueries {
       "URL-level dedup: group by canonical URL, keep-best by (n_chars DESC, doc_id ASC) — the cheapest dedup rung, one hash-partitioned window on the canon key",
       (s, dir) => {
         val w = Window.partitionBy("canon_url")
-        T.documents(s, dir)
-          .select(col("doc_id"), col("n_chars"),
-            canonicalize(rawUrlCol(col("doc_id"))).as("canon_url"))
+        withUrlParts(T.documents(s, dir), rawUrlCol(col("doc_id")))
+          .select(col("doc_id"), col("n_chars"), col("canon_url"))
           .withColumn("rn", row_number().over(
             w.orderBy(col("n_chars").desc, col("doc_id"))))
           .withColumn("n_dups", count(lit(1)).over(w))
@@ -245,9 +284,9 @@ object WebQueries {
     "web_domain_prior" -> Q(
       "CCNet-style domain prior: per registered domain doc count / host count / mean length, broadcast-joined back onto each page — the quality prior join",
       (s, dir) => {
-        val canon = T.documents(s, dir)
-          .select(col("doc_id"), col("n_chars"),
-            hostOf(rawUrlCol(col("doc_id"))).as("host"))
+        val canon = withUrlParts(T.documents(s, dir),
+          rawUrlCol(col("doc_id")))
+          .select(col("doc_id"), col("n_chars"), col("host"))
           .withColumn("domain", domainOf(col("host")))
         val prior = canon.groupBy("domain").agg(
           count(lit(1)).as("domain_docs"),
@@ -278,23 +317,19 @@ object WebQueries {
     "url_quality_gate" -> Q(
       "RefinedWeb-style URL quality gate: path depth, param count, path digit density, tracking/odd-port flags and the pass verdict — the URL-feature filter a crawl pipeline runs before fetching content",
       (s, dir) => {
-        val raw = rawUrlCol(col("doc_id"))
-        val p = pathOf(raw)
-        val qs = sortedQueryOf(raw)
-        val depth = (size(split(p, "/")) - 1).cast("long")
-        val nParams = when(qs === "", 0L)
-          .otherwise(size(split(qs, "&")).cast("long"))
-        val digitFrac =
-          (length(p) - length(regexp_replace(p, "[0-9]", ""))).cast("double") /
-            length(p).cast("double")
-        val tracked = raw.contains("utm_")
-        T.documents(s, dir).select(
+        val staged = withUrlParts(
+          T.documents(s, dir).withColumn("raw_url", rawUrlCol(col("doc_id"))),
+          col("raw_url"))
+        val p = col("pth"); val qs = col("qs")
+        staged.select(
           col("doc_id"),
-          depth.as("path_depth"),
-          nParams.as("n_params"),
-          digitFrac.as("digit_frac"),
-          tracked.as("tracked"),
-          (portOf(raw) =!= "").as("odd_port"))
+          (size(split(p, "/")) - 1).cast("long").as("path_depth"),
+          when(qs === "", 0L)
+            .otherwise(size(split(qs, "&")).cast("long")).as("n_params"),
+          ((length(p) - length(regexp_replace(p, "[0-9]", ""))).cast("double")
+            / length(p).cast("double")).as("digit_frac"),
+          col("raw_url").contains("utm_").as("tracked"),
+          (col("port") =!= "").as("odd_port"))
           .withColumn("pass",
             !col("tracked") && col("n_params") <= 2 &&
               col("path_depth") <= 4 && col("digit_frac") <= 0.5)

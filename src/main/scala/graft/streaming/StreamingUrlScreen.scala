@@ -53,8 +53,11 @@ object StreamingUrlScreen {
     * Exposed for the spec; `drain` wires it into foreachBatch. */
   private[streaming] def screenAgainstStore(
       batch: DataFrame, urlStore: Option[DataFrame]): DataFrame = {
-    val canon = batch.select(col("doc_id"), col("n_chars"),
-      WebQueries.canonicalize(col("url")).as("canon_url"))
+    // staged parse (withUrlParts), not the one-Column composition — the
+    // per-batch plan/codegen cost of the blown-up single expression
+    // would dominate micro-batch latency
+    val canon = WebQueries.withUrlParts(batch, col("url"))
+      .select(col("doc_id"), col("n_chars"), col("canon_url"))
     val w = Window.partitionBy("canon_url")
       .orderBy(col("n_chars").desc, col("doc_id"))
     val bestInBatch = canon

@@ -76,7 +76,11 @@ object DumpPlans {
     // tokenizer (corpus-sized explode + hash agg, Viterbi UDF strictly
     // on the post-agg distinct-word table)
     "url_canonicalize", "dedup_url", "web_domain_prior",
-    "unigram_encode_fixed", "unigram_train_prune")
+    "unigram_encode_fixed", "unigram_train_prune",
+    // round-12 third wave: URL-feature gate (same doc_id-only scan as
+    // the canonicalizer) and per-source frequency boilerplate strip
+    // (tile explode + 8-byte-hash doc-frequency agg + broadcast back-join)
+    "url_quality_gate", "text_boilerplate_strip")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

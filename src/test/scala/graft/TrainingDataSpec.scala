@@ -25,6 +25,29 @@ class TrainingDataSpec extends SparkSpec {
     dir
   }
 
+  test("text_boilerplate_strip: per-source scope, ALL occurrences stripped (no keep-first)") {
+    val dir = tmpDir("boiler")
+    val tile = (1 to 8).map(i => s"b$i").mkString(" ")
+    def tail(p: String) = (1 to 8).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (0L, s"$tile ${tail("u")}", "sa"),
+      (1L, s"$tile ${tail("v")}", "sa"),
+      (2L, s"$tile ${tail("w")}", "sb"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_boilerplate_strip")(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    // source sa: the shared tile is in 2 distinct docs -> stripped from
+    // BOTH (dedup_paragraph would have kept doc 0's copy)
+    assert(got(0L) == (1L, tail("u")))
+    assert(got(1L) == (1L, tail("v")))
+    // source sb holds the tile once -> untouched (per-source scope)
+    assert(got(2L) == (0L, s"$tile ${tail("w")}"))
+  }
+
   test("ann_int8_knn: quantized cosine tracks float cosine within the int8 envelope") {
     val emb = Tables.embeddings(spark, sf).filter($"embedding".isNotNull)
     val qv = emb.filter($"vec_id" === 0L).select($"embedding".as("qv"))

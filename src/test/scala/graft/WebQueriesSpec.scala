@@ -45,6 +45,22 @@ class WebQueriesSpec extends SparkSpec {
       "http://ex.org/a?a=1&b=2"))
   }
 
+  test("malformed URLs degrade gracefully under ANSI mode (no throw): scheme-less, path-less, single-label host") {
+    // one bad record must not kill a streaming drain — these would throw
+    // from an unguarded element_at under Spark's default ANSI mode
+    assert(canon(
+      "example.org/x",
+      "http://localhost",
+      "HTTPS://Host.Org"
+    ) == Seq(
+      "http://example.org/x",
+      "http://localhost",
+      "https://host.org"))
+    val d = Seq("localhost").toDF("h")
+      .select(WebQueries.domainOf(col("h"))).as[String].collect()
+    assert(d.toSeq == Seq("localhost"))
+  }
+
   test("canonicalization is idempotent on every synthesized URL") {
     val raws = Tables.documents(spark, sf)
       .select(WebQueries.rawUrlCol(col("doc_id")).as("raw"))
