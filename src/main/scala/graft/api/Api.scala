@@ -335,6 +335,89 @@ final class EmailEtlApi(
     val avgTokens = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
     n.toDouble * avgTokens / 1e6 * 0.02
   }
+
+  /** `url screen` (beyond-reference surface; VERDICT r12 #6): the URL
+    * family's front door for a USER-supplied batch — canonicalize each
+    * raw URL row-locally ([[graft.queries.WebQueries.withUrlParts]], the
+    * one rule set batch/streaming/oracle share), evaluate the RefinedWeb-
+    * style gate features + verdict, and mark within-batch canonical
+    * duplicates (keep-first by input position). Bounded driver boundary:
+    * ≤ 10 000 URLs per call — corpus-sized screens belong to the
+    * `url_canonicalize` / `url_quality_gate` / `dedup_url` batch
+    * operators and the streaming frontier screen. */
+  def urlScreen(urls: Seq[String]): DataFrame = {
+    require(urls.nonEmpty, "url screen: pass at least one URL")
+    require(urls.size <= 10000,
+      s"url screen: ${urls.size} URLs exceed the 10000-per-call bound — " +
+        "use the url_canonicalize/url_quality_gate batch operators for " +
+        "corpus-sized screens")
+    import spark.implicits._
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("url_id", "raw_url")
+    val staged = graft.queries.WebQueries.withUrlParts(df, col("raw_url"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canon_url")
+    graft.queries.WebQueries.withGateFeatures(staged)
+      .withColumn("domain",
+        graft.queries.WebQueries.domainOf(col("host")))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("kept",
+        row_number().over(w.orderBy(col("url_id"))) === 1)
+      .select(col("url_id"), col("raw_url"), col("canon_url"), col("host"),
+        col("domain"), col("path_depth"), col("n_params"), col("digit_frac"),
+        col("tracked"), col("odd_port"), col("pass"), col("n_dups"),
+        col("kept"))
+      .orderBy(col("url_id"))
+  }
+
+  /** `tokenizer audit` (beyond-reference surface; VERDICT r12 #6): the
+    * tokenizer families' front door for USER-supplied texts — per text,
+    * the three pipeline token counts (whitespace words, GPT-2-style
+    * regex pieces, chars/4 estimate) plus the unigram-LM Viterbi audit
+    * (total pieces, fertility = pieces/word, integer cost/char) under
+    * the fixed [[graft.operators.UnigramLm.Vocab]] piece table — every
+    * kernel row-local (the native [[graft.functions.UnigramViterbi]]
+    * runs inside a `transform` over the word array). Bounded driver
+    * boundary: ≤ 1 000 texts per call; corpus-sized audits belong to
+    * `unigram_fertility` / `text_token_count_bpe`. */
+  def tokenizerAudit(texts: Seq[String]): DataFrame = {
+    require(texts.nonEmpty, "tokenizer audit: pass at least one text")
+    require(texts.size <= 1000,
+      s"tokenizer audit: ${texts.size} texts exceed the 1000-per-call " +
+        "bound — use the unigram_fertility/text_token_count_bpe batch " +
+        "operators for corpus-sized audits")
+    import spark.implicits._
+    val piece = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+" // text_token_count_bpe's regex
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("text_id", "text")
+    val withWords = df
+      .withColumn("words", graft.queries.UnigramQueries.wordsCol(col("text")))
+      .withColumn("vits", transform(col("words"),
+        w => graft.functions.UnigramFunctions.unigramViterbi(w)))
+    withWords.select(
+        col("text_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("words")).cast("long").as("n_words"),
+        size(regexp_extract_all(lower(col("text")), lit(piece), lit(0)))
+          .cast("long").as("n_bpe"),
+        graft.functions.EmailFunctions.approxTokenCount(col("text"))
+          .as("n_est"),
+        aggregate(col("vits"), lit(0L),
+          (a, v) => a + v.getField("nPieces")).as("n_pieces"),
+        aggregate(col("vits"), lit(0L),
+          (a, v) => a + v.getField("cost")).as("vit_cost"),
+        aggregate(col("words"), lit(0L),
+          (a, w) => a + length(w).cast("long")).as("n_word_chars"))
+      .withColumn("pieces_per_word",
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_pieces").cast("double")
+            / col("n_words").cast("double")))
+      .withColumn("cost_per_char",
+        when(col("n_word_chars") === 0L, lit(null).cast("double"))
+          .otherwise(col("vit_cost").cast("double")
+            / col("n_word_chars").cast("double")))
+      .drop("n_word_chars")
+      .orderBy(col("text_id"))
+  }
 }
 
 /** Thin CLI front-end mirroring the reference verbs (reference: main.py). */
@@ -387,6 +470,12 @@ object Cli {
       } else println("db test ok")
     case "estimate-cost" :: store :: Nil =>
       println(f"estimated embedding cost: $$${new EmailEtlApi(spark, store).estimateCost()}%.6f")
+    case "url" :: "screen" :: store :: urls if urls.nonEmpty =>
+      new EmailEtlApi(spark, store).urlScreen(urls)
+        .show(urls.size, truncate = false)
+    case "tokenizer" :: "audit" :: store :: texts if texts.nonEmpty =>
+      new EmailEtlApi(spark, store).tokenizerAudit(texts)
+        .show(texts.size, truncate = false)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -401,6 +490,8 @@ object Cli {
            |  providers <storeDir>
            |  db init <storeDir>
            |  db test <storeDir>
-           |  estimate-cost <storeDir>""".stripMargin)
+           |  estimate-cost <storeDir>
+           |  url screen <storeDir> <url> [url ...]
+           |  tokenizer audit <storeDir> <text> [text ...]""".stripMargin)
   }
 }

@@ -48,7 +48,10 @@ object McpTools {
       "categorization" -> JBool(true),
       "action_extraction" -> JBool(true),
       "thread_summarization" -> JBool(true),
-      "pattern_analysis" -> JBool(true)))
+      "pattern_analysis" -> JBool(true),
+      // beyond-reference curation front doors (VERDICT r12 #6)
+      "url_screening" -> JBool(true),
+      "tokenizer_audit" -> JBool(true)))
 
   /** Tool registry mirroring mcp_tools.py:13-269, line for line. */
   val tools: List[Tool] = List(
@@ -106,7 +109,19 @@ object McpTools {
         Param("days", "integer", "Analyze emails from the last N days (1-365)", default = Some(JInt(30))),
         Param("group_by", "string", "How to group analysis: 'sender', 'domain', 'label', 'day', 'week'",
           default = Some(JString("sender")),
-          allowed = Some(List("sender", "domain", "label", "day", "week"))))))
+          allowed = Some(List("sender", "domain", "label", "day", "week"))))),
+    // Beyond-reference curation front doors (VERDICT r12 #6): the URL and
+    // tokenizer families were registry-only; these expose them with the
+    // same bounds discipline as every other tool (hard per-call caps,
+    // row-local evaluation — EmailEtlApi.urlScreen/tokenizerAudit).
+    Tool("url_screen",
+      "Screen a batch of raw URLs: canonicalize (case/www/default ports/trailing slash/fragments/utm_* strip/param sort), evaluate the RefinedWeb-style quality gate, and mark within-batch canonical duplicates (keep-first). Bounded to 10000 URLs per call; corpus-sized screens run as batch operators.",
+      List(
+        Param("urls", "array", "Raw URLs to screen (1-10000 strings)", required = true))),
+    Tool("tokenizer_audit",
+      "Audit tokenization of the given texts: whitespace/BPE-regex/chars-per-4 token counts plus the unigram-LM Viterbi fertility (pieces per word) and integer cost per character under the fixed piece table. Bounded to 1000 texts per call; corpus-sized audits run as batch operators.",
+      List(
+        Param("texts", "array", "Texts to audit (1-1000 strings)", required = true))))
 
   /** The GET /mcp/tools body (server.py:507-513 shape). */
   def definitions: JValue = {
@@ -162,6 +177,7 @@ object McpTools {
               case JDecimal(d)        => d.isWhole
               case _                  => false
             }
+            case "array" => v.isInstanceOf[JArray]
             case _ => true
           }
           if (!typeOk) throw McpError(
@@ -251,8 +267,27 @@ object McpTools {
               "configured on the server (the reference's parameterless form " +
               "works when the server is started with a default inbox)"))
         importStatusJson(api.syncIncremental(dir))
+      case "url_screen" =>
+        rows(bounded(api.urlScreen(strings(p("urls"), "urls", toolName))))
+      case "tokenizer_audit" =>
+        rows(bounded(api.tokenizerAudit(strings(p("texts"), "texts", toolName))))
     }
   }
+
+  /** A validated string array param; non-string elements are a tool-level
+    * 400, like every other type violation above. */
+  private def strings(v: JValue, name: String, tool: String): Seq[String] =
+    v.asInstanceOf[JArray].arr.map {
+      case JString(s) => s
+      case other => throw McpError(
+        s"Parameter '$name' for tool '$tool' must contain only strings, " +
+          s"got ${jsonTypeName(other)}")
+    }
+
+  /** Per-call bound violations (EmailEtlApi's require) surface as the
+    * tool-level 400, not a 500. */
+  private def bounded(df: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    try df catch { case e: IllegalArgumentException => throw McpError(e.getMessage) }
 
   /** The ImportStatus shape (reference: src/api/models.py:224-233), as the
     * synchronous tools/call result — status is always "completed" here

@@ -33,6 +33,8 @@ import org.json4s.jackson.JsonMethods
   *  - POST /api/search/ask         → {question, answer, sources, context_email_count}
   *  - POST /api/analyze/categorize → [{...category rows}]
   *  - POST /api/analyze/actions    → [{...action rows}]
+  *  - POST /api/urls/screen        → {results: [canon + gate rows], total}
+  *  - POST /api/tokenizer/audit    → {results: [token-count rows], total}
   *  - GET  /mcp/tools              → MCP server info + tool definitions
   *  - POST /mcp/call               → {tool, parameters} → {tool, result}
   * Errors return FastAPI's shape: {"detail": msg} with 400/404/405/500.
@@ -238,6 +240,32 @@ object RestServer {
       val days = (body \ "days").extractOpt[Int].getOrElse(7)
       val limit = (body \ "limit").extractOpt[Int].getOrElse(50)
       JArray(dfJson(api.extractActions(days, limit)).toList)
+    }
+
+    // Beyond-reference curation front doors (VERDICT r12 #6): the same
+    // EmailEtlApi verbs the MCP url_screen / tokenizer_audit tools call;
+    // per-call bound violations surface as 400s, like every other
+    // request-shape error.
+    route(srv, "/api/urls/screen", "POST", count) { body =>
+      val urls = (body \ "urls").extractOpt[List[String]]
+        .filter(_.nonEmpty)
+        .getOrElse(throw BadRequest("missing field: urls (non-empty string array)"))
+      val rows = dfJson(
+        try api.urlScreen(urls)
+        catch { case e: IllegalArgumentException => throw BadRequest(e.getMessage) })
+      JObject("results" -> JArray(rows.toList),
+        "total" -> JInt(rows.size))
+    }
+
+    route(srv, "/api/tokenizer/audit", "POST", count) { body =>
+      val texts = (body \ "texts").extractOpt[List[String]]
+        .filter(_.nonEmpty)
+        .getOrElse(throw BadRequest("missing field: texts (non-empty string array)"))
+      val rows = dfJson(
+        try api.tokenizerAudit(texts)
+        catch { case e: IllegalArgumentException => throw BadRequest(e.getMessage) })
+      JObject("results" -> JArray(rows.toList),
+        "total" -> JInt(rows.size))
     }
 
     route(srv, "/mcp/tools", "GET", count) { _ => McpTools.definitions }

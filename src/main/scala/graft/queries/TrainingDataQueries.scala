@@ -1591,8 +1591,10 @@ object TrainingDataQueries {
         "keep-first rule every copy goes; production pipelines raise the " +
         "doc-frequency threshold with corpus size, the fixture's dup density " +
         "sets it to 2). Scale shape mirrors the tile family: tiling is " +
-        "row-local, the (source, tile-hash) doc-frequency agg is map-side-" +
-        "combined on 8-byte hashes, the boiler table holds only tiles " +
+        "row-local, the (source, tile-hash, tile) doc-frequency agg is " +
+        "map-side-combined leading on the 8-byte hash (the tile string " +
+        "rides along to disambiguate 64-bit collisions), the boiler table " +
+        "holds only tiles " +
         "repeated across documents (a small fraction of any real corpus — " +
         "broadcast build side), and reassembly is a per-document bounded sort",
       (s, dir) => {
@@ -1607,11 +1609,18 @@ object TrainingDataQueries {
           // feeds the doc-frequency agg and the back-join probe (the
           // dedup_paragraph persist trade)
           .persist()
-        val boiler = tiles.groupBy(col("source"), col("g"))
+        // the tile STRING rides the group/join keys alongside its hash:
+        // partitioning and comparison lead on the 8-byte g, the string
+        // disambiguates a 64-bit collision (two distinct tiles sharing g
+        // within a source would otherwise pool their doc counts and strip
+        // an innocent tile) — and the join now matches the DuckDB twin's
+        // raw-tile join exactly, not just up to hash collisions
+        val boiler = tiles.groupBy(col("source"), col("g"), col("tile"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= MinDocs)
-          .select(col("source"), col("g"), lit(true).as("boiler"))
-        tiles.join(broadcast(boiler), Seq("source", "g"), "left")
+          .select(col("source"), col("g"), col("tile"),
+            lit(true).as("boiler"))
+        tiles.join(broadcast(boiler), Seq("source", "g", "tile"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tiles"),
             sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),

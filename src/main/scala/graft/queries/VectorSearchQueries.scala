@@ -1071,7 +1071,7 @@ object VectorSearchQueries {
       }),
 
     "embed_whiten" -> Q(
-      "PCA whitening: the embed_pca projection with each component scaled by 1/sqrt(eigenvalue), so output coordinates have unit variance and zero cross-covariance — the standard normalization before distance-threshold clustering (SemDeDup) or Mahalanobis-flavored outlier scoring. The 1/sqrt(lambda) folds into the same broadcast-literal component arrays, so whitening costs exactly what projection costs: one codegen'd fold per component, row-local, no join. Rows-only check (the eigen solve is not SQL-expressible); exactness anchors are the embed_covariance hash row (pins the moment aggregation) and PcaSpec's identity-covariance assertion — the whitened output's own sample covariance must read ~I, a property that catches a wrong eigenvalue, a wrong scale, or a non-orthogonal basis in one number",
+      "PCA whitening: the embed_pca projection with each component scaled by 1/sqrt(eigenvalue), so output coordinates have unit variance and zero cross-covariance — the standard normalization before distance-threshold clustering (SemDeDup) or Mahalanobis-flavored outlier scoring. The 1/sqrt(lambda) folds into the same broadcast-literal component arrays, so whitening costs exactly what projection costs: one codegen'd fold per component, row-local, no join. Rows-only check (the eigen solve is not SQL-expressible); exactness anchors are embed_whiten_exact (the planted-spectrum hash twin: closed-form whitened vectors + the identity-covariance contract), the embed_covariance hash row (pins the moment aggregation) and PcaSpec's identity-covariance assertion — the whitened output's own sample covariance must read ~I, a property that catches a wrong eigenvalue, a wrong scale, or a non-orthogonal basis in one number",
       (s, dir) => {
         val emb = T.embeddings(s, dir)
           .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
@@ -1080,6 +1080,59 @@ object VectorSearchQueries {
           .orderBy(col("vec_id"))
       },
       None),
+
+    "embed_whiten_exact" -> Q(
+      "embed_whiten's exactness twin (the r12 verdict's last oracle-" +
+        "unanchored transform in the embedding family): the REAL " +
+        "PcaOps train -> whiten path on the embed_pca_exact planted-" +
+        "spectrum fixture, where DuckDB states the whitened vectors in " +
+        "closed form (w_j = x_j / sqrt(lambda_j) on a diagonal " +
+        "covariance) — AND the whitening CONTRACT itself: every row " +
+        "carries the whitened output's own 2x2 sample covariance, which " +
+        "must be exactly the identity (1, 0, 1 at 2^20 fixed point). A " +
+        "wrong eigenvalue, scale, non-orthogonal basis, or missing " +
+        "centering moves a covariance cell by O(1) against a 2^-21 " +
+        "rounding margin. Fixture-sized by construction; embed_whiten " +
+        "is the scale path",
+      (s, dir) => {
+        val d = 8; val n = 256
+        val planted = s.range(n).toDF("vec_id")
+          .withColumn("v", array((0 until d).map { j =>
+            lit((j + 1).toDouble) *
+              (lit(1.0) - lit(2.0) *
+                (shiftright(col("vec_id"), j) % 2).cast("double"))
+          }: _*))
+        val m = graft.operators.PcaOps.train(planted, "v", dim = d, k = 2)
+        val fp = graft.operators.PcaOps.FixedPointScale
+        def fx(c: org.apache.spark.sql.Column) =
+          floor(c * fp + lit(0.5)).cast("long")
+        val w = graft.operators.PcaOps.whiten(planted, "vec_id", "v", m)
+        val nn = lit(n.toDouble)
+        def sampleCov(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) =
+          (sum(a * b) - sum(a) * sum(b) / nn) / (nn - 1)
+        val covRow = w.agg(
+          fx(sampleCov(col("w1"), col("w1"))).as("c11_fx"),
+          fx(sampleCov(col("w1"), col("w2"))).as("c12_fx"),
+          fx(sampleCov(col("w2"), col("w2"))).as("c22_fx"))
+        w.select(col("vec_id"),
+            fx(col("w1")).as("w1_fx"), fx(col("w2")).as("w2_fx"))
+          .crossJoin(broadcast(covRow)) // 1-row identity-contract columns
+          .orderBy(col("vec_id"))
+      },
+      """WITH ids AS (SELECT unnest(range(256)) AS vec_id),
+        |vecs AS (
+        |  SELECT vec_id, list_transform(range(0, 8), j ->
+        |    CAST(j + 1 AS DOUBLE) *
+        |      (1.0 - 2.0 * CAST((vec_id >> j) & 1 AS DOUBLE))) AS v
+        |  FROM ids)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(floor(v[8] / sqrt(64.0 * 256 / 255) * 1048576.0 + 0.5) AS BIGINT) AS w1_fx,
+        |  CAST(floor(v[7] / sqrt(49.0 * 256 / 255) * 1048576.0 + 0.5) AS BIGINT) AS w2_fx,
+        |  CAST(1048576 AS BIGINT) AS c11_fx,
+        |  CAST(0 AS BIGINT) AS c12_fx,
+        |  CAST(1048576 AS BIGINT) AS c22_fx
+        |FROM vecs ORDER BY vec_id""".stripMargin),
 
     "embed_kmeans" -> Q(
       "Distributed Lloyd k-means (k = 8, 2 assignment rounds) over the embedding corpus, exact end-to-end: quantize to 2^24 fixed point, init from the k smallest vec_ids, row-local integer argmin assignment against broadcast-literal centroids (ties to the lowest cluster id), and a centroid update that shuffles only fixed-size VectorSumAggregator buffers (k x partitions (d+1)-long buffers — NOT n*d exploded rows), floor-divided on the driver. Every step is integer arithmetic, so the full clustering hash-matches a DuckDB oracle that unrolls the identical rounds as CTEs — no exactness twin needed, the REAL iterative operator is the hash-checked one. The curation consumers: cluster-balanced selection (select_cluster_balanced), cluster-level dedup blocking, per-cluster quality audits. Scale: each round is one codegen'd k*d-op scan plus one k-buffer shuffle; rounds are a small constant (production runs Lloyd on a sample, then one assignment pass over the corpus)",

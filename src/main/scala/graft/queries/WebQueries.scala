@@ -163,6 +163,27 @@ object WebQueries {
   private[graft] def hostOf(raw: Column): Column =
     hostFromHp(hostportFromRest(restFromU(noFrag(raw))))
 
+  /** Appends the RefinedWeb-style gate features + verdict (`path_depth`,
+    * `n_params`, `digit_frac`, `tracked`, `odd_port`, `pass`) to a
+    * [[withUrlParts]]-staged frame carrying `raw_url`. ONE rule set shared
+    * by the `url_quality_gate` registry row and the `url_screen` API verb
+    * — the two surfaces cannot drift. Row-local built-ins throughout. */
+  private[graft] def withGateFeatures(staged: DataFrame): DataFrame = {
+    val p = col("pth"); val qs = col("qs")
+    staged
+      .withColumn("path_depth", (size(split(p, "/")) - 1).cast("long"))
+      .withColumn("n_params", when(qs === "", 0L)
+        .otherwise(size(split(qs, "&")).cast("long")))
+      .withColumn("digit_frac",
+        (length(p) - length(regexp_replace(p, "[0-9]", ""))).cast("double")
+          / length(p).cast("double"))
+      .withColumn("tracked", col("raw_url").contains("utm_"))
+      .withColumn("odd_port", col("port") =!= "")
+      .withColumn("pass",
+        !col("tracked") && col("n_params") <= 2 &&
+          col("path_depth") <= 4 && col("digit_frac") <= 0.5)
+  }
+
   /** Registered domain = last two host labels (the public-suffix
     * approximation that needs no suffix list); a single-label host is
     * its own domain — substring_index(…, -2) gives both behaviors
@@ -202,8 +223,13 @@ object WebQueries {
       |    (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END) AS raw_url
       |  FROM documents),
       |c0 AS (SELECT *, string_split(raw_url, '#')[1] AS u FROM raw),
-      |c1 AS (SELECT *, lower(string_split(u, '://')[1]) AS scheme,
-      |         string_split(u, '://')[2] AS rest FROM c0),
+      |c1 AS (SELECT *,
+      |         CASE WHEN contains(u, '://')
+      |           THEN lower(string_split(u, '://')[1])
+      |           ELSE 'http' END AS scheme,
+      |         CASE WHEN contains(u, '://')
+      |           THEN substr(u, length(string_split(u, '://')[1]) + 4)
+      |           ELSE u END AS rest FROM c0),
       |c2 AS (SELECT *, string_split(rest, '/')[1] AS hostport FROM c1),
       |c3 AS (SELECT *, substr(rest, length(hostport) + 1) AS pathq FROM c2),
       |c4 AS (SELECT *, string_split(pathq, '?')[1] AS path0,
@@ -232,9 +258,16 @@ object WebQueries {
       |    host
       |  FROM c6)""".stripMargin
 
+  // Mirrors the engine's substring_index(host, '.', -2) TOTALLY: a
+  // single-label host is its own domain (the naive [len-1] index would
+  // read [0] -> NULL), and scheme-less inputs never reach here broken
+  // because c1 above restates the engine's http fallback. The synth never
+  // emits either shape; the guards keep engine and twin equivalent on
+  // arbitrary input, not just the fixture space.
   private val DomainSql =
-    "string_split(host, '.')[len(string_split(host, '.')) - 1] || '.' || " +
-      "string_split(host, '.')[len(string_split(host, '.'))]"
+    "CASE WHEN len(string_split(host, '.')) <= 1 THEN host ELSE " +
+      "string_split(host, '.')[len(string_split(host, '.')) - 1] || '.' || " +
+      "string_split(host, '.')[len(string_split(host, '.'))] END"
 
   // ------------------------------------------------------------ queries
 
@@ -320,19 +353,9 @@ object WebQueries {
         val staged = withUrlParts(
           T.documents(s, dir).withColumn("raw_url", rawUrlCol(col("doc_id"))),
           col("raw_url"))
-        val p = col("pth"); val qs = col("qs")
-        staged.select(
-          col("doc_id"),
-          (size(split(p, "/")) - 1).cast("long").as("path_depth"),
-          when(qs === "", 0L)
-            .otherwise(size(split(qs, "&")).cast("long")).as("n_params"),
-          ((length(p) - length(regexp_replace(p, "[0-9]", ""))).cast("double")
-            / length(p).cast("double")).as("digit_frac"),
-          col("raw_url").contains("utm_").as("tracked"),
-          (col("port") =!= "").as("odd_port"))
-          .withColumn("pass",
-            !col("tracked") && col("n_params") <= 2 &&
-              col("path_depth") <= 4 && col("digit_frac") <= 0.5)
+        withGateFeatures(staged)
+          .select(col("doc_id"), col("path_depth"), col("n_params"),
+            col("digit_frac"), col("tracked"), col("odd_port"), col("pass"))
           .orderBy(col("doc_id"))
       },
       s"""WITH $CanonSqlCtes,

@@ -98,9 +98,31 @@ object StreamingSpanScreen {
       .withColumn("clean_text", array_join(col("clean_tk"), " "))
   }
 
-  /** Drain everything currently in `landingDir`: cleaned docs append to
-    * `docStoreDir`, their novel grams to `gramStoreDir`. Exactly-once
-    * per checkpoint; returns after the drain. */
+  /** Doc-store row shape (what the drain writes per cleaned doc). */
+  val docStoreSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_tok", LongType),
+    StructField("removed_tok", LongType),
+    StructField("clean_text", StringType)))
+
+  /** Gram-store row shape: one xxhash64 per distinct stored gram. */
+  val gramStoreSchema: StructType =
+    StructType(Seq(StructField("h", LongType)))
+
+  /** Consumer reads over the batch-keyed stores `drain` maintains. */
+  def readDocStore(spark: SparkSession, docStoreDir: String): DataFrame =
+    BatchKeyedStore.read(spark, docStoreDir, docStoreSchema)
+  def readGramStore(spark: SparkSession, gramStoreDir: String): DataFrame =
+    BatchKeyedStore.read(spark, gramStoreDir, gramStoreSchema)
+
+  /** Drain everything currently in `landingDir`: cleaned docs land in
+    * `docStoreDir`, their novel grams in `gramStoreDir` — both
+    * [[BatchKeyedStore]] layouts. Exactly-once per checkpoint: each
+    * batch's two writes are batchId-keyed overwrites, and the gram
+    * probe reads only STRICTLY EARLIER batches, so a replayed batch
+    * excises and stores identically regardless of where the first
+    * attempt crashed (the idempotency argument is on
+    * [[BatchKeyedStore]]). Returns after the drain. */
   def drain(spark: SparkSession, landingDir: String, docStoreDir: String,
       gramStoreDir: String, checkpointDir: String): Unit = {
     val q: StreamingQuery = spark.readStream
@@ -110,23 +132,19 @@ object StreamingSpanScreen {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(gramStoreDir)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        val store =
-          if (fs.exists(new org.apache.hadoop.fs.Path(gramStoreDir)))
-            Some(s.read.parquet(gramStoreDir))
-          else None
-        // cleaned feeds the doc append AND the gram append; persist so
+        val store = BatchKeyedStore.readBefore(
+          s, gramStoreDir, batchId, gramStoreSchema)
+        // cleaned feeds the doc write AND the gram write; persist so
         // the store probe + islands window run once, and unpersist — a
         // long-lived stream must not accumulate per-batch cache entries
         val cleaned = exciseAgainstStore(batch, store).persist()
         try {
-          cleaned
-            .select(col("doc_id"), col("n_tok"), col("removed_tok"),
-              col("clean_text"))
-            .write.mode("append").parquet(docStoreDir)
+          BatchKeyedStore.write(
+            cleaned.select(col("doc_id"), col("n_tok"), col("removed_tok"),
+              col("clean_text")),
+            docStoreDir, batchId)
           val batchGrams = gramHashes(
             cleaned.select(col("doc_id"), col("clean_tk").as("tk")))
             .select(col("h")).distinct()
@@ -135,7 +153,7 @@ object StreamingSpanScreen {
               batchGrams.join(st.select(col("h")), Seq("h"), "left_anti")
             case None => batchGrams
           }
-          novel.write.mode("append").parquet(gramStoreDir)
+          BatchKeyedStore.write(novel, gramStoreDir, batchId)
         } finally { cleaned.unpersist(); () }
       }
       .start()

@@ -48,6 +48,22 @@ object StreamingUrlScreen {
     StructField("url", StringType),
     StructField("n_chars", LongType)))
 
+  /** Doc-store row shape (what [[screenAgainstStore]] emits). */
+  val docStoreSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("canon_url", StringType),
+    StructField("n_chars", LongType)))
+
+  /** URL-store row shape: one canonical key per admitted page. */
+  val urlStoreSchema: StructType =
+    StructType(Seq(StructField("canon_url", StringType)))
+
+  /** Consumer reads over the batch-keyed stores `drain` maintains. */
+  def readDocStore(spark: SparkSession, docStoreDir: String): DataFrame =
+    BatchKeyedStore.read(spark, docStoreDir, docStoreSchema)
+  def readUrlStore(spark: SparkSession, urlStoreDir: String): DataFrame =
+    BatchKeyedStore.read(spark, urlStoreDir, urlStoreSchema)
+
   /** One micro-batch: canonicalize, within-batch keep-best, drop
     * store-known canon keys. Returns (doc_id, canon_url, n_chars).
     * Exposed for the spec; `drain` wires it into foreachBatch. */
@@ -72,9 +88,15 @@ object StreamingUrlScreen {
     novel.select(col("doc_id"), col("canon_url"), col("n_chars"))
   }
 
-  /** Drain everything currently in `landingDir`: novel pages append to
-    * `docStoreDir`, their canon keys to `urlStoreDir`. Exactly-once per
-    * checkpoint; returns after the drain. */
+  /** Drain everything currently in `landingDir`: novel pages land in
+    * `docStoreDir`, their canon keys in `urlStoreDir` — both
+    * [[BatchKeyedStore]] layouts. Exactly-once per checkpoint: each
+    * batch's two writes are batchId-keyed overwrites, and the store
+    * probe reads only STRICTLY EARLIER batches, so a replayed batch
+    * recomputes the identical novel set and replaces its own
+    * directories regardless of where the first attempt crashed
+    * (the idempotency argument is on [[BatchKeyedStore]]). Returns
+    * after the drain. */
   def drain(spark: SparkSession, landingDir: String, docStoreDir: String,
       urlStoreDir: String, checkpointDir: String): Unit = {
     val q: StreamingQuery = spark.readStream
@@ -84,22 +106,18 @@ object StreamingUrlScreen {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(urlStoreDir)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        val store =
-          if (fs.exists(new org.apache.hadoop.fs.Path(urlStoreDir)))
-            Some(s.read.parquet(urlStoreDir))
-          else None
-        // novel feeds both appends; persist so the canonicalize + window
+        val store = BatchKeyedStore.readBefore(
+          s, urlStoreDir, batchId, urlStoreSchema)
+        // novel feeds both writes; persist so the canonicalize + window
         // + store probe run once, and unpersist — a long-lived stream
         // must not accumulate per-batch cache entries
         val novel = screenAgainstStore(batch, store).persist()
         try {
-          novel.write.mode("append").parquet(docStoreDir)
-          novel.select(col("canon_url")).write.mode("append")
-            .parquet(urlStoreDir)
+          BatchKeyedStore.write(novel, docStoreDir, batchId)
+          BatchKeyedStore.write(
+            novel.select(col("canon_url")), urlStoreDir, batchId)
         } finally { novel.unpersist(); () }
       }
       .start()

@@ -158,4 +158,53 @@ class ApiSpec extends SparkSpec {
     val missing = new EmailEtlApi(spark, tmpDir("api-db-missing")).dbTest().collect()
     assert(missing.forall(r => !r.getBoolean(1) && !r.getBoolean(2)))
   }
+
+  test("url screen: canonicalization, gate verdicts, within-batch keep-first dedup, bounds") {
+    val rows = api.urlScreen(Seq(
+      "http://www.Ex.org:80/a/?utm_s=1&x=1#f", // canon dup of the next, tracked
+      "HTTP://ex.org/a?x=1",                   // same canon key, clean
+      "https://ok.net/p/q",                    // clean single
+      "https://deep.net/a/b/c/d/e/f?x=1&y=2&z=3" // fails depth + params
+    )).collect()
+    assert(rows.map(_.getAs[Long]("url_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    // one shared canon key for the first two — keep-first by input order
+    assert(rows(0).getAs[String]("canon_url") == "http://ex.org/a?x=1")
+    assert(rows(1).getAs[String]("canon_url") == "http://ex.org/a?x=1")
+    assert(rows(0).getAs[Long]("n_dups") == 2L && rows(0).getAs[Boolean]("kept"))
+    assert(!rows(1).getAs[Boolean]("kept"))
+    // gate: utm_ tracking fails, clean passes, deep+parammy fails
+    assert(!rows(0).getAs[Boolean]("pass") && rows(0).getAs[Boolean]("tracked"))
+    assert(rows(1).getAs[Boolean]("pass") && rows(2).getAs[Boolean]("pass"))
+    assert(!rows(3).getAs[Boolean]("pass"))
+    assert(rows(2).getAs[String]("domain") == "ok.net")
+    // bounds discipline: the driver boundary is hard
+    intercept[IllegalArgumentException](api.urlScreen(Nil))
+    intercept[IllegalArgumentException](
+      api.urlScreen(Seq.fill(10001)("http://x.com/")))
+  }
+
+  test("tokenizer audit: three token counts + unigram fertility per text, bounds") {
+    val rows = api.tokenizerAudit(Seq(
+      "the theatre", // 'the' is a vocab piece: 11 chars, 2 words
+      ""             // empty: all zero, ratios null
+    )).collect()
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("n_chars") == 11L && r0.getAs[Long]("n_words") == 2L)
+    assert(r0.getAs[Long]("n_bpe") == 2L)   // two letter-runs
+    assert(r0.getAs[Long]("n_est") == 3L)   // ceil(11/4)
+    // viterbi: "the" -> [the] (900 < t+h+e = 1450); "theatre" ->
+    // the engine's exact DP — cross-check against the in-process kernel
+    val seg = graft.operators.UnigramLm.viterbi("theatre")
+    assert(r0.getAs[Long]("n_pieces") == 1L + seg.nPieces)
+    assert(r0.getAs[Long]("vit_cost") == 900L + seg.cost)
+    assert(r0.getAs[Double]("pieces_per_word") == (1.0 + seg.nPieces) / 2.0)
+    assert(r0.getAs[Double]("cost_per_char") == (900.0 + seg.cost) / 10.0)
+    val r1 = rows(1)
+    assert(r1.getAs[Long]("n_words") == 0L && r1.getAs[Long]("n_pieces") == 0L)
+    assert(r1.isNullAt(r1.fieldIndex("pieces_per_word")))
+    assert(r1.isNullAt(r1.fieldIndex("cost_per_char")))
+    intercept[IllegalArgumentException](api.tokenizerAudit(Nil))
+    intercept[IllegalArgumentException](
+      api.tokenizerAudit(Seq.fill(1001)("x")))
+  }
 }

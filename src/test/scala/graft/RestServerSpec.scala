@@ -119,10 +119,12 @@ class RestServerSpec extends SparkSpec {
     assert(code == 200)
     val tools = (json \ "tools").extract[List[JValue]]
     val names = tools.map(t => (t \ "name").extract[String]).toSet
-    // reference registry, mcp_tools.py:13-269
+    // reference registry (mcp_tools.py:13-269) plus the two
+    // beyond-reference curation front doors (VERDICT r12 #6)
     assert(names == Set("search_emails", "ask_email_question", "categorize_emails",
       "extract_action_items", "import_emails", "sync_emails", "get_email_by_id",
-      "get_system_status", "summarize_thread", "analyze_email_patterns"))
+      "get_system_status", "summarize_thread", "analyze_email_patterns",
+      "url_screen", "tokenizer_audit"))
     val search = tools.find(t => (t \ "name").extract[String] == "search_emails").get
     val q = (search \ "parameters").extract[List[JValue]]
       .find(pp => (pp \ "name").extract[String] == "query").get
@@ -348,5 +350,59 @@ class RestServerSpec extends SparkSpec {
     val (c5, _) = http("POST", "/mcp/call",
       Some("""{"tool": "search_emails", "parameters": {"query": "spark join tuning", "limit": 2.0}}"""))
     assert(c5 == 200)
+  }
+
+  test("POST /api/urls/screen: canon + gate rows e2e; bounds and shape errors are 400s") {
+    val (code, json) = http("POST", "/api/urls/screen",
+      Some("""{"urls": ["http://www.Ex.org:80/a/?utm_s=1&x=1#f", "HTTP://ex.org/a?x=1", "https://ok.net/p"]}"""))
+    assert(code == 200 && (json \ "total").extract[Int] == 3)
+    val results = (json \ "results").extract[List[JValue]]
+    assert((results(0) \ "canon_url").extract[String] == "http://ex.org/a?x=1")
+    assert((results(1) \ "canon_url").extract[String] == "http://ex.org/a?x=1")
+    assert((results(0) \ "kept").extract[Boolean] &&
+      !(results(1) \ "kept").extract[Boolean]) // keep-first within the batch
+    assert(!(results(0) \ "pass").extract[Boolean]) // utm_ tracked fails the gate
+    assert((results(2) \ "pass").extract[Boolean])
+    val (cMissing, _) = http("POST", "/api/urls/screen", Some("""{"urls": []}"""))
+    assert(cMissing == 400)
+  }
+
+  test("POST /api/tokenizer/audit: token counts + fertility e2e; missing field is a 400") {
+    val (code, json) = http("POST", "/api/tokenizer/audit",
+      Some("""{"texts": ["the theatre"]}"""))
+    assert(code == 200 && (json \ "total").extract[Int] == 1)
+    val r0 = (json \ "results").extract[List[JValue]].head
+    assert((r0 \ "n_words").extract[Long] == 2L)
+    assert((r0 \ "n_bpe").extract[Long] == 2L)
+    assert((r0 \ "vit_cost").extract[Long] ==
+      900L + graft.operators.UnigramLm.viterbi("theatre").cost)
+    val (cMissing, _) = http("POST", "/api/tokenizer/audit", Some("""{}"""))
+    assert(cMissing == 400)
+  }
+
+  test("POST /mcp/call: url_screen and tokenizer_audit tools dispatch; type and bound violations are tool-level 400s") {
+    val (c1, r1) = http("POST", "/mcp/call",
+      Some("""{"tool": "url_screen", "parameters": {"urls": ["https://ok.net/p", "https://ok.net/p"]}}"""))
+    assert(c1 == 200)
+    val rows1 = (r1 \ "result").extract[List[JValue]]
+    assert(rows1.size == 2 && (rows1.head \ "n_dups").extract[Long] == 2L)
+    val (c2, r2) = http("POST", "/mcp/call",
+      Some("""{"tool": "tokenizer_audit", "parameters": {"texts": ["the theatre"]}}"""))
+    assert(c2 == 200)
+    assert(((r2 \ "result").extract[List[JValue]].head \ "n_words")
+      .extract[Long] == 2L)
+    // declared-type enforcement: a string where the array is declared
+    val (c3, e3) = http("POST", "/mcp/call",
+      Some("""{"tool": "url_screen", "parameters": {"urls": "http://x.com"}}"""))
+    assert(c3 == 400 &&
+      (e3 \ "detail").extract[String].contains("must be of type array"))
+    // element-type enforcement inside the array
+    val (c4, e4) = http("POST", "/mcp/call",
+      Some("""{"tool": "tokenizer_audit", "parameters": {"texts": [1, 2]}}"""))
+    assert(c4 == 400 &&
+      (e4 \ "detail").extract[String].contains("only strings"))
+    // required check
+    val (c5, _) = http("POST", "/mcp/call", Some("""{"tool": "url_screen"}"""))
+    assert(c5 == 400)
   }
 }

@@ -29,25 +29,25 @@ class StreamingSpanScreenSpec extends SparkSpec {
     // drain 1: an empty store — everything passes through verbatim
     land(landing, "b1.json", Seq(doc(1L, known), doc(2L, tiny)))
     StreamingSpanScreen.drain(spark, landing, docs, grams, ckpt)
-    val afterOne = spark.read.parquet(docs).collect()
+    val afterOne = StreamingSpanScreen.readDocStore(spark, docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("removed_tok"),
         r.getAs[String]("clean_text"))).sortBy(_._1)
     assert(afterOne.toSeq == Seq((1L, 0L, known), (2L, 0L, tiny)),
       s"empty store must pass everything verbatim, got ${afterOne.toSeq}")
     // gram store: doc 1's 8 grams (15 - 8 + 1); the tiny doc emits none
-    assert(spark.read.parquet(grams).count() == 8L)
+    assert(StreamingSpanScreen.readGramStore(spark, grams).count() == 8L)
 
     // drain 2: doc 3 = known run + fresh tail — the known 15 tokens are
     // store-covered and excised; only the fresh tail is stored
     land(landing, "b2.json", Seq(doc(3L, s"$known $fresh")))
     StreamingSpanScreen.drain(spark, landing, docs, grams, ckpt)
-    val d3 = spark.read.parquet(docs).filter("doc_id = 3").collect()(0)
+    val d3 = StreamingSpanScreen.readDocStore(spark, docs).filter("doc_id = 3").collect()(0)
     assert(d3.getAs[Long]("n_tok") == 27L)
     assert(d3.getAs[Long]("removed_tok") == 15L)
     assert(d3.getAs[String]("clean_text") == fresh,
       s"known run must be excised exactly, got '${d3.getAs[String]("clean_text")}'")
     // gram store gained the CLEANED text's grams: fresh has 12 - 8 + 1 = 5
-    assert(spark.read.parquet(grams).count() == 13L)
+    assert(StreamingSpanScreen.readGramStore(spark, grams).count() == 13L)
 
     // drain 3: doc 4 re-lands doc 3's ORIGINAL text. Flagged extents:
     // the known run (grams @0..7 -> extent [0,15)) and the stored fresh
@@ -58,16 +58,16 @@ class StreamingSpanScreenSpec extends SparkSpec {
     // the tiny doc: shorter than Tk, no gram exists, passes verbatim.
     land(landing, "b3.json", Seq(doc(4L, s"$known $fresh"), doc(5L, tiny)))
     StreamingSpanScreen.drain(spark, landing, docs, grams, ckpt)
-    val afterThree = spark.read.parquet(docs).collect()
+    val afterThree = StreamingSpanScreen.readDocStore(spark, docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("removed_tok"),
         r.getAs[String]("clean_text"))).sortBy(_._1).toSeq
     assert(afterThree(3) == ((4L, 27L, "")),
       s"a full re-land must excise completely, got ${afterThree(3)}")
     assert(afterThree(4) == ((5L, 0L, tiny)))
     // a fully-excised doc contributes no grams; the verbatim tiny doc none
-    assert(spark.read.parquet(grams).count() == 13L)
+    assert(StreamingSpanScreen.readGramStore(spark, grams).count() == 13L)
     // the gram store stays distinct (the anti-join before every append)
-    assert(spark.read.parquet(grams).distinct().count() == 13L)
+    assert(StreamingSpanScreen.readGramStore(spark, grams).distinct().count() == 13L)
   }
 
   test("within-batch duplication is NOT flagged (the incremental contract); both copies store") {
@@ -78,7 +78,7 @@ class StreamingSpanScreenSpec extends SparkSpec {
     val text = (1 to 10).map(i => s"nn$i").mkString(" ")
     land(landing, "b1.json", Seq(doc(10L, text), doc(11L, text)))
     StreamingSpanScreen.drain(spark, landing, docs, grams, ckpt)
-    val got = spark.read.parquet(docs).collect()
+    val got = StreamingSpanScreen.readDocStore(spark, docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text")))
       .sortBy(_._1).toSeq
     // new-new pairs belong to the periodic full batch re-run, exactly

@@ -29,14 +29,14 @@ class StreamingUrlScreenSpec extends SparkSpec {
       page(3L, "http://EX.ORG/a/?x=1&utm_m=2", 200L),
       page(4L, "https://other.net/b", 50L)))
     StreamingUrlScreen.drain(spark, landing, docs, urls, ckpt)
-    val afterOne = spark.read.parquet(docs).collect()
+    val afterOne = StreamingUrlScreen.readDocStore(spark, docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("canon_url"),
         r.getAs[Long]("n_chars"))).sortBy(_._1)
     assert(afterOne.toSeq == Seq(
       (2L, "http://ex.org/a?x=1", 300L),
       (4L, "https://other.net/b", 50L)),
       s"got ${afterOne.toSeq}")
-    assert(spark.read.parquet(urls).count() == 2L)
+    assert(StreamingUrlScreen.readUrlStore(spark, urls).count() == 2L)
 
     // drain 2: a LARGER copy of the stored page arrives — the frontier
     // never re-admits a known canon key (first stored wins); a genuinely
@@ -45,18 +45,78 @@ class StreamingUrlScreenSpec extends SparkSpec {
       page(5L, "http://ex.org/a?x=1", 900L),
       page(6L, "https://new.com/c", 70L)))
     StreamingUrlScreen.drain(spark, landing, docs, urls, ckpt)
-    val afterTwo = spark.read.parquet(docs).collect()
+    val afterTwo = StreamingUrlScreen.readDocStore(spark, docs).collect()
       .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
     assert(afterTwo == Seq(2L, 4L, 6L), s"got $afterTwo")
-    assert(spark.read.parquet(urls).count() == 3L)
+    assert(StreamingUrlScreen.readUrlStore(spark, urls).count() == 3L)
 
     // the doc store's canon keys stay distinct across both drains
-    val keys = spark.read.parquet(docs).select("canon_url").collect()
+    val keys = StreamingUrlScreen.readDocStore(spark, docs).select("canon_url").collect()
       .map(_.getString(0)).toSeq
     assert(keys.distinct.size == keys.size)
 
     // a long-lived stream must not leak per-batch cache entries
     assert(spark.sharedState.cacheManager.isEmpty,
       "streaming drain left persisted blocks behind")
+  }
+
+  test("end state equals the batch first-wins computation on the union, for two shard orders") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+
+    // three canon groups spread across three shards; K1 and K2 have
+    // copies in shards 0 AND 2 so the two permutations keep DIFFERENT
+    // docs — the equivalence must hold for each arrival order, not
+    // because the fixture is order-insensitive
+    val shards: Map[Int, Seq[(Long, String, Long)]] = Map(
+      0 -> Seq((1L, "http://www.Ex.org:80/a?utm_s=1&x=1#f", 100L),
+               (2L, "https://www.beta.net:443/b", 50L)),
+      1 -> Seq((3L, "HTTP://ex.org/a/?x=1", 300L),
+               (4L, "http://solo.io/c", 70L)),
+      2 -> Seq((5L, "http://EX.ORG/a?x=1&utm_m=2", 200L),
+               (8L, "http://www.ex.org/a?x=1", 150L), // within-batch loser to doc 5
+               (6L, "HTTPS://beta.net/b#x", 400L)))
+
+    for (perm <- Seq(Seq(0, 1, 2), Seq(2, 0, 1))) {
+      val landing = tmpDir(s"url-eq-landing")
+      val docs = tmpDir("url-eq-store") + "/docs"
+      val urls = tmpDir("url-eq-store") + "/urls"
+      val ckpt = tmpDir("url-eq-ckpt")
+      // one file per shard, named AND mtime'd in arrival order — with
+      // maxFilesPerTrigger=1 each file is one micro-batch, in this order
+      perm.zipWithIndex.foreach { case (shard, i) =>
+        val f = java.nio.file.Paths.get(landing, s"b$i.json")
+        java.nio.file.Files.write(f,
+          shards(shard).map { case (id, u, n) => page(id, u, n) }
+            .mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000 + i * 2000))
+      }
+      StreamingUrlScreen.drain(spark, landing, docs, urls, ckpt)
+      val got = StreamingUrlScreen.readDocStore(spark, docs).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("canon_url"),
+          r.getAs[Long]("n_chars"))).toSet
+
+      // the BATCH statement of the frontier contract on the union: per
+      // canon key keep the row winning (batch_idx ASC, n_chars DESC,
+      // doc_id ASC) — first batch wins, keep-best inside it
+      import spark.implicits._
+      val union = perm.zipWithIndex.flatMap { case (shard, i) =>
+        shards(shard).map { case (id, u, n) => (id, u, n, i) }
+      }.toDF("doc_id", "url", "n_chars", "batch_idx")
+      val expected = graft.queries.WebQueries
+        .withUrlParts(union, col("url"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("canon_url").orderBy(
+            col("batch_idx"), col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("canon_url"), col("n_chars"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+      assert(got == expected,
+        s"arrival order $perm: streaming end state $got != batch first-wins $expected")
+    }
   }
 }
