@@ -141,9 +141,13 @@ object StreamingSpanScreen {
         // long-lived stream must not accumulate per-batch cache entries
         val cleaned = exciseAgainstStore(batch, store).persist()
         try {
+          // coalesce(4): batch-sized outputs written raw would shed up to
+          // spark.sql.shuffle.partitions near-empty part files per batch
+          // dir, growing the probe's file listing 32× per batch (the
+          // URL-screen measurement caught this as a latency trend)
           BatchKeyedStore.write(
             cleaned.select(col("doc_id"), col("n_tok"), col("removed_tok"),
-              col("clean_text")),
+              col("clean_text")).coalesce(4),
             docStoreDir, batchId)
           val batchGrams = gramHashes(
             cleaned.select(col("doc_id"), col("clean_tk").as("tk")))
@@ -153,7 +157,7 @@ object StreamingSpanScreen {
               batchGrams.join(st.select(col("h")), Seq("h"), "left_anti")
             case None => batchGrams
           }
-          BatchKeyedStore.write(novel, gramStoreDir, batchId)
+          BatchKeyedStore.write(novel.coalesce(4), gramStoreDir, batchId)
         } finally { cleaned.unpersist(); () }
       }
       .start()

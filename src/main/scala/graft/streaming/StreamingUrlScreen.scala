@@ -113,7 +113,12 @@ object StreamingUrlScreen {
         // novel feeds both writes; persist so the canonicalize + window
         // + store probe run once, and unpersist — a long-lived stream
         // must not accumulate per-batch cache entries
-        val novel = screenAgainstStore(batch, store).persist()
+        // coalesce(4): a micro-batch's survivors are batch-sized, but the
+        // keep-best window runs at spark.sql.shuffle.partitions — written
+        // raw, every batch would shed up to 32 near-empty part files per
+        // store and the probe's file listing would grow 32× per batch
+        // (measured as a per-batch latency TREND in URL_STREAM_SCALE)
+        val novel = screenAgainstStore(batch, store).coalesce(4).persist()
         try {
           BatchKeyedStore.write(novel, docStoreDir, batchId)
           BatchKeyedStore.write(

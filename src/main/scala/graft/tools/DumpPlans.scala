@@ -80,7 +80,13 @@ object DumpPlans {
     // round-12 third wave: URL-feature gate (same doc_id-only scan as
     // the canonicalizer) and per-source frequency boilerplate strip
     // (tile explode + 8-byte-hash doc-frequency agg + broadcast back-join)
-    "url_quality_gate", "text_boilerplate_strip")
+    "url_quality_gate", "text_boilerplate_strip",
+    // round-13: the whitening exactness twin (fixture-sized planted
+    // spectrum through the real train/whiten path + a 1-row broadcast
+    // identity-covariance contract), and the unigram encode now running
+    // the native Viterbi expression instead of the UDF (same plan shape,
+    // no encoder round-trip)
+    "embed_whiten_exact")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

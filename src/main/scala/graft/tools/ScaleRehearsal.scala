@@ -35,6 +35,13 @@ object ScaleRehearsal {
       // parallelism as well as at the harness default
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      // opt-in zstd for fifth-decade readings whose spill exceeds the
+      // box's disk under lz4 (dedup_substring_maximal at 50M docs shuffles
+      // every positional gram once; zstd roughly halves the on-disk spill
+      // at a small CPU cost — applied to BOTH sides of the ratio, so the
+      // slope stays internally consistent)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -52,9 +59,15 @@ object ScaleRehearsal {
     // env for multi-minute 100x readings where run-to-run variance is
     // already small relative to the measured time
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+    // warm pass skippable for multi-minute fifth-decade readings, where
+    // JIT/janino warmup is noise against the measured minutes and the
+    // extra full pass would double the measurement's wall-clock
+    val warm = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", "1") != "0"
     def time(name: String, dir: String): Double = {
       val fn = qs(name)
-      reset(); try materialize(fn(spark, dir)) catch { case _: Throwable => () }
+      if (warm) {
+        reset(); try materialize(fn(spark, dir)) catch { case _: Throwable => () }
+      }
       val runs = (1 to nRuns).map { _ =>
         reset()
         val t0 = System.nanoTime()
