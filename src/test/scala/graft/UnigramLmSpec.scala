@@ -33,6 +33,25 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("the native UnigramViterbi expression equals the kernel per word and passes null through") {
+    val words = Seq("the", "theatre", "qux", "a").toDF("w")
+    val got = words
+      .select(col("w"),
+        graft.functions.UnigramFunctions.unigramViterbi(col("w")).as("v"))
+      .select(col("w"), col("v.cost"), col("v.pieces"), col("v.nPieces"))
+      .collect()
+    got.foreach { r =>
+      val seg = UnigramLm.viterbi(r.getString(0))
+      assert((r.getLong(1), r.getString(2), r.getLong(3)) ==
+        ((seg.cost, seg.pieces, seg.nPieces)), s"word ${r.getString(0)}")
+    }
+    // UnaryExpression null semantics: a null word yields a null struct
+    val n = Seq[Option[String]](None).toDF("w")
+      .select(graft.functions.UnigramFunctions.unigramViterbi(col("w")).as("v"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("segmentation reassembles the word and cost sums the piece costs") {
     val words = Seq("table", "customer", "the", "query", "spark", "window")
     words.foreach { w =>
