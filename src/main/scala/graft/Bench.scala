@@ -102,8 +102,15 @@ object Bench {
     // regressions — round 7 burned a full judge investigation proving a
     // 1.4x "regression wave" was the shared box, which this field now
     // answers in one read. Refresh the refs if a control's plan changes.
+    // graph_pagerank joined the controls in r14 (judge task #3): three
+    // sub-second controls let a contended host read one of them at ~3×
+    // while the median said 1.04 — a multi-second anchor (fixed-round
+    // ids-only aggregation, plan untouched since r9; ref = the mean of
+    // the r13 record and driver readings back-normalized to factor 1.0)
+    // makes the factor robust to sub-second scheduler jitter.
     val controlRefs = Seq(
-      "b5_range_topk" -> 0.117, "w1_window_suite" -> 0.233, "c9_rollup" -> 1.066)
+      "b5_range_topk" -> 0.117, "w1_window_suite" -> 0.233,
+      "c9_rollup" -> 1.066, "graph_pagerank" -> 3.7)
     val controlRatios = controlRefs.flatMap { case (n, ref) =>
       results.get(n).filter(_ > 0).map(t => (n, t, ref, t / ref))
     }
@@ -151,13 +158,72 @@ object Bench {
     // curation_pipeline_full at factor 0.84 from exactly this. Slow hosts
     // still normalize down; fast hosts report raw.
     val budgetNorm = math.max(driftFactor, 1.0)
-    val overBudget = results.toSeq
+    val breachers = results.toSeq
       .filter { case (_, t) => t > 0 && t / budgetNorm > budgetLimitSec }
       .sortBy(-_._2)
+    // Self-adjudication (r13 verdict #2): a shared-JVM full-registry pass
+    // can read a query at many× its isolated cost (6.8× measured on
+    // ann_ivfpq_knn in r13), so no budget breach stands on the shared
+    // reading alone — each breacher is automatically rerun in a FRESH
+    // single-query JVM (the judge's SPARK_GRAFT_BENCH_ONLY methodology,
+    // same classpath and JVM flags as this process) and the breach is
+    // confirmed only if the isolated reading also exceeds the budget.
+    // Guarded to the full run: a BENCH_ONLY child never recurses.
+    def isolatedRun(name: String): Option[Double] = {
+      try {
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        // watchdog: a hung child must not hang the whole bench report —
+        // destroyForcibly closes the pipe, unblocking the read below
+        val killer = new Thread(() => {
+          if (!proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+            proc.destroyForcibly(); ()
+          }
+        })
+        killer.setDaemon(true)
+        killer.start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        proc.waitFor()
+        // parse the timing out of the child's final summary line's
+        // queries map (the gc map also carries "<name>":<num> pairs, so
+        // anchor on the LAST {"metric"... line and its "queries":{ blob)
+        val line = out.linesIterator.filter(_.startsWith("{\"metric\""))
+          .toSeq.lastOption.getOrElse(return None)
+        val qBlob = line.split("\"queries\":\\{", 2)
+        if (qBlob.length < 2) return None
+        val re = ("\"" + java.util.regex.Pattern.quote(name) +
+          "\":(-?[0-9.]+)").r
+        re.findFirstMatchIn(qBlob(1)).map(_.group(1).toDouble)
+          .filter(_ >= 0)
+      } catch { case _: Throwable => None }
+    }
+    val adjudicate = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE", "1") != "0"
+    val adjudicated: Seq[(String, Double, Option[Double])] =
+      if (!adjudicate) Seq.empty
+      else breachers.map { case (name, t) => (name, t, isolatedRun(name)) }
+    val adjJson = adjudicated.map { case (name, t, iso) =>
+      val isoStr = iso.map(v => f"$v%.2f").getOrElse("null")
+      val pass = iso.exists(_ <= budgetLimitSec)
+      s""""$name":{"shared":${f"${t / budgetNorm}%.2f"},"isolated":$isoStr,"exonerated":$pass}"""
+    }.mkString("{", ",", "}")
+    // a breach STANDS only if unadjudicated or isolated-confirmed
+    val standing = breachers.filter { case (name, _) =>
+      !adjudicated.exists { case (n, _, iso) =>
+        n == name && iso.exists(_ <= budgetLimitSec) }
+    }
+    val overBudget = standing
       .map { case (k, v) => "\"" + k + "\":" + f"${v / budgetNorm}%.2f" }
       .mkString("{", ",", "}")
     val budgetJson =
-      s"""{"limit_sec":$budgetLimitSec,"normalized":true,"over":$overBudget}"""
+      s"""{"limit_sec":$budgetLimitSec,"normalized":true,"over":$overBudget,"adjudicated":$adjJson}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"gc_sec_of_best_run":$fullGc,"drift":$driftJson,"budget":$budgetJson,"inflation_note":"$inflationNote","sf":"$sfDir"}"""
     // BENCH_FULL.json is the committed full-registry record — a filtered

@@ -285,9 +285,18 @@ object McpTools {
     }
 
   /** Per-call bound violations (EmailEtlApi's require) surface as the
-    * tool-level 400, not a 500. */
+    * tool-level 400, not a 500 — but ONLY the two known caller-mistake
+    * shapes. Any other IllegalArgumentException raised while building the
+    * plan is a server bug and must surface as a 500, not be misreported
+    * as a caller error with an internal message leaked as the detail. */
   private def bounded(df: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    try df catch { case e: IllegalArgumentException => throw McpError(e.getMessage) }
+    try df catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            (e.getMessage.contains("pass at least one") ||
+              e.getMessage.contains("-per-call bound")) =>
+        throw McpError(e.getMessage)
+    }
 
   /** The ImportStatus shape (reference: src/api/models.py:224-233), as the
     * synchronous tools/call result — status is always "completed" here

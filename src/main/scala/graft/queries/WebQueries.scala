@@ -85,8 +85,12 @@ object WebQueries {
     when(u.contains("://"),
       u.substr(length(substring_index(u, "://", 1)) + 4, length(u)))
       .otherwise(u)
+  /** Authority ends at the first '/' OR '?' (fragments are already
+    * stripped): a path-less URL carrying a query (`http://h.com?x=1`)
+    * must not swallow the query into the host. The twin's c2 applies the
+    * same two-stage split. */
   private def hostportFromRest(rest: Column): Column =
-    substring_index(rest, "/", 1)
+    substring_index(substring_index(rest, "/", 1), "?", 1)
   private def pathqFrom(rest: Column, hp: Column): Column =
     rest.substr(length(hp) + 1, length(rest))
   private def hostFromHp(hp: Column): Column = {
@@ -174,9 +178,13 @@ object WebQueries {
       .withColumn("path_depth", (size(split(p, "/")) - 1).cast("long"))
       .withColumn("n_params", when(qs === "", 0L)
         .otherwise(size(split(qs, "&")).cast("long")))
+      // empty canonical path (bare-host URL: http://example.com) would be
+      // 0.0/0.0 -> NULL under non-ANSI Divide and the NULL would null the
+      // `pass` conjunction — a path with no characters has no digits
       .withColumn("digit_frac",
-        (length(p) - length(regexp_replace(p, "[0-9]", ""))).cast("double")
-          / length(p).cast("double"))
+        when(length(p) === 0, lit(0.0)).otherwise(
+          (length(p) - length(regexp_replace(p, "[0-9]", ""))).cast("double")
+            / length(p).cast("double")))
       .withColumn("tracked", col("raw_url").contains("utm_"))
       .withColumn("odd_port", col("port") =!= "")
       .withColumn("pass",
@@ -193,9 +201,9 @@ object WebQueries {
 
   // ---------------------------------------------------------------- SQL
 
-  /** DuckDB twin of [[rawUrlCol]] + [[canonicalize]], as chained CTEs
-    * ending in `canon(doc_id, n_chars, raw_url, canon_url, host)`. */
-  private val CanonSqlCtes: String =
+  /** DuckDB twin of the synthetic [[rawUrlCol]] alone, as a CTE
+    * `raw(doc_id, n_chars, raw_url)` over `documents`. */
+  private val SynthRawCte: String =
     // NOTE: continuation lines here must never START with "|" — query
     // strings that embed this fragment call .stripMargin again, which
     // would eat the first pipe of a leading "||" (so the concat operator
@@ -221,8 +229,13 @@ object WebQueries {
       |      WHEN 1 THEN '?x=1&utm_medium=a'
       |      WHEN 2 THEN '?x=1&a=2' ELSE '' END) ||
       |    (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END) AS raw_url
-      |  FROM documents),
-      |c0 AS (SELECT *, string_split(raw_url, '#')[1] AS u FROM raw),
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[withUrlParts]] — the c0–c6 parse chain over ANY
+    * `raw` CTE carrying `raw_url` (extra columns pass through the
+    * `SELECT *`s). Ends in `c6(..., scheme, host, port, pth, qs)`. */
+  private val CanonChainCtes: String =
+    """c0 AS (SELECT *, string_split(raw_url, '#')[1] AS u FROM raw),
       |c1 AS (SELECT *,
       |         CASE WHEN contains(u, '://')
       |           THEN lower(string_split(u, '://')[1])
@@ -230,7 +243,9 @@ object WebQueries {
       |         CASE WHEN contains(u, '://')
       |           THEN substr(u, length(string_split(u, '://')[1]) + 4)
       |           ELSE u END AS rest FROM c0),
-      |c2 AS (SELECT *, string_split(rest, '/')[1] AS hostport FROM c1),
+      |c2 AS (SELECT *,
+      |         string_split(string_split(rest, '/')[1], '?')[1] AS hostport
+      |       FROM c1),
       |c3 AS (SELECT *, substr(rest, length(hostport) + 1) AS pathq FROM c2),
       |c4 AS (SELECT *, string_split(pathq, '?')[1] AS path0,
       |         CASE WHEN len(string_split(pathq, '?')) > 1
@@ -250,13 +265,21 @@ object WebQueries {
       |    COALESCE(array_to_string(list_sort(list_filter(
       |      string_split(qry, '&'),
       |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS qs
-      |  FROM c5),
-      |canon AS (
-      |  SELECT doc_id, n_chars, raw_url,
-      |    scheme || '://' || host || port || pth ||
-      |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url,
-      |    host
-      |  FROM c6)""".stripMargin
+      |  FROM c5)""".stripMargin
+
+  /** The canonical-URL reassembly expression over a c6 row. */
+  private val CanonUrlSql: String =
+    "scheme || '://' || host || port || pth || " +
+      "CASE WHEN qs = '' THEN '' ELSE '?' || qs END"
+
+  /** DuckDB twin of [[rawUrlCol]] + [[canonicalize]], as chained CTEs
+    * ending in `canon(doc_id, n_chars, raw_url, canon_url, host)`. */
+  private val CanonSqlCtes: String =
+    s"""$SynthRawCte,
+       |$CanonChainCtes,
+       |canon AS (
+       |  SELECT doc_id, n_chars, raw_url, $CanonUrlSql AS canon_url, host
+       |  FROM c6)""".stripMargin
 
   // Mirrors the engine's substring_index(host, '.', -2) TOTALLY: a
   // single-label host is its own domain (the naive [len-1] index would
@@ -268,6 +291,27 @@ object WebQueries {
     "CASE WHEN len(string_split(host, '.')) <= 1 THEN host ELSE " +
       "string_split(host, '.')[len(string_split(host, '.')) - 1] || '.' || " +
       "string_split(host, '.')[len(string_split(host, '.'))] END"
+
+  /** The adversarial-shape fixture behind `url_gate_adversarial`: every
+    * row is a URL shape outside the synthetic corpus's space, each
+    * pinning one totality guard (see the query doc). Kept tiny and
+    * literal so the DuckDB twin can restate it as VALUES. */
+  private[graft] val AdversarialUrls: Seq[(Long, String)] = Seq(
+    1L -> "example.com", // scheme-less, bare host, empty path
+    2L -> "http://example.com", // empty path: the 0/0 digit_frac guard
+    3L -> "https://localhost:8443/a/b", // single-label host, odd port
+    4L -> "HTTP://WWW.Example.COM:80/x/", // case+www+default port+slash
+    5L -> "example.com/p?b=2&a=1&utm_source=x", // scheme-less w/ query
+    6L -> "http://single", // single-label host, empty path
+    7L -> "http://digits.com/123456", // digit_frac 6/7 > 0.5 -> fail
+    8L -> "https://deep.example.org/1/2/3/4/5/6", // depth 6 -> fail
+    9L -> "http://example.com?x=1&utm_campaign=c", // query, NO path
+    10L -> "http://h.com:8080/x?a=1&b=2&c=3", // odd port, 3 params
+    11L -> "https://example.com:443/ok", // default https port stripped
+    12L -> "http://example.com/#frag") // root slash + fragment
+
+  private val AdversarialUrlsSql: String =
+    AdversarialUrls.map { case (id, u) => s"($id, '$u')" }.mkString(", ")
 
   // ------------------------------------------------------------ queries
 
@@ -364,8 +408,41 @@ object WebQueries {
          |    CAST(len(string_split(pth, '/')) - 1 AS BIGINT) AS path_depth,
          |    CASE WHEN qs = '' THEN CAST(0 AS BIGINT)
          |      ELSE CAST(len(string_split(qs, '&')) AS BIGINT) END AS n_params,
-         |    CAST(length(pth) - length(regexp_replace(pth, '[0-9]', '', 'g'))
-         |      AS DOUBLE) / CAST(length(pth) AS DOUBLE) AS digit_frac,
+         |    CASE WHEN length(pth) = 0 THEN 0.0 ELSE
+         |      CAST(length(pth) - length(regexp_replace(pth, '[0-9]', '', 'g'))
+         |        AS DOUBLE) / CAST(length(pth) AS DOUBLE) END AS digit_frac,
+         |    contains(raw_url, 'utm_') AS tracked,
+         |    port <> '' AS odd_port
+         |  FROM c6)
+         |SELECT *,
+         |  NOT tracked AND n_params <= 2 AND path_depth <= 4
+         |    AND digit_frac <= 0.5 AS pass
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    "url_gate_adversarial" -> Q(
+      "URL canonicalization + gate totality fence over shapes the synthetic corpus never emits — scheme-less, single-label host, empty path (the 0/0 digit_frac guard), query-without-path, port-carrying, root-slash URLs — the fixture is stated literally on BOTH sides so the totality guards are hash-fenced, not just code-reviewed (r13 verdict task #7)",
+      (s, _) => {
+        import s.implicits._
+        withGateFeatures(
+          withUrlParts(AdversarialUrls.toDF("doc_id", "raw_url"),
+            col("raw_url")))
+          .select(col("doc_id"), col("canon_url"), col("host"), col("port"),
+            col("path_depth"), col("n_params"), col("digit_frac"),
+            col("tracked"), col("odd_port"), col("pass"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH raw AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, raw_url
+         |  FROM (VALUES $AdversarialUrlsSql) AS t(doc_id, raw_url)),
+         |$CanonChainCtes,
+         |f AS (
+         |  SELECT doc_id, $CanonUrlSql AS canon_url, host, port,
+         |    CAST(len(string_split(pth, '/')) - 1 AS BIGINT) AS path_depth,
+         |    CASE WHEN qs = '' THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(len(string_split(qs, '&')) AS BIGINT) END AS n_params,
+         |    CASE WHEN length(pth) = 0 THEN CAST(0 AS DOUBLE) ELSE
+         |      CAST(length(pth) - length(regexp_replace(pth, '[0-9]', '', 'g'))
+         |        AS DOUBLE) / CAST(length(pth) AS DOUBLE) END AS digit_frac,
          |    contains(raw_url, 'utm_') AS tracked,
          |    port <> '' AS odd_port
          |  FROM c6)

@@ -115,6 +115,17 @@ object StreamingSpanScreen {
   def readGramStore(spark: SparkSession, gramStoreDir: String): DataFrame =
     BatchKeyedStore.read(spark, gramStoreDir, gramStoreSchema)
 
+  /** Directory-count hygiene between drains: fold both stores' committed
+    * batch directories into one base each
+    * ([[BatchKeyedStore.compact]]), bounded by the checkpoint's commit
+    * log so an uncommitted crashed attempt is never baked into the base. */
+  def compactStores(spark: SparkSession, docStoreDir: String,
+      gramStoreDir: String, checkpointDir: String): Unit =
+    BatchKeyedStore.lastCommitted(spark, checkpointDir).foreach { last =>
+      BatchKeyedStore.compact(spark, docStoreDir, docStoreSchema, last)
+      BatchKeyedStore.compact(spark, gramStoreDir, gramStoreSchema, last)
+    }
+
   /** Drain everything currently in `landingDir`: cleaned docs land in
     * `docStoreDir`, their novel grams in `gramStoreDir` — both
     * [[BatchKeyedStore]] layouts. Exactly-once per checkpoint: each
@@ -133,34 +144,42 @@ object StreamingSpanScreen {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val store = BatchKeyedStore.readBefore(
-          s, gramStoreDir, batchId, gramStoreSchema)
-        // cleaned feeds the doc write AND the gram write; persist so
-        // the store probe + islands window run once, and unpersist — a
-        // long-lived stream must not accumulate per-batch cache entries
-        val cleaned = exciseAgainstStore(batch, store).persist()
-        try {
-          // coalesce(4): batch-sized outputs written raw would shed up to
-          // spark.sql.shuffle.partitions near-empty part files per batch
-          // dir, growing the probe's file listing 32× per batch (the
-          // URL-screen measurement caught this as a latency trend)
-          BatchKeyedStore.write(
-            cleaned.select(col("doc_id"), col("n_tok"), col("removed_tok"),
-              col("clean_text")).coalesce(4),
-            docStoreDir, batchId)
-          val batchGrams = gramHashes(
-            cleaned.select(col("doc_id"), col("clean_tk").as("tk")))
-            .select(col("h")).distinct()
-          val novel = store match {
-            case Some(st) =>
-              batchGrams.join(st.select(col("h")), Seq("h"), "left_anti")
-            case None => batchGrams
-          }
-          BatchKeyedStore.write(novel.coalesce(4), gramStoreDir, batchId)
-        } finally { cleaned.unpersist(); () }
+        runBatch(batch, batchId, docStoreDir, gramStoreDir)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** The foreachBatch body — exposed `private[graft]` so the specs can
+    * REPLAY a batch literally (a crash-replay is exactly a second
+    * invocation with the same batchId and rows). */
+  private[graft] def runBatch(batch: DataFrame, batchId: Long,
+      docStoreDir: String, gramStoreDir: String): Unit = {
+    val s = batch.sparkSession
+    val store = BatchKeyedStore.readBefore(
+      s, gramStoreDir, batchId, gramStoreSchema)
+    // cleaned feeds the doc write AND the gram write; persist so
+    // the store probe + islands window run once, and unpersist — a
+    // long-lived stream must not accumulate per-batch cache entries
+    val cleaned = exciseAgainstStore(batch, store).persist()
+    try {
+      // coalesce(4): batch-sized outputs written raw would shed up to
+      // spark.sql.shuffle.partitions near-empty part files per batch
+      // dir, growing the probe's file listing 32× per batch (the
+      // URL-screen measurement caught this as a latency trend)
+      BatchKeyedStore.write(
+        cleaned.select(col("doc_id"), col("n_tok"), col("removed_tok"),
+          col("clean_text")).coalesce(4),
+        docStoreDir, batchId)
+      val batchGrams = gramHashes(
+        cleaned.select(col("doc_id"), col("clean_tk").as("tk")))
+        .select(col("h")).distinct()
+      val novel = store match {
+        case Some(st) =>
+          batchGrams.join(st.select(col("h")), Seq("h"), "left_anti")
+        case None => batchGrams
+      }
+      BatchKeyedStore.write(novel.coalesce(4), gramStoreDir, batchId)
+    } finally { cleaned.unpersist(); () }
   }
 }

@@ -64,6 +64,19 @@ object StreamingUrlScreen {
   def readUrlStore(spark: SparkSession, urlStoreDir: String): DataFrame =
     BatchKeyedStore.read(spark, urlStoreDir, urlStoreSchema)
 
+  /** Directory-count hygiene between drains: fold both stores' committed
+    * batch directories into one base each
+    * ([[BatchKeyedStore.compact]]) — a months-lived crawl frontier keeps
+    * O(batches-since-compaction) directories instead of O(all batches).
+    * Bounded by the checkpoint's commit log, so a directory written by a
+    * crashed uncommitted attempt is never baked into the base. */
+  def compactStores(spark: SparkSession, docStoreDir: String,
+      urlStoreDir: String, checkpointDir: String): Unit =
+    BatchKeyedStore.lastCommitted(spark, checkpointDir).foreach { last =>
+      BatchKeyedStore.compact(spark, docStoreDir, docStoreSchema, last)
+      BatchKeyedStore.compact(spark, urlStoreDir, urlStoreSchema, last)
+    }
+
   /** One micro-batch: canonicalize, within-batch keep-best, drop
     * store-known canon keys. Returns (doc_id, canon_url, n_chars).
     * Exposed for the spec; `drain` wires it into foreachBatch. */
@@ -107,25 +120,35 @@ object StreamingUrlScreen {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val store = BatchKeyedStore.readBefore(
-          s, urlStoreDir, batchId, urlStoreSchema)
-        // novel feeds both writes; persist so the canonicalize + window
-        // + store probe run once, and unpersist — a long-lived stream
-        // must not accumulate per-batch cache entries
-        // coalesce(4): a micro-batch's survivors are batch-sized, but the
-        // keep-best window runs at spark.sql.shuffle.partitions — written
-        // raw, every batch would shed up to 32 near-empty part files per
-        // store and the probe's file listing would grow 32× per batch
-        // (measured as a per-batch latency TREND in URL_STREAM_SCALE)
-        val novel = screenAgainstStore(batch, store).coalesce(4).persist()
-        try {
-          BatchKeyedStore.write(novel, docStoreDir, batchId)
-          BatchKeyedStore.write(
-            novel.select(col("canon_url")), urlStoreDir, batchId)
-        } finally { novel.unpersist(); () }
+        runBatch(batch, batchId, docStoreDir, urlStoreDir)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** The foreachBatch body — exposed `private[graft]` so the specs can
+    * REPLAY a batch literally (a crash-replay is exactly a second
+    * invocation with the same batchId and rows; Spark 4's checkpoint
+    * concurrent-modification guard forbids forging one by editing the
+    * commit log under a live session). */
+  private[graft] def runBatch(batch: DataFrame, batchId: Long,
+      docStoreDir: String, urlStoreDir: String): Unit = {
+    val s = batch.sparkSession
+    val store = BatchKeyedStore.readBefore(
+      s, urlStoreDir, batchId, urlStoreSchema)
+    // novel feeds both writes; persist so the canonicalize + window
+    // + store probe run once, and unpersist — a long-lived stream
+    // must not accumulate per-batch cache entries
+    // coalesce(4): a micro-batch's survivors are batch-sized, but the
+    // keep-best window runs at spark.sql.shuffle.partitions — written
+    // raw, every batch would shed up to 32 near-empty part files per
+    // store and the probe's file listing would grow 32× per batch
+    // (measured as a per-batch latency TREND in URL_STREAM_SCALE)
+    val novel = screenAgainstStore(batch, store).coalesce(4).persist()
+    try {
+      BatchKeyedStore.write(novel, docStoreDir, batchId)
+      BatchKeyedStore.write(
+        novel.select(col("canon_url")), urlStoreDir, batchId)
+    } finally { novel.unpersist(); () }
   }
 }

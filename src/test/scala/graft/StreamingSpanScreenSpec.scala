@@ -70,6 +70,36 @@ class StreamingSpanScreenSpec extends SparkSpec {
     assert(StreamingSpanScreen.readGramStore(spark, grams).distinct().count() == 13L)
   }
 
+  test("compaction between drains: the base carries the gram store, excision semantics unchanged") {
+    val landing = tmpDir("span-cmp-landing")
+    val docs = tmpDir("span-cmp-store") + "/docs"
+    val grams = tmpDir("span-cmp-store") + "/grams"
+    val ckpt = tmpDir("span-cmp-ckpt")
+    val known = (1 to 15).map(i => s"kn$i").mkString(" ")
+
+    land(landing, "b1.json", Seq(doc(1L, known)))
+    StreamingSpanScreen.drain(spark, landing, docs, grams, ckpt)
+    StreamingSpanScreen.compactStores(spark, docs, grams, ckpt)
+    def names(d: String) = new java.io.File(d).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(names(grams).forall(_.startsWith("base-")) &&
+      names(docs).forall(_.startsWith("base-")),
+      s"committed batches must fold into a base, got ${names(grams)}")
+    assert(StreamingSpanScreen.readGramStore(spark, grams).count() == 8L,
+      "compaction must preserve the gram store's content")
+
+    // a later drain probes THROUGH the base: the re-landed known run is
+    // store-covered and excises fully
+    land(landing, "b2.json", Seq(doc(2L, known)))
+    StreamingSpanScreen.drain(spark, landing, docs, grams, ckpt)
+    val d2 = StreamingSpanScreen.readDocStore(spark, docs)
+      .filter("doc_id = 2").collect()(0)
+    assert(d2.getAs[Long]("removed_tok") == 15L,
+      s"base-backed probe must excise the known run, got $d2")
+    assert(StreamingSpanScreen.readGramStore(spark, grams).count() == 8L,
+      "a fully-excised copy contributes no new grams")
+  }
+
   test("within-batch duplication is NOT flagged (the incremental contract); both copies store") {
     val landing = tmpDir("span2-landing")
     val docs = tmpDir("span2-store") + "/docs"

@@ -60,6 +60,64 @@ class StreamingUrlScreenSpec extends SparkSpec {
       "streaming drain left persisted blocks behind")
   }
 
+  test("compaction mid-stream: a genuinely replayed batch recomputes against the base, end state unchanged") {
+    val landing = tmpDir("url-cmp-landing")
+    val docs = tmpDir("url-cmp-store") + "/docs"
+    val urls = tmpDir("url-cmp-store") + "/urls"
+    val ckpt = tmpDir("url-cmp-ckpt")
+
+    // three files = three micro-batches (maxFilesPerTrigger=1); batch 2
+    // repeats batch 0's canonical page, so its novel set DEPENDS on the
+    // store probe — a replay that probed wrongly would change the state
+    for ((rows, i) <- Seq(
+      Seq(page(1L, "http://ex.org/a?x=1", 100L)),
+      Seq(page(2L, "https://other.net/b", 50L)),
+      Seq(page(3L, "HTTP://EX.ORG/a/?x=1", 900L), // store-known: dropped
+          page(4L, "https://new.com/c", 70L))).zipWithIndex) {
+      val f = java.nio.file.Paths.get(landing, s"b$i.json")
+      java.nio.file.Files.write(f, rows.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000 + i * 2000))
+    }
+    StreamingUrlScreen.drain(spark, landing, docs, urls, ckpt)
+    def state() = StreamingUrlScreen.readDocStore(spark, docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("canon_url"),
+        r.getAs[Long]("n_chars"))).toSet
+    val end = state()
+    assert(end.map(_._1) == Set(1L, 2L, 4L), s"got $end")
+
+    // crash position: batch 2's store writes landed but its checkpoint
+    // commit never did, so the restart's compaction is bounded at
+    // upTo = 1 (what compactStores would read from the commit log);
+    // batch 2's orphaned dirs stay beside the base
+    graft.streaming.BatchKeyedStore.compact(
+      spark, docs, StreamingUrlScreen.docStoreSchema, upTo = 1L)
+    graft.streaming.BatchKeyedStore.compact(
+      spark, urls, StreamingUrlScreen.urlStoreSchema, upTo = 1L)
+    def names(d: String) = new java.io.File(d).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(names(docs) == Set("base-00001", "batch-00002"), names(docs).toString)
+    assert(names(urls) == Set("base-00001", "batch-00002"))
+
+    // the replay: the stream re-invokes the foreachBatch body with the
+    // SAME batchId and rows — its probe now reads the base, recomputes
+    // the identical novel set, and overwrites batch 2's own directories
+    val batch2 = spark.read.schema(StreamingUrlScreen.pageSchema)
+      .json(java.nio.file.Paths.get(landing, "b2.json").toString)
+    StreamingUrlScreen.runBatch(batch2, 2L, docs, urls)
+    assert(state() == end,
+      "a replay across the compaction must leave the end state unchanged")
+    val keys = StreamingUrlScreen.readDocStore(spark, docs)
+      .select("canon_url").collect().map(_.getString(0)).toSeq
+    assert(keys.distinct.size == keys.size, "no duplicate canon keys")
+
+    // and the real stream continues cleanly past the compacted store
+    land(landing, "b3.json", Seq(page(7L, "https://tail.org/z", 10L)))
+    StreamingUrlScreen.drain(spark, landing, docs, urls, ckpt)
+    assert(state().map(_._1) == Set(1L, 2L, 4L, 7L))
+  }
+
   test("end state equals the batch first-wins computation on the union, for two shard orders") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -112,6 +112,24 @@ class WebQueriesSpec extends SparkSpec {
     assert(rows.exists(_._7) && rows.exists(!_._7))
   }
 
+  test("gate totality (adversarial shapes): bare host passes with digit_frac 0, query-without-path keeps its params") {
+    val rows = SparkEntry.queries("url_gate_adversarial")(spark, sf)
+      .select("doc_id", "canon_url", "digit_frac", "pass")
+      .as[(Long, String, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // http://example.com: empty canonical path — the 0/0 Divide would
+    // read NULL without the guard; the verdict must be a real boolean
+    assert(rows(2L)._3 == 0.0 && rows(2L)._4,
+      "bare-host URL must pass the gate with digit_frac 0.0, not NULL")
+    assert(rows(1L)._2 == "http://example.com" && rows(1L)._4,
+      "scheme-less bare host canonicalizes to the http form and passes")
+    // query with no path: the authority split must stop at '?', so the
+    // params survive into the sorted-query canonical form
+    assert(rows(9L)._2 == "http://example.com?x=1")
+    assert(!rows(7L)._4, "digit-heavy path must fail the digit_frac rule")
+    assert(!rows(8L)._4, "depth-6 path must fail the path_depth rule")
+  }
+
   test("web_domain_prior: per-domain stats agree with a direct recount") {
     val prior = SparkEntry.queries("web_domain_prior")(spark, sf)
       .select("domain", "domain_docs").distinct()
