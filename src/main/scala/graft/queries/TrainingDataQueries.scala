@@ -1151,6 +1151,39 @@ object TrainingDataQueries {
          |FROM fisl GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin),
 
+    "dedup_substring_store" -> Q(
+      "Incremental maximal-span dedup over the PRODUCTION store layout " +
+        "(graft.operators.GramStore): the ingested half's distinct gram " +
+        "hashes live as a materialized bucketed+sorted table (built once " +
+        "per fixture snapshot — the AnnModels train-once precedent at " +
+        "operator scale), and the delta probes it with a sort-merge join " +
+        "that plans NO store-side Exchange or Sort (the bucket files ARE " +
+        "the shuffle, spec-fenced in GramStoreSpec) — the serve path's " +
+        "only corpus-sized exchange is the delta's own. Identical span " +
+        "semantics to dedup_substring_incremental, pinned by the SAME " +
+        "DuckDB oracle; the lifecycle split is what the fifth-decade " +
+        "measurement (SCALE.md r14) shows the self-contained form paying " +
+        "for: rebuild-per-run reads slope ~1.3 (spill-bound), the store " +
+        "probe stays linear",
+      (s, dir) => {
+        val Tk = 8
+        val table = graft.operators.GramStore.ensure(s, dir, Tk, buckets = 8)
+        val delta = T.documentsSpread(s, dir).filter(col("doc_id") % 2 === 1L)
+        graft.operators.GramStore.probeSpans(s, delta, table, Tk)
+      },
+      s"""WITH $DupSpansSqlCtes,
+         |store AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+         |flagged AS (
+         |  SELECT doc_id, pos FROM grams JOIN store USING (g)
+         |  WHERE doc_id % 2 = 1),
+         |${islandsSqlCtes("flagged", "fisl", 8)}
+         |SELECT doc_id,
+         |  CAST(MIN(pos) AS BIGINT) AS span_start,
+         |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+         |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tok
+         |FROM fisl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin),
+
     "text_lm_quality" -> Q(
       "Bigram-LM fluency scoring (CCNet-style LM filter, made bit-portable): per document — bigram count, fraction of its bigrams that are corpus-common (count >= 3), and the rarest transition probability min P(b|a). No cross-row double sums: fractions are integer ratios, and min over exactly-reproducible doubles is order-independent, unlike the avg-log-prob form",
       (s, dir) => {

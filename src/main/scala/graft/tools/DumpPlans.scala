@@ -70,6 +70,9 @@ object DumpPlans {
     // row-local decode loop)
     "dedup_substring_incremental", "dedup_substring_stats",
     "bpe_train_exact", "embed_pca_exact", "multimodal_decode_fixed",
+    // round-14: the production gram-store layout — the probe join's
+    // store side must show a bucketed scan with NO Exchange and NO Sort
+    "dedup_substring_store",
     // round-12 second wave: URL curation front door (row-local codegen'd
     // canonicalization; one hash-partitioned window on the canon key;
     // bounded domain aggregate broadcast back) and the unigram-LM

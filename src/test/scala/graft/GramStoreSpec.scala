@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.GramStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed gram store (`dedup_substring_store`): semantics equal the
+  * self-contained incremental form on every fixture, and the serve-path
+  * plan is the one the 100 TB posture promises — the store side of the
+  * probe join arrives from the bucket files with partitioning AND sort
+  * order satisfied, so the only Exchange (and the only Sort) in the join
+  * belongs to the delta. */
+class GramStoreSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docsFixture(rows: Seq[(Long, String)]): String = {
+    val dir = tmpDir("gramstore")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_substring_store == dedup_substring_incremental on a planted fixture and on sf0.001") {
+    val known = (1 to 15).map(i => s"kn$i").mkString(" ")
+    val fresh = (1 to 12).map(i => s"fr$i").mkString(" ")
+    val planted = docsFixture(Seq(
+      2L -> s"${(1 to 5).map(i => s"s$i").mkString(" ")} $known",
+      1L -> s"${(1 to 4).map(i => s"a$i").mkString(" ")} $known $fresh",
+      3L -> s"$fresh ${(1 to 9).map(i => s"b$i").mkString(" ")}",
+      4L -> (1 to 20).map(i => s"u$i").mkString(" ")))
+    Seq(planted, "/root/testdata/sf0.001").foreach { dir =>
+      val store = SparkEntry.queries("dedup_substring_store")(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val inc = SparkEntry.queries("dedup_substring_incremental")(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(store == inc, s"store-layout spans must equal the " +
+        s"self-contained incremental form's at $dir")
+      assert(dir == planted || store.nonEmpty,
+        "sf0.001 should flag store-known spans")
+    }
+  }
+
+  test("probe join plans no store-side Exchange and no store-side Sort (the bucket files ARE the shuffle)") {
+    val dir = docsFixture((1L to 40L).map { i =>
+      // even docs seed the store; odd docs repeat an even doc's text so
+      // the probe join is non-degenerate
+      i -> (1 to 20).map(j => s"w${(i / 2) * 100 + j}").mkString(" ")
+    })
+    val table = GramStore.ensure(spark, dir, Tk = 8, buckets = 8)
+    val delta = Tables.documentsSpread(spark, dir)
+      .filter(col("doc_id") % 2 === 1L)
+    // a fixture-sized store would broadcast; force the sort-merge shape
+    // the corpus-sized store plans so the assertions fence THAT plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // plan of the JOIN stage alone (before the islands window, whose
+      // own per-doc exchange is separate and expected); probeSpans is
+      // what enables the bucketed sort-order propagation, so build the
+      // same join through a throwaway probe first
+      GramStore.probeSpans(spark, delta, table, 8)
+      val flagged = GramStore.gramHashes(delta, 8)
+        .join(spark.table(table), Seq("h"))
+        .select(col("doc_id"), col("pos"))
+      val plan = flagged.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"probe join should be a sort-merge join over the bucketed store:\n$plan")
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1,
+        s"probe join must shuffle ONLY the delta side; plan had $exchanges exchanges:\n$plan")
+      val sortNodes = plan.linesIterator.count(_.contains("Sort [h"))
+      assert(sortNodes == 1,
+        s"store side must arrive pre-sorted from the bucket files; plan had $sortNodes Sort nodes:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ensure is idempotent per session and snapshot-keyed per fixture") {
+    val dirA = docsFixture(Seq(
+      2L -> (1 to 30).map(i => s"x$i").mkString(" "),
+      1L -> (1 to 30).map(i => s"x$i").mkString(" ")))
+    val dirB = docsFixture(Seq(
+      2L -> (1 to 30).map(i => s"y$i").mkString(" "),
+      1L -> (1 to 30).map(i => s"y$i").mkString(" ")))
+    val t1 = GramStore.ensure(spark, dirA, Tk = 8, buckets = 8)
+    val t2 = GramStore.ensure(spark, dirA, Tk = 8, buckets = 8)
+    val t3 = GramStore.ensure(spark, dirB, Tk = 8, buckets = 8)
+    assert(t1 == t2, "same fixture must reuse the snapshot")
+    assert(t1 != t3, "different fixtures must not share a store table")
+    assert(spark.table(t1).columns.toSeq == Seq("h"))
+  }
+}
