@@ -44,7 +44,10 @@ import org.apache.spark.sql.functions._
   * the r14 rehearsal). Store growth under continuous ingestion is the
   * streaming screen's job ([[graft.streaming.StreamingSpanScreen]]
   * appends novel grams per micro-batch); this operator is the
-  * batch-snapshot form those appends compact into.
+  * batch-snapshot form those appends compact into — wired, not just
+  * promised: [[graft.streaming.StreamingSpanScreen.snapshotGramStore]]
+  * reads the stream's committed gram directories and [[buildFromGrams]]
+  * rewrites them into this bucketed layout.
   */
 object GramStore {
 
@@ -62,7 +65,20 @@ object GramStore {
     * distinct gram hashes, one file per bucket, sorted within. Returns
     * the table name. Overwrites any previous snapshot of the same name. */
   def build(spark: SparkSession, storeDocs: DataFrame, table: String,
-      Tk: Int, buckets: Int): String = {
+      Tk: Int, buckets: Int): String =
+    buildFromGrams(spark, gramHashes(storeDocs, Tk).select(col("h")),
+      table, buckets)
+
+  /** Build the bucketed snapshot from an already-extracted gram-hash
+    * frame (column `h`) — the writer [[build]] uses, exposed so OTHER
+    * gram producers can compact into this layout: the streaming span
+    * screen's per-batch novel-gram appends
+    * ([[graft.streaming.StreamingSpanScreen.snapshotGramStore]]) are the
+    * in-tree caller, completing the ladder the family's Scaladocs
+    * promise (streaming appends → batch-snapshot compaction → bucketed
+    * serve path). Input need not be distinct; the snapshot always is. */
+  def buildFromGrams(spark: SparkSession, grams: DataFrame, table: String,
+      buckets: Int): String = {
     // a stale location with no catalog entry (fresh in-memory catalog
     // over a reused warehouse dir) would fail the CREATE — clear it
     if (!spark.catalog.tableExists(table)) {
@@ -71,7 +87,7 @@ object GramStore {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) { fs.delete(loc, true); () }
     }
-    gramHashes(storeDocs, Tk)
+    grams
       .select(col("h")).distinct()
       // one task per bucket -> one file per bucket: repartition by the
       // SAME hash the bucket id uses, so the bucketed scan reports its

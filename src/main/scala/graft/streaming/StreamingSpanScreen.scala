@@ -115,6 +115,25 @@ object StreamingSpanScreen {
   def readGramStore(spark: SparkSession, gramStoreDir: String): DataFrame =
     BatchKeyedStore.read(spark, gramStoreDir, gramStoreSchema)
 
+  /** Compact the stream's accumulated gram store into the bucketed
+    * batch-snapshot layout ([[graft.operators.GramStore]]) — the
+    * "batch-snapshot form those appends compact into" the family's
+    * Scaladocs promise. Bounded by the checkpoint's commit log (the
+    * [[BatchKeyedStore.readCommitted]] view), so a crashed attempt's
+    * uncommitted directory is never baked into the snapshot. The
+    * returned table serves [[graft.operators.GramStore.probeSpans]]
+    * with no store-side Exchange or Sort; the stream itself keeps
+    * appending to `gramStoreDir` independently — snapshotting is a
+    * read-only fork, the Lambda split the incremental screens document
+    * (continuous appends for the delta screen, periodic snapshots for
+    * the heavy batch probes). */
+  def snapshotGramStore(spark: SparkSession, gramStoreDir: String,
+      checkpointDir: String, table: String, buckets: Int): String =
+    graft.operators.GramStore.buildFromGrams(spark,
+      BatchKeyedStore.readCommitted(
+        spark, gramStoreDir, gramStoreSchema, checkpointDir),
+      table, buckets)
+
   /** Directory-count hygiene between drains: fold both stores' committed
     * batch directories into one base each
     * ([[BatchKeyedStore.compact]]), bounded by the checkpoint's commit

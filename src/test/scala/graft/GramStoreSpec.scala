@@ -78,6 +78,42 @@ class GramStoreSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("snapshotGramStore compacts a streaming gram store into the bucketed serve layout") {
+    import graft.streaming.StreamingSpanScreen
+    val landing = tmpDir("snap-landing")
+    val docs = tmpDir("snap-store") + "/docs"
+    val grams = tmpDir("snap-store") + "/grams"
+    val ckpt = tmpDir("snap-ckpt")
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id": $id, "text": "$text"}"""
+    val known = (1 to 15).map(i => s"kn$i").mkString(" ")
+    val fresh = (1 to 12).map(i => s"fr$i").mkString(" ")
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "b1.json"),
+      doc(1L, known).getBytes("UTF-8"))
+    StreamingSpanScreen.drain(spark, landing, docs, grams, ckpt)
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "b2.json"),
+      doc(2L, s"$known $fresh").getBytes("UTF-8"))
+    StreamingSpanScreen.drain(spark, landing, docs, grams, ckpt)
+
+    val table = StreamingSpanScreen.snapshotGramStore(
+      spark, grams, ckpt, "gram_snapshot_spec", buckets = 4)
+    // the snapshot holds exactly the streamed store's distinct hashes
+    val streamed = StreamingSpanScreen.readGramStore(spark, grams)
+      .as[Long].collect().toSet
+    val snapped = spark.table(table).as[Long].collect().toSet
+    assert(snapped == streamed && snapped.size == 13,
+      s"snapshot must equal the streamed store (13 distinct grams), " +
+        s"got ${snapped.size} vs ${streamed.size}")
+    // and it SERVES: a delta carrying the known run + novel tail gets
+    // exactly the store-known extent flagged through the bucketed probe
+    val delta = Seq((10L, s"$known ${(1 to 9).map(i => s"nv$i").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    val spans = GramStore.probeSpans(spark, delta, table, Tk = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((10L, 0L, 15L, 15L)),
+      s"bucketed snapshot must serve the probe identically, got $spans")
+  }
+
   test("ensure is idempotent per session and snapshot-keyed per fixture") {
     val dirA = docsFixture(Seq(
       2L -> (1 to 30).map(i => s"x$i").mkString(" "),
