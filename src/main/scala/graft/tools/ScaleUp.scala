@@ -79,7 +79,13 @@ object ScaleUp {
       salt: Boolean = true): DataFrame = {
     val copies = df.sparkSession.range(0, factor.toLong)
       .select(col("id").cast("int").as("copy"))
-    df.crossJoin(broadcast(copies))
+    // the source fixture is tiny (one parquet split), so WITHOUT a spread
+    // the whole factor-x expansion + per-token salting runs in ONE task
+    // (measured: the 20000x r14 generation sat single-threaded for 25+
+    // minutes before this line existed); spread the small side across the
+    // session's parallelism so the expansion is data-parallel from row one
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(copies))
       .select(
         (col("doc_id") + col("copy").cast("long") * strideFor(df, "doc_id")).as("doc_id"),
         when(col("copy") === 0 || lit(!salt), col("text")).otherwise(
