@@ -61,16 +61,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  /** Force the distributed loop regardless of graph size (gate = -1). */
+  private def distributed[A](f: => A): A = {
+    spark.conf.set("spark.graft.cc.localMaxPairs", "-1")
+    try f finally spark.conf.unset("spark.graft.cc.localMaxPairs")
+  }
+
+  test("local fast path and distributed loop agree on randomized graphs") {
+    val rnd = new scala.util.Random(13)
+    (1 to 2).foreach { trial =>
+      val n = 80
+      val pairs = (1 to 120).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val local = resolveMap(pairs) // default gate: takes the local path
+      val dist = distributed(resolveMap(pairs))
+      assert(local == dist, s"trial $trial: local path diverged from loop")
+    }
+  }
+
+  test("long chain converges on the distributed loop too (pointer jumping, cap 50)") {
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    val labels = distributed(resolveMap(chain))
+    assert(labels.size == 100 && labels.values.forall(_ == 0L))
+  }
+
   test("maxIters exhaustion throws instead of returning unconverged labels") {
     val chain = (1L until 16L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException] {
-      ConnectedComponents.resolve(chain.toDF("a_id", "b_id"), maxIters = 1)
+      distributed(
+        ConnectedComponents.resolve(chain.toDF("a_id", "b_id"), maxIters = 1))
     }
     assert(e.getMessage.contains("did not converge"))
   }
 
   test("freeAll releases final-round label blocks; results recompute from lineage") {
-    val labels = ConnectedComponents.resolve(Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id"))
+    val labels = distributed(
+      ConnectedComponents.resolve(Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")))
     assert(labels.count() == 4)
     val persisted = spark.sparkContext.getPersistentRDDs.size
     ConnectedComponents.freeAll()

@@ -54,9 +54,14 @@ class ScaleSpec extends SparkSpec {
       val base = 1000L + c * 3L
       Seq((base, base + 1), (base + 1, base + 2))
     }
-    val labels = ConnectedComponents
-      .resolve((chain ++ cliques).toDF("a_id", "b_id"), maxIters = 16)
-      .as[(Long, Long)].collect().toMap
+    // force the distributed loop (the property under test is pointer
+    // jumping, which the small-graph local fast path would bypass)
+    spark.conf.set("spark.graft.cc.localMaxPairs", "-1")
+    val labels =
+      try ConnectedComponents
+        .resolve((chain ++ cliques).toDF("a_id", "b_id"), maxIters = 16)
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.cc.localMaxPairs")
     // the whole chain resolved to 0 — would fail at maxIters=16 without
     // pointer jumping (needs 511 pure-propagation rounds)
     (0L to 511L).foreach(v => assert(labels(v) == 0L))
