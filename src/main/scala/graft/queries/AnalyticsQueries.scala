@@ -1499,11 +1499,21 @@ object AnalyticsQueries {
           .persist()
         val lowFirst = col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b"))
+        // o and adj are each consumed by MULTIPLE plan branches (adj's two
+        // broadcast builds for the u- and v-side joins differ by alias, so
+        // exchange reuse cannot dedup them): unpersisted, every broadcast
+        // build re-ran the pairs⋈deg orientation joins — measured as ~5
+        // concurrent 2-s broadcast jobs at sf0.1 (job-time sum 22 s for an
+        // 8.8 s wall). Persisting both caches |E| (u,v) longs and |V|
+        // adjacency arrays — the same frames the computation already
+        // materializes once — and drops the rebuild jobs (guide §5:
+        // persist exactly the reused-and-expensive frames).
         val o = pairs
           .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
           .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
           .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
             when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+          .persist()
         // Edge-iterator with sorted-adjacency intersection: triangles
         // through edge (u,v) = |N⁺(u) ∩ N⁺(v)|, a row-local codegen'd
         // merge over two ≤√(2|E|)-element sorted arrays — the wedge set
@@ -1512,6 +1522,7 @@ object AnalyticsQueries {
         // runtime at sf0.1 was exactly that wedge exchange)
         val adj = o.groupBy(col("u"))
           .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+          .persist()
         val tri = o
           .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
           .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
@@ -1564,13 +1575,26 @@ object AnalyticsQueries {
         "aggregations (no window), rounds are bounded like graph_pagerank, " +
         "and the frames never carry more than (vertex, label, count)",
       (s, dir) => {
+        // Edge layout (optimization guide §2.4 "remove shuffles outright"):
+        // ONE exchange keyed on src replaces the old keyless distinct's
+        // (src,dst) exchange — hash partitioning on src satisfies the
+        // clustered distribution of dropDuplicates(src,dst), of round 1's
+        // groupBy(src), and of every round's groupBy(src,lab)/groupBy(src),
+        // so with the label side riding a broadcast (AQE's choice at any
+        // |V| that fits; the label table is (vertex,label) longs) the two
+        // fixed LPA rounds run with ZERO per-round exchanges over the
+        // persisted |E|-row edge cache. Measured at sf0.1: rounds 2-3 +
+        // final rollup 3.2 s → see OPTIMIZATION_r14.md. At a |V| too big
+        // to broadcast, AQE falls back to a shuffled join on dst — the
+        // same per-round shuffles the unpartitioned layout paid.
         val edges = T.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
           .select(explode(col("pks")).as("src"), col("pks"))
           .select(col("src"), explode(col("pks")).as("dst"))
           .filter(col("src") =!= col("dst"))
-          .distinct()
+          .repartition(col("src"))
+          .dropDuplicates("src", "dst")
           .persist()
         // round 1 peeled: initial labels are the vertex ids themselves, so
         // every neighbor label is distinct (all counts 1) and the argmax
