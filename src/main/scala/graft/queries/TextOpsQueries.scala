@@ -758,6 +758,9 @@ object TextOpsQueries {
         import org.apache.spark.sql.expressions.Window
         val toks = T.documentsSpread(s, dir)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        // NOT persisted (r14 A/B): tf is (doc_id, tok)-grained — nearly
+        // corpus-sized — and caching it measured SLOWER (1.21→1.49 s at
+        // sf0.1) than recomputing the hash-agg for the df build
         val tf = toks.groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))

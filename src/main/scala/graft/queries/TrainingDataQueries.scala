@@ -1197,6 +1197,9 @@ object TrainingDataQueries {
           .select(col("doc_id"),
             split(col("g"), " ").getItem(0).as("a"),
             split(col("g"), " ").getItem(1).as("b"))
+          // feeds the model build AND the scoring stream — persist so the
+          // scan+shingle+split pass runs once, not once per branch
+          .persist()
         val pair = grams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
         val head = pair.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
         grams.join(pair, Seq("a", "b")).join(head, Seq("a"))
@@ -1726,6 +1729,9 @@ object TrainingDataQueries {
             .filter(col("df") >= 2L && col("df") <= DfCap)
             .select(col("h")),
           Seq("h"))
+          // both pair sides consume it — persist so the df-cap join runs
+          // once, not once per side
+          .persist()
         val pairs = shared.select(col("h"), col("doc_id").as("d1"))
           .join(shared.select(col("h"), col("doc_id").as("d2")), Seq("h"))
           .filter(col("d1") < col("d2"))
