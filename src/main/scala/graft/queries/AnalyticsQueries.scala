@@ -1593,8 +1593,8 @@ object AnalyticsQueries {
           .select(explode(col("pks")).as("src"), col("pks"))
           .select(col("src"), explode(col("pks")).as("dst"))
           .filter(col("src") =!= col("dst"))
-          .repartition(col("src"))
-          .dropDuplicates("src", "dst")
+          .groupBy(col("src")).agg(collect_set(col("dst")).as("ds"))
+          .select(col("src"), explode(col("ds")).as("dst"))
           .persist()
         // round 1 peeled: initial labels are the vertex ids themselves, so
         // every neighbor label is distinct (all counts 1) and the argmax
