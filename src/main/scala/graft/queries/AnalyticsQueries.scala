@@ -1576,17 +1576,21 @@ object AnalyticsQueries {
         "and the frames never carry more than (vertex, label, count)",
       (s, dir) => {
         // Edge layout (optimization guide §2.4 "remove shuffles outright"):
-        // ONE exchange keyed on src replaces the old keyless distinct's
-        // (src,dst) exchange — hash partitioning on src satisfies the
-        // clustered distribution of dropDuplicates(src,dst), of round 1's
-        // groupBy(src), and of every round's groupBy(src,lab)/groupBy(src),
-        // so with the label side riding a broadcast (AQE's choice at any
-        // |V| that fits; the label table is (vertex,label) longs) the two
-        // fixed LPA rounds run with ZERO per-round exchanges over the
-        // persisted |E|-row edge cache. Measured at sf0.1: rounds 2-3 +
-        // final rollup 3.2 s → see OPTIMIZATION_r14.md. At a |V| too big
-        // to broadcast, AQE falls back to a shuffled join on dst — the
-        // same per-round shuffles the unpartitioned layout paid.
+        // the pair dedup is a src-keyed collect_set — ONE exchange keyed
+        // on src, dst sets deduped MAP-SIDE inside the partial aggregate
+        // (a keyless distinct shuffled (src,dst)-keyed; a bare
+        // repartition(src) shuffled raw un-deduped pairs and measured
+        // slower in the shared bench). Hash partitioning on src satisfies
+        // round 1's groupBy(src) and every round's groupBy(src,lab)/
+        // groupBy(src), so with the label side riding a broadcast (AQE's
+        // choice at any |V| that fits; the label table is (vertex,label)
+        // longs) the fixed rounds run without re-shuffling the persisted
+        // |E|-row edge cache. Measured at sf0.1 (isolated bench): 4.2 →
+        // 1.9 s. At a |V| too big to broadcast, AQE falls back to a
+        // shuffled join on dst — the per-round shuffles the unpartitioned
+        // layout paid anyway. A hub vertex whose adjacency set exceeds
+        // executor memory needs the (src,dst)-keyed distinct instead
+        // (one-line revert); co-purchase degree is catalog-bounded.
         val edges = T.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
