@@ -75,8 +75,27 @@ object Porter2 {
     } else false
   }
 
+  /** Pure-function memo (r14 optimization, guide §4 per-task work): token
+    * streams are Zipf-distributed, so the distinct-word count is orders of
+    * magnitude below the token count — one hash probe replaces the full
+    * multi-step stem for every repeated word. JVM-wide and thread-safe;
+    * capped so an adversarial unbounded vocabulary degrades to the
+    * uncached path instead of growing the heap. stem() stays pure, the
+    * memo only short-circuits recomputation. */
+  private val StemCacheCap = 1 << 16
+  private val stemCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String](1 << 12)
+
   def stem(word: String): String = {
     if (word.length <= 2) return word
+    val cached = stemCache.get(word)
+    if (cached != null) return cached
+    val result = stemUncached(word)
+    if (stemCache.size < StemCacheCap) stemCache.put(word, result)
+    result
+  }
+
+  private def stemUncached(word: String): String = {
     exceptions1.get(word) match {
       case Some(s) => return s
       case None =>

@@ -445,35 +445,57 @@ object BpeTrainer {
       merges.map(g => (g.left, g.right) -> g.rank).toMap
     val byRank: Map[Int, (String, String)] =
       merges.map(g => g.rank -> (g.left, g.right)).toMap
+    // Per-task word→segmentation memo (r14 optimization, guide §4.5
+    // amortized-state pattern): word streams are Zipf-distributed, so one
+    // hash probe replaces the whole merge loop for every repeated word.
+    // The empty map is serialized into the closure and deserialized once
+    // per task — single-threaded within the task, never shared across
+    // tasks. Capped so an unbounded vocabulary degrades to the uncached
+    // path instead of growing executor heap.
+    val memoCap = 1 << 16
+    val memo = new java.util.HashMap[String, Seq[String]]()
+    // a function VALUE, not a local def: a def lowers to a method on the
+    // enclosing object and would drag non-serializable BpeTrainer$ into
+    // the closure; the lambda captures only serializable locals
+    val endMark = EndMark
+    val encodeWord: String => Seq[String] = { w =>
+      val chars = w.map(_.toString).toVector
+      var syms = chars.init :+ (chars.last + endMark)
+      var continue = true
+      while (continue && syms.length > 1) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          pairRank.get((syms(i), syms(i + 1)))
+            .foreach(r => if (r < best) best = r)
+          i += 1
+        }
+        if (best == Int.MaxValue) continue = false
+        else {
+          val (a, b) = byRank(best)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.toVector
+        }
+      }
+      syms
+    }
     val tokenize = udf { (text: String) =>
       if (text == null) Seq.empty[String]
       else text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty)
         .flatMap { w =>
-          val chars = w.map(_.toString).toVector
-          var syms = chars.init :+ (chars.last + EndMark)
-          var continue = true
-          while (continue && syms.length > 1) {
-            var best = Int.MaxValue
-            var i = 0
-            while (i < syms.length - 1) {
-              pairRank.get((syms(i), syms(i + 1)))
-                .foreach(r => if (r < best) best = r)
-              i += 1
-            }
-            if (best == Int.MaxValue) continue = false
-            else {
-              val (a, b) = byRank(best)
-              val out = scala.collection.mutable.ArrayBuffer.empty[String]
-              var j = 0
-              while (j < syms.length) {
-                if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
-                  out += (a + b); j += 2
-                } else { out += syms(j); j += 1 }
-              }
-              syms = out.toVector
-            }
+          val cached = memo.get(w)
+          if (cached != null) cached
+          else {
+            val syms = encodeWord(w)
+            if (memo.size < memoCap) memo.put(w, syms)
+            syms
           }
-          syms
         }.toSeq
     }
     corpus.withColumn("tokens", tokenize(col(textCol)))
