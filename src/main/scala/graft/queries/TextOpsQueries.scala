@@ -223,7 +223,10 @@ object TextOpsQueries {
     * where it matters); the df table broadcasts at fixture scale and
     * sort-merge-joins at 100 TB, same adjudication as dedup_ppjoin's. */
   private[graft] def containmentCandidates(docs: DataFrame): DataFrame = {
+    // consumed by the df build, the prefix ranking AND the probe index —
+    // persist so the shingle explode off the cached docs runs once
     val ex = docs.select(col("doc_id"), col("source"), explode(col("gr")).as("g"))
+      .persist()
     val dfreq = ex.groupBy(col("source"), col("g")).agg(count(lit(1)).as("df"))
     val prefixes = ex.join(broadcast(dfreq), Seq("source", "g"))
       .groupBy(col("doc_id"))
